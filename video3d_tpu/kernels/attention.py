@@ -1,0 +1,95 @@
+"""Attention entry point: Pallas flash kernel on TPU, jnp reference on CPU.
+
+Replaces the reference's flash-attention-2 dependency
+(/root/reference/llava/train/train_3d.py:183, qwen2/modeling_qwen2.py:330-632)
+with a TPU-native path. All callers go through :func:`mha`, which picks the
+implementation by backend and shape; the jnp path is also the numerical
+ground truth the Pallas kernel is tested against.
+
+Semantics:
+  * GQA — kv heads are broadcast to query heads (groups = H // KV).
+  * softmax in float32, output in query dtype.
+  * causal masking by absolute position: with a KV cache, cache slot index
+    equals absolute sequence position, so query at position p attends to
+    slots s <= p (and s < kv_len when given).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _broadcast_kv(k: jax.Array, num_q_heads: int) -> jax.Array:
+    """(B, S, KV, hd) -> (B, S, H, hd) by repeating each kv head."""
+    B, S, KV, hd = k.shape
+    groups = num_q_heads // KV
+    if groups == 1:
+        return k
+    return jnp.repeat(k, groups, axis=2)
+
+
+def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: Optional[jax.Array] = None,
+                  causal: bool = True,
+                  q_positions: Optional[jax.Array] = None,
+                  kv_len: Optional[jax.Array] = None) -> jax.Array:
+    """Plain-jnp attention (ground truth; used on CPU).
+
+    Args:
+      q: (B, L, H, hd); k, v: (B, S, KV, hd).
+      mask: optional (B, L, S) boolean, True = may attend. Combined with the
+        causal/positional rule if both given.
+      q_positions: optional (B, L) absolute positions of the queries (KV-cache
+        path, where S is the cache capacity and slot index == position).
+      kv_len: optional (B,) count of valid cache slots.
+    Returns:
+      (B, L, H, hd) in q.dtype.
+    """
+    B, L, H, hd = q.shape
+    S = k.shape[1]
+    k = _broadcast_kv(k, H)
+    v = _broadcast_kv(v, H)
+
+    scores = jnp.einsum("blhd,bshd->bhls", q, k).astype(jnp.float32) * (hd ** -0.5)
+
+    allow = jnp.ones((B, L, S), bool)
+    if q_positions is not None:
+        slots = jnp.arange(S)[None, None, :]
+        allow = slots <= q_positions[:, :, None]
+        if kv_len is not None:
+            allow = allow & (slots < kv_len[:, None, None])
+    elif causal:
+        allow = (jnp.arange(S)[None, None, :] <= jnp.arange(L)[None, :, None] + (S - L))
+        allow = jnp.broadcast_to(allow, (B, L, S))
+    if mask is not None:
+        allow = allow & mask
+
+    scores = jnp.where(allow[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhls,bshd->blhd", probs, v)
+
+
+def mha(q: jax.Array, k: jax.Array, v: jax.Array,
+        mask: Optional[jax.Array] = None,
+        causal: bool = True,
+        q_positions: Optional[jax.Array] = None,
+        kv_len: Optional[jax.Array] = None) -> jax.Array:
+    """Backend-dispatching attention; see :func:`mha_reference` for args."""
+    # Pallas flash path: TPU, long-enough sequences, no arbitrary dense mask.
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        on_tpu = False
+    L, S, hd = q.shape[1], k.shape[1], q.shape[3]
+    if (on_tpu and mask is None and q_positions is None and causal
+            and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=True)
+    return mha_reference(q, k, v, mask=mask, causal=causal,
+                         q_positions=q_positions, kv_len=kv_len)

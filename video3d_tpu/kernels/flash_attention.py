@@ -1,0 +1,129 @@
+"""Causal flash attention as a Pallas TPU kernel (online softmax, GQA-aware).
+
+TPU-native replacement for the reference's flash-attention-2 CUDA dependency
+(qwen2/modeling_qwen2.py:330-632). One grid program owns one (batch*head,
+q-block); the k dimension is the innermost "arbitrary" grid axis so the
+running max / denominator / accumulator live in VMEM scratch across k steps
+(standard online-softmax recurrence). Causal blocks strictly above the
+diagonal are predicated off with ``pl.when``.
+
+Layout: q (B, L, H, hd) is viewed as (B*H, L, hd); k/v (B, S, KV, hd) as
+(B*KV, S, hd). GQA is handled in the k/v index_map (kv head = q head //
+group), so no materialized head broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+                  m_scratch, l_scratch, acc_scratch,
+                  *, sm_scale: float, block_q: int, block_k: int,
+                  causal: bool):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # Causal: skip k blocks whose first row is strictly beyond the last query.
+    run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0].astype(jnp.float32)            # (block_q, hd)
+        k = k_ref[0].astype(jnp.float32)            # (block_k, hd)
+        v = v_ref[0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # (bq, bk)
+
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+
+        m_prev = m_scratch[:]                        # (bq, 128) replicated
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)    # (bq, 1)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+        alpha = jnp.exp(m_prev - m_next)             # rescale of old state
+        p = jnp.exp(s - m_next[:, :1])               # (bq, bk)
+        l_next = l_prev * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+
+        acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scratch[:] = m_next
+        l_scratch[:] = l_next
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        # Fully-masked rows (can't happen for causal L==S) would have l=0.
+        l = l_scratch[:, :1]
+        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    causal: bool = True,
+                    block_q: int = 256, block_k: int = 512) -> jax.Array:
+    """Causal flash attention.
+
+    Args:
+      q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0, L == S.
+    Returns:
+      (B, L, H, hd) in q.dtype.
+    """
+    B, L, H, hd = q.shape
+    S, KV = k.shape[1], k.shape[2]
+    assert H % KV == 0 and L == S, (q.shape, k.shape)
+    group = H // KV
+    block_q = min(block_q, L)
+    block_k = min(block_k, S)
+    assert L % block_q == 0 and S % block_k == 0
+
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+
+    def kv_index(bh, qi, ki):
+        b, h = bh // H, bh % H
+        return (b * KV + h // group, ki, 0)
+
+    grid = (B * H, L // block_q, S // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, sm_scale=hd ** -0.5,
+                          block_q=block_q, block_k=block_k, causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, hd), kv_index),
+            pl.BlockSpec((1, block_k, hd), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf)
+    return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)

@@ -1,0 +1,235 @@
+"""Qwen2 decoder with 3-axis mRoPE, GQA, and a static-shape KV cache —
+pure-functional JAX.
+
+Behavior mirrors the reference's vendored Qwen2
+(/root/reference/llava/model/language_model/qwen2/modeling_qwen2.py):
+  * RMSNorm in float32 with ``x * rsqrt(mean(x^2) + eps) * w`` (:85-90)
+  * rotary embedding computed per axis from (B, L, 3) position ids (:106-129)
+  * mRoPE section split [32, 16, 16] interleaved over the doubled freq dim
+    (:141-173); replicating a 1D position id across the 3 axes reproduces
+    standard RoPE exactly, which is how text-only positions behave (:997-1004)
+  * GQA with num_key_value_heads < num_heads; SwiGLU MLP; untied lm_head.
+
+TPU-first design notes:
+  * all shapes static; decode uses a preallocated (B, max_len, kv_heads, hd)
+    cache updated with dynamic_update_slice per step
+  * attention runs through ``video3d_tpu.kernels.attention.mha`` which
+    dispatches to a Pallas flash kernel on TPU and a jnp reference path on CPU
+  * matmuls stay in the params' dtype (bf16 in production) with f32 softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import LLMConfig
+from video3d_tpu.kernels.attention import mha
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked KV cache: (num_layers, B, max_len, kv_heads, head_dim)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def zeros(cls, cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = (x32 * x32).mean(axis=-1, keepdims=True)
+    return (weight * (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype))
+
+
+def compute_mrope_cos_sin(position_ids: jax.Array, cfg: LLMConfig,
+                          dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """(B, L, 3) position ids -> (cos, sin) each (B, L, head_dim), with the
+    mrope section mixing already applied.
+
+    Reference computes per-axis (3, B, L, head_dim) cos/sin then interleaves
+    sections [32,16,16]*2, picking section i from axis i%3 (:162-169). We fold
+    the section-select into the frequency computation: each of the head_dim
+    rotary channels has a fixed (axis, freq) pair, so one gather suffices.
+    """
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+
+    # Which axis each of the `half` frequency channels reads from.
+    s1, s2, s3 = cfg.mrope_section
+    axis_for_freq = jnp.concatenate([
+        jnp.zeros((s1,), jnp.int32),
+        jnp.ones((s2,), jnp.int32),
+        jnp.full((s3,), 2, jnp.int32),
+    ])  # (half,)
+
+    pos = position_ids.astype(jnp.float32)              # (B, L, 3)
+    freqs_per_axis = pos[..., None, :] * inv_freq[None, None, :, None]  # (B, L, half, 3)
+    freqs = jnp.take_along_axis(
+        freqs_per_axis, axis_for_freq[None, None, :, None].astype(jnp.int32), axis=-1
+    )[..., 0]                                            # (B, L, half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)       # (B, L, head_dim)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
+    """q, k: (B, L, heads, hd); cos/sin: (B, L, hd)."""
+    cos = cos[:, :, None, :].astype(q.dtype)
+    sin = sin[:, :, None, :].astype(q.dtype)
+    q_rot = q * cos + rotate_half(q) * sin
+    k_rot = k * cos + rotate_half(k) * sin
+    return q_rot, k_rot
+
+
+def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
+                  cfg: LLMConfig,
+                  kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+                  cache_positions: Optional[jax.Array] = None,
+                  kv_len: Optional[jax.Array] = None,
+                  attn_mask: Optional[jax.Array] = None):
+    """One decoder block.
+
+    Args:
+      x: (B, L, D) hidden states.
+      kv: optional (k_cache, v_cache) each (B, max_len, kv_heads, hd). When
+        given, new K/V are scattered at ``cache_positions`` and attention runs
+        against the cache (decode / chunked prefill).
+      cache_positions: (B, L) absolute slot indices for the new tokens.
+      kv_len: (B,) number of valid cache entries AFTER this call's insert.
+      attn_mask: (B, L, S) boolean (True = attend) when kv is None.
+    Returns:
+      (out, (new_k_cache, new_v_cache) or None)
+    """
+    B, L, D = x.shape
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+    q = (h @ p["attn"]["wq"] + p["attn"]["bq"]).reshape(B, L, H, hd)
+    k = (h @ p["attn"]["wk"] + p["attn"]["bk"]).reshape(B, L, KV, hd)
+    v = (h @ p["attn"]["wv"] + p["attn"]["bv"]).reshape(B, L, KV, hd)
+    q, k = apply_rotary(q, k, cos, sin)
+
+    new_kv = None
+    if kv is not None:
+        k_cache, v_cache = kv
+
+        def scatter(cache, new):
+            # (max_len, kv, hd) cache; (L, kv, hd) new; (L,) slots
+            def one(cache_b, new_b, pos_b):
+                return cache_b.at[pos_b].set(new_b)
+            return jax.vmap(one)(cache, new, cache_positions)
+
+        k_cache = scatter(k_cache, k.astype(k_cache.dtype))
+        v_cache = scatter(v_cache, v.astype(v_cache.dtype))
+        new_kv = (k_cache, v_cache)
+        attn = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                   q_positions=cache_positions, kv_len=kv_len, causal=True)
+    else:
+        attn = mha(q, k, v, mask=attn_mask, causal=attn_mask is None)
+
+    x = x + attn.reshape(B, L, D) @ p["attn"]["wo"]
+
+    h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(h @ p["mlp"]["w_gate"])
+    up = h @ p["mlp"]["w_up"]
+    x = x + (gate * up) @ p["mlp"]["w_down"]
+    return x, new_kv
+
+
+def qwen2_forward(params: Params, cfg: LLMConfig,
+                  inputs_embeds: jax.Array,
+                  position_ids: jax.Array,
+                  attn_mask: Optional[jax.Array] = None,
+                  kv_cache: Optional[KVCache] = None,
+                  cache_positions: Optional[jax.Array] = None,
+                  kv_len: Optional[jax.Array] = None,
+                  remat: bool = False):
+    """Run the decoder stack.
+
+    Args:
+      inputs_embeds: (B, L, D) already-spliced embeddings.
+      position_ids: (B, L, 3) mRoPE ids (replicate a 1D id for plain RoPE).
+      attn_mask: (B, L, S) boolean or None for plain causal (prefill w/o cache).
+      kv_cache: optional KVCache for decode.
+    Returns:
+      (hidden_states (B, L, D), new KVCache or None)
+    """
+    cos, sin = compute_mrope_cos_sin(position_ids, cfg)
+    x = inputs_embeds
+
+    layer = decoder_layer
+    if remat:
+        layer = jax.checkpoint(
+            decoder_layer,
+            static_argnums=(4,),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+
+    new_k, new_v = [], []
+    for i, lp in enumerate(params["layers"]):
+        kv = (kv_cache.k[i], kv_cache.v[i]) if kv_cache is not None else None
+        x, nkv = layer(lp, x, cos, sin, cfg, kv, cache_positions, kv_len, attn_mask)
+        if nkv is not None:
+            new_k.append(nkv[0])
+            new_v.append(nkv[1])
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v)) if new_k else None
+    return x, new_cache
+
+
+def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
+    """(B, L, D) -> (B, L, vocab) logits."""
+    return hidden @ params["lm_head"]
+
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def init_qwen2(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    """Random init with production shapes (tests / from-scratch)."""
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = jax.random.split(key, 3 + cfg.num_hidden_layers)
+
+    def linear(k, din, dout, std=0.02):
+        return std * jax.random.normal(k, (din, dout), dtype)
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "input_layernorm": jnp.ones((D,), dtype),
+            "attn": {
+                "wq": linear(ks[0], D, H * hd), "bq": jnp.zeros((H * hd,), dtype),
+                "wk": linear(ks[1], D, KV * hd), "bk": jnp.zeros((KV * hd,), dtype),
+                "wv": linear(ks[2], D, KV * hd), "bv": jnp.zeros((KV * hd,), dtype),
+                "wo": linear(ks[3], H * hd, D),
+            },
+            "post_attention_layernorm": jnp.ones((D,), dtype),
+            "mlp": {
+                "w_gate": linear(ks[4], D, I),
+                "w_up": linear(ks[5], D, I),
+                "w_down": linear(ks[6], I, D),
+            },
+        }
+
+    return {
+        "embed_tokens": 0.02 * jax.random.normal(keys[0], (cfg.vocab_size, D), dtype),
+        "layers": [layer(keys[2 + i]) for i in range(cfg.num_hidden_layers)],
+        "norm": jnp.ones((D,), dtype),
+        "lm_head": 0.02 * jax.random.normal(keys[1], (D, cfg.vocab_size), dtype),
+    }

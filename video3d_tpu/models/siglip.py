@@ -1,0 +1,128 @@
+"""SigLIP vision tower (so400m-patch14-384) as pure-functional JAX.
+
+Mirrors the behavior of the reference tower (/root/reference/llava/model/
+multimodal_encoder/siglip_encoder.py): 27-layer ViT with the last encoder
+layer deleted (:570-571), returning the raw hidden state of the final kept
+layer — no post-layernorm, no pooling head (:576-589). Patch embedding is a
+14x14/stride-14 conv, which we lower to a single patchify-reshape + matmul so
+the whole embed step is one large MXU matmul instead of a convolution.
+
+Param pytree layout (all matrices stored (in, out) for ``x @ w``):
+  patch_embed: {w: (patch*patch*3, D) flattened in (c, kh, kw) order, b: (D,)}
+  pos_embed: (num_patches, D)
+  layers: list of dicts:
+    ln1: {scale, bias}; attn: {wq,bq,wk,bk,wv,bv,wo,bo}; ln2; mlp: {w1,b1,w2,b2}
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import VisionConfig
+
+Params = Dict[str, Any]
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def gelu_tanh(x):
+    """'gelu_pytorch_tanh' activation (siglip_encoder.py hidden_act)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
+    """(B, 3, H, W) NCHW -> (B, num_patches, 3*ps*ps) in (c, kh, kw) order,
+    matching an HF conv kernel flattened as (out, in*kh*kw)."""
+    B, C, H, W = pixel_values.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = pixel_values.reshape(B, C, gh, patch_size, gw, patch_size)
+    x = x.transpose(0, 2, 4, 1, 3, 5)              # (B, gh, gw, C, ps, ps)
+    return x.reshape(B, gh * gw, C * patch_size * patch_size)
+
+
+def attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """Bidirectional MHA over the 729 patch tokens."""
+    B, N, D = x.shape
+    hd = D // num_heads
+    q = (x @ p["wq"] + p["bq"]).reshape(B, N, num_heads, hd)
+    k = (x @ p["wk"] + p["bk"]).reshape(B, N, num_heads, hd)
+    v = (x @ p["wv"] + p["bv"]).reshape(B, N, num_heads, hd)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
+    return out @ p["wo"] + p["bo"]
+
+
+def encoder_layer(p: Params, x: jax.Array, cfg: VisionConfig) -> jax.Array:
+    h = _layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
+    x = x + attention(p["attn"], h, cfg.num_attention_heads)
+    h = _layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.layer_norm_eps)
+    h = gelu_tanh(h @ p["mlp"]["w1"] + p["mlp"]["b1"]) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+    return x + h
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+def vision_tower_forward(params: Params, pixel_values: jax.Array,
+                         cfg: VisionConfig, remat: bool = False) -> jax.Array:
+    """Run the tower.
+
+    Args:
+      pixel_values: (B, 3, image_size, image_size), normalized.
+    Returns:
+      (B, num_patches, hidden) features of the last kept encoder layer
+      (reference: hidden_states[-1] with the 27th layer removed).
+    """
+    x = patchify(pixel_values, cfg.patch_size).astype(params["patch_embed"]["w"].dtype)
+    x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
+    x = x + params["pos_embed"]
+
+    layer_fn = encoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(encoder_layer, static_argnums=(2,))
+    for lp in params["layers"]:
+        x = layer_fn(lp, x, cfg)
+    return x
+
+
+def init_vision_tower(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> Params:
+    """Random init with HF-compatible shapes (for tests / from-scratch)."""
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    pdim = 3 * cfg.patch_size * cfg.patch_size
+    keys = jax.random.split(key, 2 + cfg.num_hidden_layers)
+
+    def linear(k, din, dout):
+        lim = (1.0 / din) ** 0.5
+        return jax.random.uniform(k, (din, dout), dtype, -lim, lim)
+
+    def layer(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+            "attn": {
+                "wq": linear(ks[0], D, D), "bq": jnp.zeros((D,), dtype),
+                "wk": linear(ks[1], D, D), "bk": jnp.zeros((D,), dtype),
+                "wv": linear(ks[2], D, D), "bv": jnp.zeros((D,), dtype),
+                "wo": linear(ks[3], D, D), "bo": jnp.zeros((D,), dtype),
+            },
+            "ln2": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+            "mlp": {
+                "w1": linear(ks[4], D, I), "b1": jnp.zeros((I,), dtype),
+                "w2": linear(ks[5], I, D), "b2": jnp.zeros((D,), dtype),
+            },
+        }
+
+    return {
+        "patch_embed": {"w": linear(keys[0], pdim, D), "b": jnp.zeros((D,), dtype)},
+        "pos_embed": 0.02 * jax.random.normal(keys[1], (cfg.num_patches, D), dtype),
+        "layers": [layer(keys[2 + i]) for i in range(cfg.num_hidden_layers)],
+    }

@@ -1,0 +1,194 @@
+"""HF checkpoint -> JAX pytree importers.
+
+Maps Hugging Face parameter names/layouts (Qwen2, SigLIP vision,
+LLaVA-style mm_projector / world_position_embedding / ground head) onto the
+functional pytrees used by video3d_tpu.models. Works from either an
+in-memory state dict (tests: tiny random torch models) or a directory of
+``*.safetensors`` shards (production: LLaVA-Video-7B-Qwen2 exports).
+
+Reference checkpoint key layout: the reference saves a single HF model whose
+config carries the 3D knobs (train_3d.py:1425-1475); vision tower keys are
+prefixed ``model.vision_tower.vision_tower.`` and projector keys
+``model.mm_projector.`` (llava_arch.py:34-144).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from video3d_tpu.config import LLMConfig, VisionConfig
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (incl. bf16) without importing torch at module scope
+    try:
+        import torch  # noqa: WPS433
+
+        if isinstance(t, torch.Tensor):
+            t = t.detach().cpu()
+            if t.dtype == torch.bfloat16:
+                return t.to(torch.float32).numpy()
+            return t.numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors shards under ``path`` into one dict."""
+    from safetensors import safe_open  # lazy; only needed for real ckpts
+
+    out: Dict[str, np.ndarray] = {}
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".safetensors"):
+            with safe_open(os.path.join(path, fname), framework="np") as f:
+                for key in f.keys():
+                    out[key] = f.get_tensor(key)
+    return out
+
+
+def convert_qwen2(state: Mapping[str, Any], cfg: LLMConfig,
+                  prefix: str = "", dtype=jnp.float32) -> Dict[str, Any]:
+    """HF Qwen2ForCausalLM state dict -> qwen2.py pytree.
+
+    HF Linear stores (out, in); we store (in, out) for ``x @ w``.
+    """
+    g = lambda k: _to_np(state[prefix + k])
+
+    def lin(k):
+        return jnp.asarray(g(k).T, dtype)
+
+    def vec(k):
+        return jnp.asarray(g(k), dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "input_layernorm": vec(p + "input_layernorm.weight"),
+            "attn": {
+                "wq": lin(p + "self_attn.q_proj.weight"),
+                "bq": vec(p + "self_attn.q_proj.bias"),
+                "wk": lin(p + "self_attn.k_proj.weight"),
+                "bk": vec(p + "self_attn.k_proj.bias"),
+                "wv": lin(p + "self_attn.v_proj.weight"),
+                "bv": vec(p + "self_attn.v_proj.bias"),
+                "wo": lin(p + "self_attn.o_proj.weight"),
+            },
+            "post_attention_layernorm": vec(p + "post_attention_layernorm.weight"),
+            "mlp": {
+                "w_gate": lin(p + "mlp.gate_proj.weight"),
+                "w_up": lin(p + "mlp.up_proj.weight"),
+                "w_down": lin(p + "mlp.down_proj.weight"),
+            },
+        })
+
+    embed = jnp.asarray(g("model.embed_tokens.weight"), dtype)
+    if prefix + "lm_head.weight" in state:
+        head = lin("lm_head.weight")
+    else:  # tied embeddings
+        head = embed.T
+    return {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": vec("model.norm.weight"),
+        "lm_head": head,
+    }
+
+
+def convert_siglip(state: Mapping[str, Any], cfg: VisionConfig,
+                   prefix: str = "vision_model.", dtype=jnp.float32) -> Dict[str, Any]:
+    """HF SiglipVisionModel state dict -> siglip.py pytree.
+
+    Conv patch kernel (D, 3, ps, ps) flattens to (D, 3*ps*ps) in (c, kh, kw)
+    order — exactly the order ``siglip.patchify`` emits — then transposes.
+    Only the first ``cfg.num_hidden_layers`` encoder layers are converted
+    (the reference deletes the final layer, siglip_encoder.py:570).
+    """
+    g = lambda k: _to_np(state[prefix + k])
+
+    def lin(k):
+        return jnp.asarray(g(k).T, dtype)
+
+    def vec(k):
+        return jnp.asarray(g(k), dtype)
+
+    conv_w = g("embeddings.patch_embedding.weight")          # (D, 3, ps, ps)
+    patch_w = conv_w.reshape(conv_w.shape[0], -1).T          # (3*ps*ps, D)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layers.{i}."
+        layers.append({
+            "ln1": {"scale": vec(p + "layer_norm1.weight"), "bias": vec(p + "layer_norm1.bias")},
+            "attn": {
+                "wq": lin(p + "self_attn.q_proj.weight"), "bq": vec(p + "self_attn.q_proj.bias"),
+                "wk": lin(p + "self_attn.k_proj.weight"), "bk": vec(p + "self_attn.k_proj.bias"),
+                "wv": lin(p + "self_attn.v_proj.weight"), "bv": vec(p + "self_attn.v_proj.bias"),
+                "wo": lin(p + "self_attn.out_proj.weight"), "bo": vec(p + "self_attn.out_proj.bias"),
+            },
+            "ln2": {"scale": vec(p + "layer_norm2.weight"), "bias": vec(p + "layer_norm2.bias")},
+            "mlp": {
+                "w1": lin(p + "mlp.fc1.weight"), "b1": vec(p + "mlp.fc1.bias"),
+                "w2": lin(p + "mlp.fc2.weight"), "b2": vec(p + "mlp.fc2.bias"),
+            },
+        })
+
+    return {
+        "patch_embed": {"w": jnp.asarray(patch_w, dtype),
+                        "b": vec("embeddings.patch_embedding.bias")},
+        "pos_embed": vec("embeddings.position_embedding.weight"),
+        "layers": layers,
+    }
+
+
+def convert_projector(state: Mapping[str, Any],
+                      prefix: str = "model.mm_projector.", dtype=jnp.float32):
+    """mlp2x_gelu projector: 0.weight/bias, 2.weight/bias (builder.py:47-55)."""
+    g = lambda k: _to_np(state[prefix + k])
+    return {
+        "w1": jnp.asarray(g("0.weight").T, dtype), "b1": jnp.asarray(g("0.bias"), dtype),
+        "w2": jnp.asarray(g("2.weight").T, dtype), "b2": jnp.asarray(g("2.bias"), dtype),
+    }
+
+
+def convert_llava_checkpoint(state: Mapping[str, Any], llm_cfg: LLMConfig,
+                             vision_cfg: VisionConfig, dtype=jnp.bfloat16,
+                             ground_head: bool = False) -> Dict[str, Any]:
+    """Full LLaVA-style checkpoint -> assembled model pytree.
+
+    Key prefixes per the reference module tree: LLM at root, tower under
+    ``model.vision_tower.vision_tower.``, projector ``model.mm_projector.``,
+    newline ``model.image_newline``, ground head at root (llava_qwen.py:57).
+    """
+    out: Dict[str, Any] = {
+        "llm": convert_qwen2(state, llm_cfg, dtype=dtype),
+        "vision": convert_siglip(
+            state, vision_cfg,
+            prefix="model.vision_tower.vision_tower.vision_model.", dtype=dtype),
+        "projector": convert_projector(state, dtype=dtype),
+    }
+    if "model.image_newline" in state:
+        out["image_newline"] = jnp.asarray(_to_np(state["model.image_newline"]), dtype)
+    if ground_head:
+        def mlp(prefix):
+            g = lambda k: _to_np(state[prefix + k])
+            return {
+                "w1": jnp.asarray(g("0.weight").T, dtype), "b1": jnp.asarray(g("0.bias"), dtype),
+                "ln_scale": jnp.asarray(g("2.weight"), dtype), "ln_bias": jnp.asarray(g("2.bias"), dtype),
+                "w2": jnp.asarray(g("3.weight").T, dtype), "b2": jnp.asarray(g("3.bias"), dtype),
+            }
+        out["ground_head"] = {
+            "obj": mlp("ground_head_obj."),
+            "query": mlp("ground_head_query."),
+            "zero_target": jnp.asarray(_to_np(state["ground_head_zero_target"]), dtype),
+        }
+    return out
