@@ -1,0 +1,173 @@
+"""North-star benchmark: frames/sec/chip through the scene-as-video pipeline
+(depth decode -> world-coord unprojection -> voxelize -> sin3d PE -> SigLIP
+tower -> projector -> 2D pool -> PE add -> grid splice -> Qwen2 prefill),
+everything on one TPU chip inside a single jit.
+
+Baseline (``vs_baseline``): the reference performs the geometry stage per
+sample in its CPU dataloader (llava/video_utils.py:196-238 + llava_arch.py:
+213-272 in torch). We measure that literal torch-CPU chain on this host and
+report our *full-chain* fps divided by the reference's *preprocessing-only*
+fps — conservative, since our number additionally includes the vision tower
+and LLM prefill. (The reference's GPU-side vision+prefill cannot run here.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+V_FRAMES = 8
+DEPTH_H, DEPTH_W = 480, 640
+CROP = 384
+LLM_LAYERS = 4      # full-width Qwen2 blocks; depth-reduced to fit one chip
+PREFILL_LEN = 2048
+
+
+def make_scan(seed=0):
+    rng = np.random.default_rng(seed)
+    depths = rng.integers(200, 8000, size=(V_FRAMES, DEPTH_H, DEPTH_W)).astype(np.int32)
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 577.87
+    intr[0, 2], intr[1, 2] = 319.5, 239.5
+    poses = np.stack([np.eye(4, dtype=np.float32)] * V_FRAMES)
+    poses[:, :3, 3] = rng.uniform(-2, 2, (V_FRAMES, 3)).astype(np.float32)
+    images = rng.normal(size=(1, V_FRAMES, 3, CROP, CROP)).astype(np.float32)
+    return depths, intr, poses, images
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from video3d_tpu.config import LLMConfig, ModelConfig, VisionConfig
+    from video3d_tpu.models import llava_video3d as lv3d
+    from video3d_tpu.models import qwen2
+    from video3d_tpu.ops import geometry
+    import dataclasses
+
+    cfg = ModelConfig(
+        vision=VisionConfig(),  # full 26-layer so400m tower
+        llm=dataclasses.replace(LLMConfig(), num_hidden_layers=LLM_LAYERS),
+    )
+    params = lv3d.init_model(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    depths, intr, poses, images = make_scan()
+    new_w = int(DEPTH_W * (CROP / DEPTH_H))
+    vox_cfg = cfg.world_3d.voxel
+    g = -(-cfg.vision.num_patches_per_side // cfg.spatial_pool_stride)
+    T = cfg.tokens_per_frame
+    n_vis = V_FRAMES * T
+
+    def pipeline(params, depths, intr, poses, images):
+        wc = geometry.unproject(intr, poses, depths)
+        wc = geometry.center_crop(geometry.resize_nearest(wc, (CROP, new_w)),
+                                  (CROP, CROP))
+        patch = geometry.average_coordinate_in_patch(wc)
+        vox = geometry.discrete_coords(patch, vox_cfg.min_xyz_range,
+                                       vox_cfg.max_xyz_range, vox_cfg.voxel_size)
+        vt = lv3d.encode_video(params, cfg, images, vox[None])
+        # splice: [prompt 16 tokens][vision][suffix..] padded to PREFILL_LEN
+        D = vt.spliceable.shape[-1]
+        embeds = jnp.zeros((1, PREFILL_LEN, D), vt.spliceable.dtype)
+        embeds = jax.lax.dynamic_update_slice(embeds, vt.spliceable, (0, 16, 0))
+        pos = jnp.broadcast_to(jnp.arange(PREFILL_LEN)[None, :, None],
+                               (1, PREFILL_LEN, 3))
+        mask = jnp.tril(jnp.ones((PREFILL_LEN, PREFILL_LEN), bool))[None]
+        hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds, pos,
+                                        attn_mask=mask)
+        return hidden[:, 16 + n_vis]
+
+    jfn = jax.jit(pipeline)
+    args = (params, jnp.asarray(depths), jnp.asarray(intr),
+            jnp.asarray(poses), jnp.asarray(images))
+    jfn(*args)[0].block_until_ready()          # compile
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return V_FRAMES / dt
+
+
+def bench_reference_cpu():
+    """Literal torch re-derivation of the reference CPU preprocessing
+    (video_utils.py:38-68,196-238,286-308 + llava_arch.py:213-272 +
+    position_encoding.py:17-49)."""
+    import torch
+    import torch.nn.functional as F
+
+    depths, intr, poses, _ = make_scan()
+    depths_t = torch.tensor(depths)
+    intr_t = torch.tensor(intr).unsqueeze(0).repeat(V_FRAMES, 1, 1)
+    poses_t = torch.tensor(poses)
+
+    def unproject(intrinsics, poses, depths):
+        Vn, H, W = depths.shape
+        y, x = torch.meshgrid(torch.arange(H), torch.arange(W), indexing="ij")
+        x = x.unsqueeze(0).repeat(Vn, 1, 1).view(Vn, H * W)
+        y = y.unsqueeze(0).repeat(Vn, 1, 1).view(Vn, H * W)
+        fx = intrinsics[:, 0, 0].unsqueeze(-1)
+        fy = intrinsics[:, 1, 1].unsqueeze(-1)
+        cx = intrinsics[:, 0, 2].unsqueeze(-1)
+        cy = intrinsics[:, 1, 2].unsqueeze(-1)
+        z = depths.view(Vn, H * W) / 1000
+        x = (x - cx) * z / fx
+        y = (y - cy) * z / fy
+        cam = torch.stack([x, y, z, torch.ones_like(x)], -1)
+        world = (poses @ cam.permute(0, 2, 1)).permute(0, 2, 1)
+        return (world[..., :3] / world[..., 3:]).view(Vn, H, W, 3)
+
+    def nn_resize(coords, out_hw):
+        oh, ow = out_hw
+        H, W = coords.shape[0], coords.shape[1]
+        ri = (torch.arange(oh) * H // oh).clamp(max=H - 1)
+        ci = (torch.arange(ow) * W // ow).clamp(max=W - 1)
+        return coords[ri][:, ci]
+
+    def once():
+        wc = unproject(intr_t.float(), poses_t.float(), depths_t.float())
+        new_w = int(DEPTH_W * (CROP / DEPTH_H))
+        res = [nn_resize(c, (CROP, new_w)) for c in wc]
+        left = (new_w - CROP) // 2
+        res = torch.stack([c[:, left:left + CROP] for c in res])
+        t = res[:, :-6, :-6, :].permute(0, 3, 1, 2)
+        patch = F.avg_pool2d(t, 27, 27).permute(0, 2, 3, 1)
+        mn = torch.tensor([-15.0, -15.0, -5.0])
+        mx = torch.tensor([15.0, 15.0, 5.0])
+        vox = ((torch.clamp(patch, mn, mx) - mn) / 0.1).round()
+        # sin3d PE
+        x = vox.reshape(1, -1, 3)
+        num_feats = 3584 // 3
+        dim_t = 10000 ** (2 * (torch.arange(num_feats).float() // 2) / num_feats)
+        parts = []
+        for a in range(3):
+            pos = x[:, :, a][..., None] / dim_t
+            parts.append(torch.stack((pos[:, :, 0::2].sin(), pos[:, :, 1::2].cos()), dim=3).flatten(2))
+        return torch.cat(parts, dim=2)
+
+    once()  # warm
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        once()
+    dt = (time.perf_counter() - t0) / iters
+    return V_FRAMES / dt
+
+
+def main():
+    tpu_fps = bench_tpu()
+    ref_fps = bench_reference_cpu()
+    print(json.dumps({
+        "metric": "frames/sec/chip decode->voxel-PE->vision->prefill (V=8, 26L SigLIP + 4x full-width Qwen2 blocks, prefill 2048)",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / ref_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

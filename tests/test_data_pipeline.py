@@ -1,0 +1,176 @@
+"""End-to-end host data pipeline tests on the synthetic one-scene fixture:
+VideoProcessor IO + geometry, tokenization contract, dataset, collator, and
+a full forward + train step on the collated batch (tiny model, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import (DataConfig, FrameSampling, ModelConfig,
+                                VisionConfig, replace)
+from video3d_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from video3d_tpu.data.dataset import Collator, CollatorConfig, SupervisedDataset
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.tokenization import (preprocess_qwen,
+                                           preprocess_qwen_eval,
+                                           tokenizer_image_token)
+from video3d_tpu.data.video_processor import VideoProcessor, unproject_np
+
+from fixtures import FakeTokenizer, make_fake_annotations, make_fake_scene
+
+CFG = ModelConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    info = make_fake_scene(root, n_frames=4)
+    info["root"] = root
+    info["ann"] = make_fake_annotations(root, info["sample_idx"])
+    return info
+
+
+@pytest.fixture(scope="module")
+def data_cfg(scene):
+    return DataConfig(video_folder=scene["root"],
+                      annotation_dir=os.path.join(scene["root"], "embodiedscan"),
+                      metadata_dir=os.path.join(scene["root"], "metadata"),
+                      frames_upbound=4)
+
+
+class TestVideoProcessor:
+    def test_process_3d_video_shapes(self, scene, data_cfg):
+        vp = VideoProcessor(data_cfg)
+        proc = SigLipImageProcessor(size=(56, 56))
+        out = vp.process_3d_video(scene["sample_idx"], proc,
+                                  force_sample=True, frames_upbound=4)
+        assert out["images"].shape == (4, 3, 56, 56)
+        assert out["world_coords"].shape == (4, 56, 56, 3)
+        assert out["video_size"] == 4
+        assert out["objects"].shape == (5, 6)
+        assert out["boundry"].shape == (6,)
+        assert np.isfinite(out["world_coords"]).all()
+
+    def test_world_coords_match_jnp_ops(self, scene, data_cfg):
+        """Host numpy geometry == device jnp geometry."""
+        from video3d_tpu.ops import geometry
+
+        vp = VideoProcessor(data_cfg)
+        frames = vp.select_frames(scene["sample_idx"], True, 4)
+        depths, intr, poses = vp.load_frame_geometry(scene["sample_idx"], frames)
+        host = unproject_np(intr, poses, depths)
+        dev = np.asarray(geometry.unproject(jnp.asarray(intr), jnp.asarray(poses),
+                                            jnp.asarray(depths)))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    def test_mc_sampling_prefix(self, scene, data_cfg):
+        cfg = replace(data_cfg, frame_sampling=FrameSampling.MC_RATIO90)
+        vp = VideoProcessor(cfg)
+        frames = vp.select_frames(scene["sample_idx"], True, 4)
+        # 4 frames x 100 voxels each, total 400: 0.9*400=360 -> 4 frames kept
+        assert len(frames) == 4
+        cfg95 = replace(data_cfg, frame_sampling=FrameSampling.MC)
+        vp = VideoProcessor(cfg95)
+        assert len(vp.select_frames(scene["sample_idx"], True, 2)) == 2
+
+    def test_uniform_sampling_even_spread(self, scene, data_cfg):
+        vp = VideoProcessor(data_cfg)
+        frames = vp.select_frames(scene["sample_idx"], True, 2)
+        assert len(frames) == 2
+        assert frames[0].endswith("00000.jpg") and frames[1].endswith("00003.jpg")
+
+
+class TestTokenization:
+    def test_image_token_splice(self):
+        tok = FakeTokenizer()
+        ids = tokenizer_image_token("hello <image>\nworld", tok)
+        assert IMAGE_TOKEN_INDEX in ids
+        i = ids.index(IMAGE_TOKEN_INDEX)
+        assert tok.decode(ids[:i]).strip() == "hello"
+
+    def test_preprocess_qwen_masking(self):
+        tok = FakeTokenizer()
+        src = [[{"from": "human", "value": "<image>\nwhat is this"},
+                {"from": "gpt", "value": "a chair"}]]
+        out = preprocess_qwen(src, tok, has_image=True,
+                              image_token_id=tok.convert_tokens_to_ids("<image>"))
+        ids, labs = out["input_ids"][0], out["labels"][0]
+        assert len(ids) == len(labs)
+        assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+        # user/system fully masked except structural tokens
+        im_start, im_end = tok.additional_special_tokens_ids
+        for i, t in enumerate(ids):
+            if labs[i] not in (IGNORE_INDEX,):
+                assert t in (im_start, im_end, 198) or \
+                    t in tok("assistant\na chair").input_ids
+        # the answer tokens are supervised
+        ans = tok("a chair").input_ids
+        assert all(a in labs.tolist() for a in ans)
+
+    def test_eval_prompt_ends_with_generation_header(self):
+        tok = FakeTokenizer()
+        src = [{"from": "human", "value": "<image>\nwhere is the lamp"},
+               {"from": "gpt", "value": None}]
+        ids = preprocess_qwen_eval(src, tok)
+        im_start = tok.additional_special_tokens_ids[0]
+        assert IMAGE_TOKEN_INDEX in ids
+        # tail: <|im_start|>assistant\n with no <|im_end|>
+        tail = ids[-3:]
+        assert tail[0] == im_start and tail[1] == tok.vocab["assistant"] and tail[2] == 198
+
+
+class TestDatasetAndCollator:
+    @pytest.fixture(scope="class")
+    def dataset(self, scene, data_cfg):
+        tok = FakeTokenizer()
+        proc = SigLipImageProcessor(size=(CFG.vision.image_size,) * 2)
+        return SupervisedDataset(scene["ann"], tok, data_cfg,
+                                 image_processor=proc)
+
+    def test_item_fields(self, dataset):
+        item = dataset[0]
+        assert item["images"].shape[0] == 4
+        assert item["world_coords"].shape[1:] == (CFG.vision.image_size,
+                                                  CFG.vision.image_size, 3)
+        assert (item["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 1
+        assert item["dataset"] == "scanqa"
+        # spatial instruction prepended
+        assert item["input_ids"][0] != IMAGE_TOKEN_INDEX
+
+    def test_lengths_properties(self, dataset):
+        assert len(dataset.lengths) == len(dataset)
+        assert all(t == 0 for t, _ in dataset.task_lengths)  # scanqa -> 0
+
+    def test_collate_and_forward_and_train(self, dataset):
+        from video3d_tpu.models import llava_video3d as lv3d
+        from video3d_tpu.train.optim import OptimConfig, build_optimizer
+        from video3d_tpu.train.train_step import (create_train_state,
+                                                  train_step)
+
+        col = Collator(CFG, CollatorConfig(max_len=256, frames_upbound=4,
+                                           pad_token_id=0))
+        arrays = col([dataset[0], dataset[1]])
+        assert arrays["images"].shape[:2] == (2, 4)
+        g = -(-CFG.vision.num_patches_per_side // CFG.spatial_pool_stride)
+        assert arrays["patch_coords"].shape == (2, 4, g, g, 3)
+        # voxel ids in range
+        assert arrays["patch_coords"].min() >= 0
+        assert arrays["patch_coords"].max() <= 300
+
+        batch = lv3d.Batch(**{k: jnp.asarray(v) for k, v in arrays.items()
+                              if k in lv3d.Batch._fields})
+        params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+        logits = lv3d.forward(params, CFG, batch)
+        assert logits.shape == (2, 256, CFG.llm.vocab_size)
+        loss = lv3d.language_model_loss(logits, batch.labels)
+        assert np.isfinite(float(loss))
+
+        tx = build_optimizer(params, OptimConfig(total_steps=4))
+        state = create_train_state(params, tx)
+        state, metrics = train_step(state, batch, CFG, tx, remat=True)
+        assert np.isfinite(float(metrics["lm_loss"]))
+        assert float(metrics["grad_norm"]) > 0

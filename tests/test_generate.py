@@ -1,0 +1,87 @@
+"""Greedy KV-cache generation must equal naive recompute-everything greedy
+decoding on the tiny model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import ModelConfig
+from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models import qwen2
+from video3d_tpu.models.generate import generate_greedy
+from video3d_tpu.models.splice import build_splice_plan
+
+CFG = ModelConfig.tiny()
+EOS = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    B, V, S = 1, 2, CFG.vision.image_size
+    images = rng.normal(size=(B, V, 3, S, S)).astype(np.float32)
+    g = -(-CFG.vision.num_patches_per_side // CFG.spatial_pool_stride)
+    coords = rng.uniform(0, 50, size=(B, V, g, g, 3)).astype(np.float32)
+    T = CFG.tokens_per_frame
+    ids = [3, 4, IMAGE_TOKEN_INDEX, 5, 6]
+    plan = build_splice_plan([ids], None, [V], tokens_per_frame=T,
+                             max_len=4 + V * T + 6, grid_side=g)
+    batch = lv3d.Batch(
+        images=jnp.asarray(images), patch_coords=jnp.asarray(coords),
+        text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+        vision_index=jnp.asarray(plan.vision_index),
+        labels=jnp.asarray(plan.labels),
+        position_ids=jnp.asarray(plan.position_ids),
+        mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+        seq_len=jnp.asarray(plan.seq_len))
+    return params, batch, plan
+
+
+def naive_greedy(params, batch, n_steps):
+    """Recompute the full forward for every step (ground truth)."""
+    vt = lv3d.encode_video(params, CFG, batch.images, batch.patch_coords)
+    base = lv3d.assemble_embeds(params, CFG, vt.spliceable, batch.text_ids,
+                                batch.kind, batch.vision_index)
+    n = int(batch.seq_len[0])
+    embeds = base[:, :n]
+    out = []
+    for _ in range(n_steps):
+        Lc = embeds.shape[1]
+        pos = jnp.broadcast_to(jnp.arange(Lc)[None, :, None], (1, Lc, 3))
+        hidden, _ = qwen2.qwen2_forward(params["llm"], CFG.llm, embeds, pos)
+        logits = qwen2.lm_head(params["llm"], hidden)[0, -1]
+        tok = int(jnp.argmax(logits))
+        out.append(tok)
+        if tok == EOS:
+            break
+        embeds = jnp.concatenate(
+            [embeds, qwen2.embed_tokens(params["llm"], jnp.asarray([[tok]]))], axis=1)
+    return out
+
+
+class TestGenerate:
+    def test_matches_naive_greedy(self, setup):
+        params, batch, plan = setup
+        n_steps = 6
+        ref = naive_greedy(params, batch, n_steps)
+        res = generate_greedy(params, CFG, batch, max_new_tokens=n_steps,
+                              eos_token_id=EOS, cache_dtype=jnp.float32)
+        got = np.asarray(res.tokens)[0]
+        for i, t in enumerate(ref):
+            assert got[i] == t, (got, ref)
+        # after EOS (if hit), remaining slots are eos-padded
+        if ref and ref[-1] == EOS:
+            assert (got[len(ref):] == EOS).all()
+
+    def test_lengths_counts_pre_eos_tokens(self, setup):
+        params, batch, plan = setup
+        res = generate_greedy(params, CFG, batch, max_new_tokens=5,
+                              eos_token_id=EOS, cache_dtype=jnp.float32)
+        toks = np.asarray(res.tokens)[0]
+        n = int(res.lengths[0])
+        assert n <= 5
+        assert not (toks[:n] == EOS).any()

@@ -176,7 +176,7 @@ class LLMConfig:
         return cls(vocab_size=512, hidden_size=64, intermediate_size=128,
                    num_hidden_layers=2, num_attention_heads=4,
                    num_key_value_heads=2, head_dim=16,
-                   max_position_embeddings=1024)
+                   max_position_embeddings=1024, mrope_section=(4, 2, 2))
 
 
 @dataclass(frozen=True)

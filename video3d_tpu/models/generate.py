@@ -1,0 +1,118 @@
+"""Greedy KV-cache decoding over the spliced multimodal prefill.
+
+Mirrors the reference inference contract (model_scanqa.py:173-186 /
+llava_qwen.py:207-226): prefill runs the full multimodal splice once, then
+HF's greedy loop decodes with the cache. Here both phases are jitted with
+static shapes: prefill at a padded bucket length, decode as a
+``lax.while_loop`` over a preallocated cache, stopping when every sample has
+emitted EOS or ``max_new_tokens`` is reached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import ModelConfig, PosEmbedType
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models import qwen2
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array      # (B, max_new_tokens) emitted ids (padded with eos)
+    lengths: jax.Array     # (B,) number of tokens before EOS (exclusive)
+
+
+def _decode_position_ids(pos: jax.Array) -> jax.Array:
+    """(B, 1) text positions -> (B, 1, 3) replicated mRoPE ids (standard
+    RoPE for text; modeling_qwen2.py:997-1004)."""
+    return jnp.broadcast_to(pos[..., None], (*pos.shape, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
+                                             "eos_token_id", "max_cache_len",
+                                             "cache_dtype"))
+def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
+                    max_new_tokens: int = 512,
+                    eos_token_id: int = 151645,
+                    max_cache_len: Optional[int] = None,
+                    cache_dtype=jnp.bfloat16) -> GenerateResult:
+    """Greedy decode.
+
+    Args:
+      batch: spliced prefill batch (images + plan). ``batch.seq_len`` gives
+        per-sample true prefill length; right padding.
+    Returns:
+      GenerateResult with emitted token ids.
+    """
+    B, L = batch.text_ids.shape
+    if max_cache_len is None:
+        max_cache_len = L + max_new_tokens
+
+    # ---- vision + splice ----
+    vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
+    embeds = lv3d.assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+
+    # ---- prefill with cache ----
+    cache = qwen2.KVCache.zeros(cfg.llm, B, max_cache_len, dtype=cache_dtype)
+    pos3 = lv3d._position_ids_3d(batch, cfg)
+    cache_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    hidden, cache = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
+        cache_positions=cache_positions, kv_len=batch.seq_len)
+    # logits of the last real token per sample
+    last = jnp.take_along_axis(hidden, (batch.seq_len - 1)[:, None, None], axis=1)
+    next_logits = qwen2.lm_head(params["llm"], last)[:, 0]      # (B, vocab)
+
+    # text position counter continues from the spliced stream length
+    if cfg.world_3d.pos_embed == PosEmbedType.MROPE:
+        # reference continues the running counter (llava_arch.py:711-729):
+        # after the spliced stream it equals seq_len in text-token units.
+        start_pos = batch.seq_len
+    else:
+        start_pos = batch.seq_len
+
+    class State(NamedTuple):
+        step: jax.Array
+        tokens: jax.Array
+        done: jax.Array
+        lengths: jax.Array
+        cache: qwen2.KVCache
+        next_logits: jax.Array
+
+    init = State(
+        step=jnp.zeros((), jnp.int32),
+        tokens=jnp.full((B, max_new_tokens), eos_token_id, jnp.int32),
+        done=jnp.zeros((B,), bool),
+        lengths=jnp.zeros((B,), jnp.int32),
+        cache=cache,
+        next_logits=next_logits,
+    )
+
+    def cond(s: State):
+        return (s.step < max_new_tokens) & ~jnp.all(s.done)
+
+    def body(s: State):
+        tok = jnp.argmax(s.next_logits, axis=-1).astype(jnp.int32)   # (B,)
+        tok = jnp.where(s.done, eos_token_id, tok)
+        tokens = s.tokens.at[:, s.step].set(tok)
+        now_done = s.done | (tok == eos_token_id)
+        lengths = jnp.where(s.done, s.lengths, jnp.where(tok == eos_token_id, s.lengths, s.lengths + 1))
+
+        pos = start_pos + s.step                                     # (B,)
+        step_embeds = qwen2.embed_tokens(params["llm"], tok[:, None])
+        hidden, cache = qwen2.qwen2_forward(
+            params["llm"], cfg.llm, step_embeds,
+            _decode_position_ids(pos[:, None]),
+            kv_cache=s.cache, cache_positions=pos[:, None],
+            kv_len=pos + 1)
+        logits = qwen2.lm_head(params["llm"], hidden)[:, 0]
+        return State(s.step + 1, tokens, now_done, lengths, cache, logits)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return GenerateResult(tokens=final.tokens, lengths=final.lengths)

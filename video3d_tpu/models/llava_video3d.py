@@ -1,0 +1,415 @@
+"""Full Video-3D-LLM assembly: vision tower -> projector -> 2D pool ->
+3D position encoding -> grid-newline layout -> static splice -> Qwen2.
+
+Reproduces the semantics of the reference model
+(/root/reference/llava/model/llava_arch.py + llava_qwen.py) with a
+TPU-first dataflow: every stage is a batched static-shape jnp transform;
+the per-sample Python splicing of the reference is replaced by the
+precomputed integer plan in :mod:`video3d_tpu.models.splice`.
+
+Param pytree:
+  vision:    siglip.py tree
+  projector: {w1, b1, w2, b2}            (mlp2x_gelu, builder.py:47-55)
+  image_newline: (D,)                     (llava_arch.py:66-70)
+  llm:       qwen2.py tree
+  ground_head (optional): {obj: mlp, query: mlp, zero_target: (D,)}
+                                          (llava_qwen.py:92-111)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import (CoordPooling, GroundHeadType, ModelConfig,
+                                ObjectFeatureType, PosEmbedType)
+from video3d_tpu.constants import IGNORE_INDEX
+from video3d_tpu.models import qwen2, siglip
+from video3d_tpu.models.splice import KIND_PAD, KIND_TEXT, KIND_VISION
+from video3d_tpu.ops import geometry
+from video3d_tpu.ops.pos_embed import mlp_position_embedding, sin3d_position_embedding
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Projector
+# ---------------------------------------------------------------------------
+
+def project_features(p: Params, x: jax.Array) -> jax.Array:
+    """mlp2x_gelu: Linear -> exact (erf) GELU -> Linear (builder.py:47-55)."""
+    h = jax.nn.gelu(x @ p["w1"] + p["b1"], approximate=False)
+    return h @ p["w2"] + p["b2"]
+
+
+def init_projector(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": 0.02 * jax.random.normal(k1, (in_dim, out_dim), dtype),
+        "b1": jnp.zeros((out_dim,), dtype),
+        "w2": 0.02 * jax.random.normal(k2, (out_dim, out_dim), dtype),
+        "b2": jnp.zeros((out_dim,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Vision pipeline
+# ---------------------------------------------------------------------------
+
+def pool_and_discretize_coords(world_coords: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """(B, V, H, W, 3) pixel coords -> (B, V, g, g, 3) per-patch voxel ids.
+
+    avg pooling + voxel discretization (llava_arch.py:395-420 for the
+    'avg-discrete' flagship path).
+    """
+    B, V = world_coords.shape[:2]
+    # coord patch size: image px per pooled token (384//14 = 27 in prod)
+    g = -(-cfg.vision.num_patches_per_side // cfg.spatial_pool_stride)
+    ps = cfg.vision.image_size // g
+    pool = {
+        CoordPooling.AVG: lambda wc: geometry.average_coordinate_in_patch(wc, ps),
+        CoordPooling.SAMPLE1: lambda wc: geometry.sample_n_points(wc, 1, ps),
+    }[cfg.world_3d.pooling]
+    wc = pool(world_coords.reshape(B * V, *world_coords.shape[2:]))
+    wc = wc.reshape(B, V, *wc.shape[1:])
+    if cfg.world_3d.discrete:
+        vox = cfg.world_3d.voxel
+        wc = geometry.discrete_coords(wc, vox.min_xyz_range, vox.max_xyz_range,
+                                      vox.voxel_size)
+    return wc
+
+
+def world_position_embedding(params: Params, coords: jax.Array,
+                             cfg: ModelConfig, n_points: int = 1) -> jax.Array:
+    """Dispatch sin3d vs MLP world PE (llava_arch.py:48-65)."""
+    if cfg.world_3d.pos_embed == PosEmbedType.SIN3D:
+        return sin3d_position_embedding(coords, cfg.llm.hidden_size,
+                                        cfg.world_3d.pe_temperature, n_points)
+    if cfg.world_3d.pos_embed == PosEmbedType.MLP:
+        return mlp_position_embedding(params["world_pe_mlp"], coords, n_points)
+    raise ValueError(cfg.world_3d.pos_embed)
+
+
+class VisionTokens(NamedTuple):
+    spliceable: jax.Array   # (B, V*tokens_per_frame, D) grid+newline layout
+    pooled: jax.Array       # (B, V, g*g, D) pooled projected features (+PE)
+    raw: jax.Array          # (B, V, 729, D) projected pre-pool features
+
+
+def encode_video(params: Params, cfg: ModelConfig,
+                 images: jax.Array,
+                 patch_coords: Optional[jax.Array] = None,
+                 remat: bool = False) -> VisionTokens:
+    """Vision side of the forward pass.
+
+    Args:
+      images: (B, V, 3, S, S) normalized pixels.
+      patch_coords: (B, V, g, g, 3) pooled (possibly discretized) coords, or
+        None to skip the additive world PE.
+    Returns:
+      VisionTokens; ``spliceable`` feeds the token splice.
+    """
+    B, V = images.shape[:2]
+    side = cfg.vision.num_patches_per_side              # 27
+    g = -(-side // cfg.spatial_pool_stride)             # 14
+
+    flat = images.reshape(B * V, *images.shape[2:])
+    feats = siglip.vision_tower_forward(params["vision"], flat, cfg.vision,
+                                        remat=remat)     # (BV, 729, Dv)
+    feats = project_features(params["projector"], feats)  # (BV, 729, D)
+    raw = feats.reshape(B, V, side * side, -1)
+
+    pooled = geometry.pool_2d_tokens(feats, side, cfg.spatial_pool_stride,
+                                     cfg.spatial_pool_mode.value)  # (BV, g*g, D)
+    pooled = pooled.reshape(B, V, g * g, -1)
+
+    if patch_coords is not None and cfg.world_3d.pos_embed in (
+            PosEmbedType.SIN3D, PosEmbedType.MLP):
+        n_points = cfg.world_3d.pooling.n_points
+        coords = patch_coords.reshape(B, V * g * g, *patch_coords.shape[4:], 3) \
+            if n_points > 1 else patch_coords.reshape(B, V * g * g, 3)
+        pe = world_position_embedding(params, jax.lax.stop_gradient(coords),
+                                      cfg, n_points)
+        pooled = pooled + pe.reshape(B, V, g * g, -1).astype(pooled.dtype)
+
+    # Grid-newline layout (llava_arch.py:307-328): rows of g patches, one
+    # newline token per row, frame-major.
+    D = pooled.shape[-1]
+    grid = pooled.reshape(B, V, g, g, D)
+    newline = jnp.broadcast_to(
+        params["image_newline"].astype(pooled.dtype), (B, V, g, 1, D))
+    spliceable = jnp.concatenate([grid, newline], axis=3).reshape(B, -1, D)
+    return VisionTokens(spliceable=spliceable, pooled=pooled, raw=raw)
+
+
+# ---------------------------------------------------------------------------
+# Splice assembly (device side)
+# ---------------------------------------------------------------------------
+
+def assemble_embeds(params: Params, cfg: ModelConfig,
+                    vision_tokens: jax.Array,
+                    text_ids: jax.Array, kind: jax.Array,
+                    vision_index: jax.Array,
+                    coord_mask: Optional[jax.Array] = None,
+                    box_input: Optional[jax.Array] = None) -> jax.Array:
+    """Gather the final (B, L, D) input embeddings from the splice plan.
+
+    Replaces llava_arch.py:672-836 with one gather + select. ``box_input``
+    is the Scan2Cap <coord> center, already discretized, (B, 3); its PE is
+    added at coord_mask slots (llava_arch.py:697-700).
+    """
+    text_emb = qwen2.embed_tokens(params["llm"], text_ids)        # (B, L, D)
+    vis = jnp.take_along_axis(vision_tokens, vision_index[..., None], axis=1)
+    embeds = jnp.where((kind == KIND_VISION)[..., None], vis, text_emb)
+    embeds = jnp.where((kind == KIND_PAD)[..., None], 0.0, embeds)
+    if coord_mask is not None and box_input is not None:
+        pe = world_position_embedding(
+            params, jax.lax.stop_gradient(box_input[:, None, :]), cfg)  # (B,1,D)
+        embeds = embeds + coord_mask[..., None] * pe.astype(embeds.dtype)
+    return embeds
+
+
+# ---------------------------------------------------------------------------
+# Grounding (object proposals)
+# ---------------------------------------------------------------------------
+
+def object_patch_masks(world_coords: jax.Array, boxes: jax.Array,
+                       feature_type: ObjectFeatureType,
+                       patch_size: int = 27, grid: int = 14) -> jax.Array:
+    """Per-object patch membership masks from pixel world coords.
+
+    Reference llava_arch.py:362-378:
+      patch14: the 729 SigLIP patches (14x14 px each); a patch belongs to an
+        object if >=50% of its pixels fall inside the object AABB.
+      patch27: the 196 pooled tokens (27x27 px each); threshold >=25%.
+
+    Args:
+      world_coords: (V, H, W, 3) with H, W >= 378.
+      boxes: (N, 6) center+size.
+    Returns:
+      (N, V, P) bool with P = 729 (patch14) or 196 (patch27).
+    """
+    V = world_coords.shape[0]
+    wc = world_coords[:, :378, :378, :]
+    mn = (boxes[:, :3] - boxes[:, 3:] / 2)[:, None, None, None, :]  # (N,1,1,1,3)
+    mx = (boxes[:, :3] + boxes[:, 3:] / 2)[:, None, None, None, :]
+
+    if feature_type == ObjectFeatureType.PATCH14:
+        # (V, 27, 14, 27, 14, 3) -> patches of 14x14 px on the 27x27 grid
+        wcp = wc.reshape(V, 27, grid, 27, grid, 3).transpose(0, 1, 3, 2, 4, 5)
+        wcp = wcp.reshape(V, 27 * 27, grid * grid, 3)
+        thresh = int(grid * grid * 0.5)
+    else:
+        wcp = wc.reshape(V, grid, patch_size, grid, patch_size, 3).transpose(0, 1, 3, 2, 4, 5)
+        wcp = wcp.reshape(V, grid * grid, patch_size * patch_size, 3)
+        thresh = int(patch_size * patch_size * 0.25)
+
+    inside = jnp.all((wcp[None] >= mn) & (wcp[None] <= mx), axis=-1)  # (N,V,P,px)
+    return inside.sum(axis=-1) >= thresh
+
+
+def object_features_from_masks(feats: jax.Array, masks: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Masked mean of patch features per object (llava_arch.py:479-498).
+
+    Args:
+      feats: (V, P, D) projected features (raw 729 for patch14, pooled 196
+        for patch27).
+      masks: (N, V, P) bool.
+    Returns:
+      (obj_feats (N, D), valid (N,) bool — False means zero patches matched
+      and the feature is zeros, as in the reference :492-496).
+    """
+    m = masks.astype(feats.dtype)
+    counts = m.sum(axis=(1, 2))                                   # (N,)
+    sums = jnp.einsum("nvp,vpd->nd", m, feats)
+    valid = counts > 0
+    return sums / jnp.maximum(counts, 1.0)[:, None], valid
+
+
+def _ground_mlp(p: Params, x: jax.Array) -> jax.Array:
+    """Linear -> ReLU -> LayerNorm -> Linear (llava_qwen.py:100-111)."""
+    h = jax.nn.relu(x @ p["w1"] + p["b1"])
+    h32 = h.astype(jnp.float32)
+    mean = h32.mean(-1, keepdims=True)
+    var = ((h32 - mean) ** 2).mean(-1, keepdims=True)
+    h = ((h32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["ln_scale"] + p["ln_bias"]).astype(x.dtype)
+    return h @ p["w2"] + p["b2"]
+
+
+def ground_scores(params: Params, query_hidden: jax.Array,
+                  object_feats: jax.Array, object_valid: jax.Array,
+                  cfg: ModelConfig) -> jax.Array:
+    """InfoNCE grounding scores (llava_qwen.py:294-300).
+
+    Args:
+      query_hidden: (D,) hidden state at the <ground> token.
+      object_feats: (N, D); object_valid: (N,) bool (padding mask).
+    Returns:
+      (N+1,) cosine scores; slot N is the learned zero-target. Invalid
+      (padded) objects score -inf so softmax/argmax ignore them.
+    """
+    gh = params["ground_head"]
+    feats = jnp.concatenate([object_feats, gh["zero_target"][None].astype(object_feats.dtype)], axis=0)
+    obj = _ground_mlp(gh["obj"], feats)
+    qry = _ground_mlp(gh["query"], query_hidden[None])
+    obj = obj / jnp.linalg.norm(obj.astype(jnp.float32), axis=-1, keepdims=True).astype(obj.dtype)
+    qry = qry / jnp.linalg.norm(qry.astype(jnp.float32), axis=-1, keepdims=True).astype(qry.dtype)
+    scores = (obj * qry).sum(-1)
+    valid = jnp.concatenate([object_valid, jnp.ones((1,), bool)])
+    return jnp.where(valid, scores, -jnp.inf)
+
+
+def infonce_loss(scores: jax.Array, target_multi_hot: jax.Array,
+                 temperature: float) -> jax.Array:
+    """-log(sum_pos exp(s/t) / sum_all exp(s/t)) (llava_qwen.py:304-308),
+    computed with a stable logsumexp. ``target_multi_hot`` is (N+1,) with the
+    zero-target slot set when there is no positive object (:305-306)."""
+    s = scores.astype(jnp.float32) / temperature
+    log_all = jax.nn.logsumexp(jnp.where(jnp.isfinite(s), s, -1e30))
+    log_pos = jax.nn.logsumexp(jnp.where(target_multi_hot > 0, s, -1e30))
+    return log_all - log_pos
+
+
+def init_ground_head(key: jax.Array, hidden: int, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 5)
+
+    def mlp(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "w1": 0.02 * jax.random.normal(k1, (hidden, hidden), dtype),
+            "b1": jnp.zeros((hidden,), dtype),
+            "ln_scale": jnp.ones((hidden,), dtype),
+            "ln_bias": jnp.zeros((hidden,), dtype),
+            "w2": 0.02 * jax.random.normal(k2, (hidden, hidden), dtype),
+            "b2": jnp.zeros((hidden,), dtype),
+        }
+
+    return {"obj": mlp(ks[0]), "query": mlp(ks[1]),
+            "zero_target": jax.random.normal(ks[2], (hidden,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+class Batch(NamedTuple):
+    """Device-side batch (all static shapes). Produced by the data collator."""
+
+    images: jax.Array                  # (B, V, 3, S, S)
+    patch_coords: jax.Array            # (B, V, g, g, 3) pooled+discrete coords
+    text_ids: jax.Array                # (B, L)
+    kind: jax.Array                    # (B, L)
+    vision_index: jax.Array            # (B, L)
+    labels: jax.Array                  # (B, L)
+    position_ids: jax.Array            # (B, L)
+    mrope_position_ids: jax.Array      # (B, L, 3)
+    seq_len: jax.Array                 # (B,)
+    coord_mask: Optional[jax.Array] = None   # (B, L)
+    box_input: Optional[jax.Array] = None    # (B, 3) discretized centers
+
+
+def _position_ids_3d(batch: Batch, cfg: ModelConfig) -> jax.Array:
+    if cfg.world_3d.pos_embed == PosEmbedType.MROPE:
+        return batch.mrope_position_ids
+    return jnp.broadcast_to(batch.position_ids[..., None],
+                            (*batch.position_ids.shape, 3))
+
+
+def forward(params: Params, cfg: ModelConfig, batch: Batch,
+            remat: bool = False) -> jax.Array:
+    """Training/eval forward pass -> (B, L, vocab) logits."""
+    vt = encode_video(params, cfg, batch.images, batch.patch_coords, remat=remat)
+    embeds = assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
+                             batch.kind, batch.vision_index,
+                             batch.coord_mask, batch.box_input)
+    L = embeds.shape[1]
+    valid = batch.kind != KIND_PAD                       # (B, L)
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    attn_mask = valid[:, None, :] & causal[None]
+    hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds,
+                                    _position_ids_3d(batch, cfg),
+                                    attn_mask=attn_mask, remat=remat)
+    return qwen2.lm_head(params["llm"], hidden)
+
+
+def forward_hidden(params: Params, cfg: ModelConfig, batch: Batch,
+                   remat: bool = False) -> Tuple[jax.Array, VisionTokens]:
+    """Forward returning final hidden states (for the grounding head)."""
+    vt = encode_video(params, cfg, batch.images, batch.patch_coords, remat=remat)
+    embeds = assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
+                             batch.kind, batch.vision_index,
+                             batch.coord_mask, batch.box_input)
+    L = embeds.shape[1]
+    valid = batch.kind != KIND_PAD
+    attn_mask = valid[:, None, :] & jnp.tril(jnp.ones((L, L), bool))[None]
+    hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds,
+                                    _position_ids_3d(batch, cfg),
+                                    attn_mask=attn_mask, remat=remat)
+    return hidden, vt
+
+
+def language_model_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Shifted cross-entropy with IGNORE_INDEX masking, mean over valid
+    targets (qwen2/modeling_qwen2.py:1196-1207)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != IGNORE_INDEX
+    safe = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
+                      world_coords: jax.Array, object_boxes: jax.Array,
+                      object_valid: jax.Array, ground_slot: jax.Array,
+                      remat: bool = False) -> jax.Array:
+    """Discriminative grounding scores for one sample (B=1 contract, like
+    the reference drivers, llava_arch.py:351-378 + llava_qwen.py:239-300).
+
+    Args:
+      world_coords: (V, H, W, 3) pixel world coords.
+      object_boxes: (N, 6) padded proposals; object_valid (N,) mask.
+      ground_slot: () index of the <ground> token in the spliced layout.
+    Returns:
+      (N+1,) scores (last = zero-target).
+    """
+    hidden, vt = forward_hidden(params, cfg, batch, remat=remat)
+    masks = object_patch_masks(world_coords, object_boxes,
+                               cfg.world_3d.object_feature_type)
+    feats = vt.raw[0] if cfg.world_3d.object_feature_type == ObjectFeatureType.PATCH14 \
+        else vt.pooled[0]
+    obj_feats, nonzero = object_features_from_masks(feats, masks)
+    if cfg.world_3d.object_feature_use_pe and cfg.world_3d.pos_embed in (
+            PosEmbedType.SIN3D, PosEmbedType.MLP):
+        centers = object_boxes[:, :3]
+        vox = cfg.world_3d.voxel
+        if cfg.world_3d.discrete:
+            centers = geometry.discrete_coords(centers, vox.min_xyz_range,
+                                               vox.max_xyz_range, vox.voxel_size)
+        pe = world_position_embedding(params, centers[None], cfg)[0]
+        obj_feats = obj_feats + pe.astype(obj_feats.dtype)
+    query = hidden[0, ground_slot]
+    return ground_scores(params, query, obj_feats, object_valid & nonzero, cfg)
+
+
+def init_model(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    """Random init of the full assembly (tests / from-scratch training)."""
+    ks = jax.random.split(key, 5)
+    params: Params = {
+        "vision": siglip.init_vision_tower(ks[0], cfg.vision, dtype),
+        "projector": init_projector(ks[1], cfg.vision.hidden_size,
+                                    cfg.llm.hidden_size, dtype),
+        "image_newline": 0.02 * jax.random.normal(ks[2], (cfg.llm.hidden_size,), dtype),
+        "llm": qwen2.init_qwen2(ks[3], cfg.llm, dtype),
+    }
+    if cfg.ground_head == GroundHeadType.INFONCE:
+        params["ground_head"] = init_ground_head(ks[4], cfg.llm.hidden_size, dtype)
+    if cfg.world_3d.pos_embed == PosEmbedType.MLP:
+        from video3d_tpu.ops.pos_embed import init_mlp_position_embedding
+        params["world_pe_mlp"] = init_mlp_position_embedding(
+            jax.random.fold_in(key, 7), cfg.llm.hidden_size, dtype=dtype)
+    return params

@@ -61,6 +61,7 @@ def compute_mrope_cos_sin(position_ids: jax.Array, cfg: LLMConfig,
     rotary channels has a fixed (axis, freq) pair, so one gather suffices.
     """
     half = cfg.head_dim // 2
+    assert sum(cfg.mrope_section) == half, (cfg.mrope_section, cfg.head_dim)
     inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
 
     # Which axis each of the `half` frequency channels reads from.

@@ -42,10 +42,13 @@ def gelu_tanh(x):
 
 def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
     """(B, 3, H, W) NCHW -> (B, num_patches, 3*ps*ps) in (c, kh, kw) order,
-    matching an HF conv kernel flattened as (out, in*kh*kw)."""
+    matching an HF conv kernel flattened as (out, in*kh*kw). A stride-ps
+    valid conv ignores trailing pixels when ps doesn't divide H (384 -> 27
+    patches of 14, last 6 px dropped), so crop first."""
     B, C, H, W = pixel_values.shape
     gh, gw = H // patch_size, W // patch_size
-    x = pixel_values.reshape(B, C, gh, patch_size, gw, patch_size)
+    x = pixel_values[:, :, : gh * patch_size, : gw * patch_size]
+    x = x.reshape(B, C, gh, patch_size, gw, patch_size)
     x = x.transpose(0, 2, 4, 1, 3, 5)              # (B, gh, gw, C, ps, ps)
     return x.reshape(B, gh * gw, C * patch_size * patch_size)
 

@@ -211,12 +211,14 @@ def bilinear_pool_2d(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     r_lo, r_hi, r_w = axis_weights(H, out_h)
     c_lo, c_hi, c_w = axis_weights(W, out_w)
 
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
     top = jnp.take(x, r_lo, axis=-3)
     bot = jnp.take(x, r_hi, axis=-3)
     rows = top + (bot - top) * r_w[:, None, None]
     left = jnp.take(rows, c_lo, axis=-2)
     right = jnp.take(rows, c_hi, axis=-2)
-    return left + (right - left) * c_w[:, None]
+    return (left + (right - left) * c_w[:, None]).astype(in_dtype)
 
 
 def pool_2d_tokens(tokens: jax.Array, side: int, stride: int = 2,

@@ -1,0 +1,135 @@
+"""Device mesh + partition specs: the TPU-native replacement for the
+reference's torchrun/DeepSpeed-ZeRO-3/NCCL stack (SURVEY.md §2.6, §5.8).
+
+Axes:
+  dp    pure data parallelism (replicated params)
+  fsdp  ZeRO-3-equivalent: params sharded over this axis, gathered on use by
+        GSPMD (XLA emits all-gather on the forward, reduce-scatter on grads —
+        exactly DeepSpeed stage-3 semantics, but compiler-scheduled over ICI)
+  tp    tensor parallelism over attention heads / MLP hidden dim
+
+Batches shard over (dp, fsdp); parameters shard per the rules in
+:func:`param_spec`. Everything goes through ``jax.jit`` with NamedShardings —
+no explicit collectives in model code.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
+                devices=None) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh over the available devices.
+
+    fsdp defaults to n_devices // (dp * tp) so the mesh always covers every
+    device (v5e-8 default: (1, 8, 1)).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if fsdp is None:
+        fsdp = n // (dp * tp)
+    assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
+# Path-pattern -> PartitionSpec rules. First match wins. Paths look like
+# "llm/layers/0/attn/wq" (joined pytree keys).
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # LLM attention: project D -> heads*hd sharded over tp; back sharded fsdp
+    (r"llm/layers/\d+/attn/w[qkv]$", P("fsdp", "tp")),
+    (r"llm/layers/\d+/attn/b[qkv]$", P("tp")),
+    (r"llm/layers/\d+/attn/wo$", P("tp", "fsdp")),
+    # LLM MLP: SwiGLU hidden dim over tp
+    (r"llm/layers/\d+/mlp/w_(gate|up)$", P("fsdp", "tp")),
+    (r"llm/layers/\d+/mlp/w_down$", P("tp", "fsdp")),
+    # Embeddings / head: big tables sharded both ways
+    (r"llm/embed_tokens$", P("tp", "fsdp")),
+    (r"llm/lm_head$", P("fsdp", "tp")),
+    # Vision tower / projector / ground head: shard output dim over fsdp
+    (r"(vision|projector|ground_head|world_pe_mlp).*/(w\w*|pos_embed)$", P(None, "fsdp")),
+    (r"vision/patch_embed/w$", P(None, "fsdp")),
+)
+
+
+def param_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for a parameter by its pytree path."""
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            if len([s for s in spec if s is not None]) <= ndim and len(spec) <= ndim:
+                return spec
+    return P()  # replicate (norms, biases, small vectors)
+
+
+def _iter_with_paths(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_with_paths(v, f"{prefix}/{k}" if prefix else str(k))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _iter_with_paths(v, f"{prefix}/{i}")
+    else:
+        yield prefix, tree
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching ``params``' structure."""
+    flat = dict(_iter_with_paths(params))
+
+    def build(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: build(v, f"{prefix}/{k}" if prefix else str(k)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [build(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        spec = param_spec(prefix, getattr(tree, "ndim", 0))
+        # Drop axes that don't divide the dim evenly -> replicate that dim.
+        if hasattr(tree, "shape"):
+            fixed = []
+            for i, ax in enumerate(spec):
+                if ax is None:
+                    fixed.append(None)
+                    continue
+                size = mesh.shape[ax]
+                fixed.append(ax if tree.shape[i] % size == 0 else None)
+            spec = P(*fixed) if fixed else P()
+        return NamedSharding(mesh, spec)
+
+    return build(params)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over (dp, fsdp); replicate the rest."""
+    return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Device-put a param pytree according to the partition rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a batch pytree: leading dim over (dp, fsdp)."""
+    def put(x):
+        if x is None:
+            return None
+        nd = getattr(x, "ndim", 0)
+        if nd == 0:
+            return jax.device_put(x, replicated(mesh))
+        total = mesh.shape["dp"] * mesh.shape["fsdp"]
+        if x.shape[0] % total != 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, batch_sharding(mesh, nd))
+    return jax.tree.map(put, batch)
