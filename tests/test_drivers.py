@@ -1,0 +1,114 @@
+"""End-to-end inference driver tests on the synthetic scene with the tiny
+model: generative (ScanQA-style) and discriminative (ScanRefer-style) loops
+produce well-formed jsonl records that feed the metric protocols."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from video3d_tpu.config import DataConfig, ModelConfig
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.video_processor import VideoProcessor
+from video3d_tpu.eval import protocols
+from video3d_tpu.eval.drivers import (EngineConfig, InferenceEngine,
+                                      run_multi3drefer, run_scanqa,
+                                      run_scanrefer)
+from video3d_tpu.models import llava_video3d as lv3d
+
+from fixtures import FakeTokenizer, make_fake_scene
+
+CFG = ModelConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    info = make_fake_scene(root, n_frames=3)
+    data_cfg = DataConfig(video_folder=root,
+                          annotation_dir=os.path.join(root, "embodiedscan"),
+                          metadata_dir=os.path.join(root, "metadata"),
+                          frames_upbound=3)
+    tok = FakeTokenizer()
+    params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+    engine = InferenceEngine(
+        params, CFG, tok, VideoProcessor(data_cfg),
+        SigLipImageProcessor(size=(CFG.vision.image_size,) * 2),
+        EngineConfig(max_new_tokens=4, eos_token_id=tok.eos_token_id,
+                     max_frames=3, buckets=(256,), stop_str="",
+                     ground_token_id=tok.vocab["<ground>"], max_objects=8))
+    return info, engine, tok, str(tmp_path_factory.mktemp("results"))
+
+
+def scanqa_question(info, i=0):
+    return {
+        "id": f"q{i}_0",
+        "video": info["sample_idx"],
+        "conversations": [
+            {"from": "human", "value": "<image>\nwhat color is the chair"},
+            {"from": "gpt", "value": "brown"},
+        ],
+        "metadata": {"dataset": "scanqa", "question_type": "what",
+                     "answers": ["brown"]},
+    }
+
+
+class TestGenerativeDriver:
+    def test_scanqa_roundtrip(self, env):
+        info, engine, tok, outdir = env
+        answer_file = os.path.join(outdir, "scanqa.jsonl")
+        qs = [scanqa_question(info, i) for i in range(2)]
+        times = run_scanqa(engine, qs, answer_file)
+        assert len(times) == 2
+        with open(answer_file) as f:
+            records = [json.loads(l) for l in f]
+        assert len(records) == 2
+        for r in records:
+            assert isinstance(r["pred_response"], str)
+            assert r["gt_response"] == "brown"
+        # metric protocol consumes the records
+        id2ans = {"q0_0": ["brown"], "q1_0": ["brown"]}
+        out = protocols.scanqa_metrics(records, id2ans)
+        assert 0 <= out["EM"] <= 1 and "CIDEr" in out
+
+
+class TestGroundingDriver:
+    def _question(self, info, object_id=1):
+        return {
+            "id": "g0",
+            "video": info["sample_idx"],
+            "box": info["boxes"][object_id].tolist(),
+            "conversations": [
+                {"from": "human", "value": "<image>\nIdentify the brown chair"},
+                {"from": "gpt", "value": "<ground>"},
+            ],
+            "metadata": {"dataset": "scanrefer", "question_type": "unique",
+                         "object_id": object_id,
+                         "gt_box": info["boxes"][object_id].tolist()},
+        }
+
+    def test_scanrefer_roundtrip(self, env):
+        info, engine, tok, outdir = env
+        answer_file = os.path.join(outdir, "scanrefer.jsonl")
+        run_scanrefer(engine, [self._question(info)], answer_file)
+        with open(answer_file) as f:
+            rec = json.loads(f.readline())
+        assert len(rec["pred_response"]) == 6
+        out = protocols.scanrefer_metrics([rec])
+        assert "all@0.25" in out
+
+    def test_multi3drefer_roundtrip(self, env):
+        info, engine, tok, outdir = env
+        answer_file = os.path.join(outdir, "m3dr.jsonl")
+        q = self._question(info)
+        q["metadata"]["dataset"] = "multi3drefer"
+        q["metadata"]["question_type"] = "st_w_d"
+        run_multi3drefer(engine, [q], answer_file)
+        with open(answer_file) as f:
+            rec = json.loads(f.readline())
+        assert len(rec["scores"]) == len(rec["objects"]) + 1
+        out = protocols.multi3drefer_metrics([rec])
+        assert "all@F1_0.25" in out

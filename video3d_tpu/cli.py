@@ -1,0 +1,191 @@
+"""Command-line entry points.
+
+``python -m video3d_tpu.cli train ...`` replaces the reference's
+``torchrun llava/train/train_3d.py`` (train_multi.sh), and
+``python -m video3d_tpu.cli eval-{scanqa,sqa3d,scan2cap,scanrefer,
+multi3drefer} ...`` replaces the Ray drivers + scripts/3d/eval/*.sh.
+No process launcher is needed: one process per host drives all local TPU
+chips through the (dp, fsdp, tp) mesh; multi-host runs call
+``jax.distributed.initialize`` first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_tokenizer(path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path)
+
+
+def _model_cfg(args):
+    from video3d_tpu.config import (FrameSampling, GroundHeadType, ModelConfig,
+                                    VoxelConfig, World3DConfig, replace)
+
+    w3d = World3DConfig.from_reference_string(
+        args.world_position_embedding_type,
+        VoxelConfig(voxel_size=args.voxel_size,
+                    min_xyz_range=tuple(args.min_xyz_range),
+                    max_xyz_range=tuple(args.max_xyz_range)))
+    return ModelConfig(world_3d=w3d,
+                       ground_head=GroundHeadType(args.ground_head_type))
+
+
+def _add_model_args(p):
+    p.add_argument("--world-position-embedding-type", default="avg-discrete-sin3d",
+                   dest="world_position_embedding_type")
+    p.add_argument("--voxel-size", type=float, default=0.1)
+    p.add_argument("--min-xyz-range", type=float, nargs=3, default=[-15, -15, -5])
+    p.add_argument("--max-xyz-range", type=float, nargs=3, default=[15, 15, 5])
+    p.add_argument("--ground-head-type", default="infonce")
+    p.add_argument("--model-path", required=True,
+                   help="HF-format checkpoint dir (safetensors) or orbax dir")
+    p.add_argument("--tokenizer-path", default=None)
+
+
+def _add_data_args(p):
+    p.add_argument("--video-folder", default="data")
+    p.add_argument("--embodiedscan-folder", default="data/embodiedscan")
+    p.add_argument("--metadata-folder", default="data/metadata")
+    p.add_argument("--frame-sampling-strategy", default="uniform")
+    p.add_argument("--max-frame-num", type=int, default=32)
+
+
+def _data_cfg(args):
+    from video3d_tpu.config import DataConfig, FrameSampling
+
+    return DataConfig(video_folder=args.video_folder,
+                      annotation_dir=args.embodiedscan_folder,
+                      metadata_dir=args.metadata_folder,
+                      frames_upbound=args.max_frame_num,
+                      frame_sampling=FrameSampling(args.frame_sampling_strategy))
+
+
+def _load_params(path: str, model_cfg):
+    """HF safetensors export or orbax dir -> model pytree (bf16)."""
+    import jax.numpy as jnp
+
+    if any(f.endswith(".safetensors") for f in os.listdir(path)):
+        from video3d_tpu.models.weights import (convert_llava_checkpoint,
+                                                load_safetensors_dir)
+
+        state = load_safetensors_dir(path)
+        return convert_llava_checkpoint(state, model_cfg.llm, model_cfg.vision,
+                                        dtype=jnp.bfloat16,
+                                        ground_head="ground_head_obj.0.weight" in state)
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def cmd_train(args):
+    from video3d_tpu.data.dataset import Collator, CollatorConfig, SupervisedDataset
+    from video3d_tpu.train.optim import OptimConfig
+    from video3d_tpu.train.trainer import Trainer, TrainingConfig
+
+    model_cfg = _model_cfg(args)
+    data_cfg = _data_cfg(args)
+    tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
+    tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
+
+    dataset = SupervisedDataset(args.data_path, tokenizer, data_cfg)
+    collator = Collator(model_cfg, CollatorConfig(
+        max_len=args.max_len, frames_upbound=args.max_frame_num,
+        coord_token_id=tokenizer.convert_tokens_to_ids("<coord>"),
+        ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
+    params = _load_params(args.model_path, model_cfg)
+    steps = len(dataset) * args.num_epochs // max(1, args.global_batch_size)
+    trainer = Trainer(
+        model_cfg, params, dataset, collator,
+        OptimConfig(learning_rate=args.learning_rate,
+                    mm_vision_tower_lr=args.mm_vision_tower_lr,
+                    warmup_ratio=args.warmup_ratio, total_steps=max(1, steps)),
+        TrainingConfig(output_dir=args.output_dir, num_epochs=args.num_epochs,
+                       per_device_batch_size=args.per_device_batch_size,
+                       gradient_accumulation_steps=args.gradient_accumulation_steps,
+                       save_steps=args.save_steps, group_by=args.group_by,
+                       dp=args.dp, tp=args.tp))
+    trainer.train(resume=not args.no_resume)
+
+
+def cmd_eval(args, task: str):
+    import jax
+
+    from video3d_tpu.data.video_processor import VideoProcessor
+    from video3d_tpu.eval import drivers
+
+    model_cfg = _model_cfg(args)
+    data_cfg = _data_cfg(args)
+    tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
+    tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
+    params = _load_params(args.model_path, model_cfg)
+
+    with open(args.question_file) as f:
+        questions = json.load(f) if args.question_file.endswith(".json") else \
+            [json.loads(l) for l in f]
+    questions = questions[args.rank::args.world]
+
+    engine = drivers.InferenceEngine(
+        params, model_cfg, tokenizer, VideoProcessor(data_cfg),
+        engine_cfg=drivers.EngineConfig(
+            max_frames=args.max_frame_num,
+            ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
+    run = {"scanqa": drivers.run_scanqa, "sqa3d": drivers.run_sqa3d,
+           "scanrefer": drivers.run_scanrefer,
+           "multi3drefer": drivers.run_multi3drefer}.get(task)
+    if task == "scan2cap":
+        times = drivers.run_scan2cap(engine, questions, args.answer_file,
+                                     tokenizer.convert_tokens_to_ids("<coord>"))
+    else:
+        times = run(engine, questions, args.answer_file)
+    print(f"mean inference time: {np.mean(times):.3f}s over {len(times)} samples")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("video3d_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    _add_model_args(pt)
+    _add_data_args(pt)
+    pt.add_argument("--data-path", required=True)
+    pt.add_argument("--output-dir", required=True)
+    pt.add_argument("--num-epochs", type=int, default=1)
+    pt.add_argument("--per-device-batch-size", type=int, default=1)
+    pt.add_argument("--gradient-accumulation-steps", type=int, default=2)
+    pt.add_argument("--global-batch-size", type=int, default=16)
+    pt.add_argument("--learning-rate", type=float, default=1e-5)
+    pt.add_argument("--mm-vision-tower-lr", type=float, default=2e-6)
+    pt.add_argument("--warmup-ratio", type=float, default=0.03)
+    pt.add_argument("--save-steps", type=int, default=1000)
+    pt.add_argument("--group-by", default="task_length")
+    pt.add_argument("--max-len", type=int, default=8192)
+    pt.add_argument("--dp", type=int, default=1)
+    pt.add_argument("--tp", type=int, default=1)
+    pt.add_argument("--no-resume", action="store_true")
+
+    for task in ("scanqa", "sqa3d", "scan2cap", "scanrefer", "multi3drefer"):
+        pe = sub.add_parser(f"eval-{task}")
+        _add_model_args(pe)
+        _add_data_args(pe)
+        pe.add_argument("--question-file", required=True)
+        pe.add_argument("--answer-file", required=True)
+        pe.add_argument("--rank", type=int, default=0)
+        pe.add_argument("--world", type=int, default=1)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "train":
+        cmd_train(args)
+    else:
+        cmd_eval(args, args.cmd.removeprefix("eval-"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,285 @@
+"""Benchmark inference drivers (ScanQA, SQA3D, Scan2Cap, ScanRefer,
+Multi3DRefer).
+
+Shared skeleton mirrors the reference drivers (model_scanqa.py:82-252 etc.):
+per question — eval-style ChatML ids with an empty assistant turn, 3D video
+processing, greedy generate (max_new_tokens 512) or discriminative grounding
+forward, jsonl record append. The reference's Ray 1-actor-per-GPU fan-out
+(model_scanqa.py:242-252) becomes question-list striping across host
+processes (``questions[rank::world]``); each process drives its TPU chip
+with jitted static-bucket calls instead of dynamic-shape eager ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from video3d_tpu.config import DataConfig, ModelConfig
+from video3d_tpu.constants import DEFAULT_IMAGE_TOKEN, IGNORE_INDEX
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.tokenization import preprocess_qwen, preprocess_qwen_eval
+from video3d_tpu.data.video_processor import VideoProcessor
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models.generate import generate_greedy
+from video3d_tpu.models.splice import build_splice_plan
+from video3d_tpu.ops import geometry
+
+DEFAULT_BUCKETS = (1024, 2048, 4096, 8192, 16384)
+
+
+def pick_bucket(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class EngineConfig:
+    max_new_tokens: int = 512
+    eos_token_id: int = 151645          # <|im_end|>
+    max_frames: int = 32
+    buckets: Tuple[int, ...] = DEFAULT_BUCKETS
+    stop_str: str = "<|im_end|>"
+    extra_prompt: str = ""
+    add_spatial_instruction: bool = True
+    ground_token_id: Optional[int] = None
+    max_objects: int = 150
+
+
+SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
+                       "Please focus on the spatial relationships in the video "
+                       "and answer the following questions.")
+
+
+class InferenceEngine:
+    """One-model inference wrapper used by all five drivers."""
+
+    def __init__(self, params, model_cfg: ModelConfig, tokenizer,
+                 video_processor: VideoProcessor,
+                 image_processor: Optional[SigLipImageProcessor] = None,
+                 engine_cfg: Optional[EngineConfig] = None):
+        self.params = params
+        self.cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.vp = video_processor
+        self.ip = image_processor or SigLipImageProcessor(
+            size=(model_cfg.vision.image_size,) * 2)
+        self.ecfg = engine_cfg or EngineConfig()
+
+    # ------------- shared assembly -------------
+
+    def _video_arrays(self, video_id: str, box_input=None):
+        vd = self.vp.process_3d_video(video_id, self.ip, force_sample=True,
+                                      frames_upbound=self.ecfg.max_frames)
+        V = vd["video_size"]
+        mc = self.cfg
+        S = mc.vision.image_size
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        Vmax = self.ecfg.max_frames
+
+        images = np.zeros((1, Vmax, 3, S, S), np.float32)
+        images[0, :V] = vd["images"][:V]
+        coords_full = np.zeros((1, Vmax, S, S, 3), np.float32)
+        coords_full[0, :V] = vd["world_coords"][:V]
+
+        pooled = geometry.average_coordinate_in_patch(
+            jnp.asarray(coords_full[0]), patch_size=S // g)
+        patch = np.asarray(pooled)[None]
+        vox = mc.world_3d.voxel
+        if mc.world_3d.discrete:
+            patch = np.clip(patch, vox.min_xyz_range, vox.max_xyz_range)
+            patch = np.round((patch - np.asarray(vox.min_xyz_range, np.float32))
+                             / vox.voxel_size)
+            if box_input is not None:
+                box_input = np.clip(box_input, vox.min_xyz_range, vox.max_xyz_range)
+                box_input = np.round(
+                    (box_input - np.asarray(vox.min_xyz_range, np.float32))
+                    / vox.voxel_size)
+        return vd, V, images, coords_full, patch.astype(np.float32), box_input
+
+    def _question_text(self, record) -> str:
+        qs = record["conversations"][0]["value"]
+        qs = self.ecfg.extra_prompt + qs
+        if DEFAULT_IMAGE_TOKEN not in qs:
+            qs = f"{DEFAULT_IMAGE_TOKEN}\n{qs}"
+        return qs
+
+    def _build_batch(self, ids, labels, V, images, patch, box_input=None,
+                     coord_token_id=None):
+        mc = self.cfg
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        T = mc.tokens_per_frame
+        total = len(ids) + V * T
+        L = pick_bucket(total + self.ecfg.max_new_tokens, self.ecfg.buckets)
+        plan = build_splice_plan([ids], [labels] if labels is not None else None,
+                                 [V], tokens_per_frame=T, max_len=L,
+                                 grid_side=g, coord_token_id=coord_token_id,
+                                 truncate_to=mc.tokenizer_model_max_length)
+        batch = lv3d.Batch(
+            images=jnp.asarray(images), patch_coords=jnp.asarray(patch),
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask),
+            box_input=(jnp.asarray(box_input[None].astype(np.float32))
+                       if box_input is not None else None))
+        return batch, plan
+
+    # ------------- generative -------------
+
+    def generate_answer(self, record, box_input=None,
+                        coord_token_id=None) -> str:
+        question = {"from": "human", "value": self._question_text(record)}
+        ids = preprocess_qwen_eval(
+            [question, {"from": "gpt", "value": None}], self.tokenizer)
+        vd, V, images, _, patch, box_input = self._video_arrays(
+            record["video"], box_input)
+        batch, _ = self._build_batch(ids, None, V, images, patch, box_input,
+                                     coord_token_id)
+        res = generate_greedy(self.params, self.cfg, batch,
+                              max_new_tokens=self.ecfg.max_new_tokens,
+                              eos_token_id=self.ecfg.eos_token_id)
+        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        if text.endswith(self.ecfg.stop_str):
+            text = text[: -len(self.ecfg.stop_str)].strip()
+        return text
+
+    # ------------- discriminative (grounding) -------------
+
+    def ground(self, record) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores (N_valid+1,), objects (N_valid, 6))."""
+        assert self.ecfg.ground_token_id is not None
+        question = {"from": "human", "value": self._question_text(record)}
+        answer = record["conversations"][1]
+        tok = preprocess_qwen([[question, answer]], self.tokenizer,
+                              has_image=True)
+        ids = tok["input_ids"][0].tolist()
+        labels = tok["labels"][0].tolist()
+        vd, V, images, coords_full, patch, _ = self._video_arrays(record["video"])
+        batch, plan = self._build_batch(ids, labels, V, images, patch)
+
+        objects = np.asarray(vd["objects"], np.float32).reshape(-1, 6)
+        N = self.ecfg.max_objects
+        obj = np.zeros((N, 6), np.float32)
+        valid = np.zeros((N,), bool)
+        n = min(len(objects), N)
+        obj[:n] = objects[:n]
+        valid[:n] = True
+
+        hits = np.nonzero(plan.labels[0] == self.ecfg.ground_token_id)[0]
+        slot = int(hits[0]) if len(hits) else int(plan.seq_len[0]) - 1
+
+        scores = lv3d.grounding_forward(
+            self.params, self.cfg, batch,
+            jnp.asarray(coords_full[0]), jnp.asarray(obj), jnp.asarray(valid),
+            jnp.asarray(slot))
+        scores = np.asarray(scores)
+        # compact: real objects then zero-target (reference scores layout)
+        return np.concatenate([scores[:n], scores[-1:]]), objects[:n]
+
+
+# ---------------------------------------------------------------------------
+# Drivers — each mirrors the corresponding model_*.py record format
+# ---------------------------------------------------------------------------
+
+def _append_jsonl(path: str, record: dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def run_generative(engine: InferenceEngine, questions: Sequence[dict],
+                   answer_file: str, gt_from_annotations: bool = False,
+                   coord_token_id=None) -> List[float]:
+    """ScanQA / SQA3D / Scan2Cap loop (model_scanqa.py:129-206)."""
+    times = []
+    for line in questions:
+        box_input = None
+        if line.get("box_input") is not None:
+            box_input = np.asarray(line["box_input"][:3], np.float32)
+        t0 = time.time()
+        text = engine.generate_answer(line, box_input=box_input,
+                                      coord_token_id=coord_token_id)
+        times.append(time.time() - t0)
+        gt = (line.get("annotations", [line["conversations"][1]["value"]])
+              if gt_from_annotations else line["conversations"][1]["value"])
+        _append_jsonl(answer_file, {
+            "dataset": line["metadata"]["dataset"],
+            "sample_id": line["id"],
+            "prompt": line["conversations"][0]["value"],
+            "pred_response": text,
+            "gt_response": gt,
+            "question_type": line["metadata"].get("question_type"),
+        })
+    return times
+
+
+def run_scanqa(engine, questions, answer_file):
+    return run_generative(engine, questions, answer_file)
+
+
+def run_sqa3d(engine, questions, answer_file):
+    return run_generative(engine, questions, answer_file)
+
+
+def run_scan2cap(engine, questions, answer_file, coord_token_id):
+    return run_generative(engine, questions, answer_file,
+                          gt_from_annotations=True,
+                          coord_token_id=coord_token_id)
+
+
+def run_scanrefer(engine: InferenceEngine, questions: Sequence[dict],
+                  answer_file: str) -> List[float]:
+    """Argmax grounding box (model_scanrefer.py:163-190)."""
+    times = []
+    for line in questions:
+        t0 = time.time()
+        scores, objects = engine.ground(line)
+        times.append(time.time() - t0)
+        if len(objects) and int(np.argmax(scores)) < len(objects):
+            pred_box = objects[int(np.argmax(scores))].tolist()
+        elif len(objects):
+            pred_box = objects[int(np.argmax(scores[:-1]))].tolist()
+        else:
+            pred_box = [0.0] * 6
+        _append_jsonl(answer_file, {
+            "dataset": line["metadata"]["dataset"],
+            "sample_id": line["id"],
+            "pred_response": pred_box,
+            "gt_response": line["metadata"]["gt_box"] if "gt_box" in line["metadata"]
+            else line.get("box"),
+            "question_type": line["metadata"].get("question_type"),
+        })
+    return times
+
+
+def run_multi3drefer(engine: InferenceEngine, questions: Sequence[dict],
+                     answer_file: str) -> List[float]:
+    """Dump all scores + objects (model_multi3drefer.py:163-180)."""
+    times = []
+    for line in questions:
+        t0 = time.time()
+        scores, objects = engine.ground(line)
+        times.append(time.time() - t0)
+        _append_jsonl(answer_file, {
+            "dataset": line["metadata"]["dataset"],
+            "sample_id": line["id"],
+            "scores": scores.tolist(),
+            "objects": objects.tolist(),
+            "gt_response": line.get("box", []),
+            "question_type": line["metadata"].get("question_type"),
+        })
+    return times

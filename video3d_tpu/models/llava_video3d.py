@@ -178,34 +178,39 @@ def assemble_embeds(params: Params, cfg: ModelConfig,
 
 def object_patch_masks(world_coords: jax.Array, boxes: jax.Array,
                        feature_type: ObjectFeatureType,
-                       patch_size: int = 27, grid: int = 14) -> jax.Array:
+                       side: int = 27, patch_px: int = 14,
+                       grid: int = 14, pool_px: int = 27) -> jax.Array:
     """Per-object patch membership masks from pixel world coords.
 
-    Reference llava_arch.py:362-378:
-      patch14: the 729 SigLIP patches (14x14 px each); a patch belongs to an
-        object if >=50% of its pixels fall inside the object AABB.
-      patch27: the 196 pooled tokens (27x27 px each); threshold >=25%.
+    Reference llava_arch.py:362-378 (production numbers in parens):
+      patch14: the side^2 (729) SigLIP patches, patch_px^2 (14x14) px each;
+        a patch belongs to an object if >=50% of its pixels fall inside the
+        object AABB.
+      patch27: the grid^2 (196) pooled tokens, pool_px^2 (27x27) px each;
+        threshold >=25%.
 
     Args:
-      world_coords: (V, H, W, 3) with H, W >= 378.
+      world_coords: (V, H, W, 3) with H, W >= side*patch_px.
       boxes: (N, 6) center+size.
     Returns:
-      (N, V, P) bool with P = 729 (patch14) or 196 (patch27).
+      (N, V, P) bool with P = side^2 (patch14) or grid^2 (patch27).
     """
     V = world_coords.shape[0]
-    wc = world_coords[:, :378, :378, :]
     mn = (boxes[:, :3] - boxes[:, 3:] / 2)[:, None, None, None, :]  # (N,1,1,1,3)
     mx = (boxes[:, :3] + boxes[:, 3:] / 2)[:, None, None, None, :]
 
     if feature_type == ObjectFeatureType.PATCH14:
-        # (V, 27, 14, 27, 14, 3) -> patches of 14x14 px on the 27x27 grid
-        wcp = wc.reshape(V, 27, grid, 27, grid, 3).transpose(0, 1, 3, 2, 4, 5)
-        wcp = wcp.reshape(V, 27 * 27, grid * grid, 3)
-        thresh = int(grid * grid * 0.5)
+        crop = side * patch_px
+        wc = world_coords[:, :crop, :crop, :]
+        wcp = wc.reshape(V, side, patch_px, side, patch_px, 3).transpose(0, 1, 3, 2, 4, 5)
+        wcp = wcp.reshape(V, side * side, patch_px * patch_px, 3)
+        thresh = int(patch_px * patch_px * 0.5)
     else:
-        wcp = wc.reshape(V, grid, patch_size, grid, patch_size, 3).transpose(0, 1, 3, 2, 4, 5)
-        wcp = wcp.reshape(V, grid * grid, patch_size * patch_size, 3)
-        thresh = int(patch_size * patch_size * 0.25)
+        crop = grid * pool_px
+        wc = world_coords[:, :crop, :crop, :]
+        wcp = wc.reshape(V, grid, pool_px, grid, pool_px, 3).transpose(0, 1, 3, 2, 4, 5)
+        wcp = wcp.reshape(V, grid * grid, pool_px * pool_px, 3)
+        thresh = int(pool_px * pool_px * 0.25)
 
     inside = jnp.all((wcp[None] >= mn) & (wcp[None] <= mx), axis=-1)  # (N,V,P,px)
     return inside.sum(axis=-1) >= thresh
@@ -378,8 +383,12 @@ def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
       (N+1,) scores (last = zero-target).
     """
     hidden, vt = forward_hidden(params, cfg, batch, remat=remat)
+    side = cfg.vision.num_patches_per_side
+    g = -(-side // cfg.spatial_pool_stride)
     masks = object_patch_masks(world_coords, object_boxes,
-                               cfg.world_3d.object_feature_type)
+                               cfg.world_3d.object_feature_type,
+                               side=side, patch_px=cfg.vision.patch_size,
+                               grid=g, pool_px=cfg.vision.image_size // g)
     feats = vt.raw[0] if cfg.world_3d.object_feature_type == ObjectFeatureType.PATCH14 \
         else vt.pooled[0]
     obj_feats, nonzero = object_features_from_masks(feats, masks)

@@ -1,0 +1,193 @@
+"""Training loop: mesh setup, sharded state, task-aware batching, grad
+accumulation, logging, checkpoint/resume.
+
+Orchestration mirrors the reference recipe (train_3d.py::train +
+LLaVATrainer): task-grouped length sampler, per-module LRs, cosine+warmup,
+bf16, grad accumulation, auto-resume — re-expressed as a jitted train step
+over a (dp, fsdp, tp) mesh. Grounding batches (ScanRefer/Multi3DRefer) train
+the InfoNCE head exactly like the reference's ``predict_box`` path
+(llava_qwen.py:302-331); generative batches train the LM cross-entropy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from video3d_tpu.config import ModelConfig
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+from video3d_tpu.train import checkpoint as ckpt
+from video3d_tpu.train.optim import OptimConfig, build_optimizer
+from video3d_tpu.train.samplers import (batches_from_order,
+                                        get_length_grouped_indices,
+                                        get_modality_length_grouped_indices,
+                                        get_task_length_grouped_indices)
+from video3d_tpu.train.train_step import TrainState, create_train_state, loss_fn
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    output_dir: str = "checkpoints/run"
+    num_epochs: int = 1
+    per_device_batch_size: int = 1
+    gradient_accumulation_steps: int = 2
+    save_steps: int = 1000
+    logging_steps: int = 1
+    seed: int = 0
+    group_by: str = "task_length"      # task_length | length | modality_length | none
+    bf16: bool = True
+    remat: bool = True
+    dp: int = 1
+    tp: int = 1
+    grounding_loss_weight: float = 1.0
+
+
+def grounding_loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
+                      world_coords, objects, objects_valid, ground_slot,
+                      box_label_hot, remat: bool = True):
+    """InfoNCE grounding loss for a B=1 batch (llava_qwen.py:294-331)."""
+    scores = lv3d.grounding_forward(params, cfg, batch, world_coords[0],
+                                    objects[0], objects_valid[0],
+                                    ground_slot[0], remat=remat)
+    loss = lv3d.infonce_loss(scores, box_label_hot[0], cfg.ground_head_temperature)
+    return loss, {"ground_loss": loss}
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, params, dataset, collator,
+                 optim_cfg: OptimConfig, train_cfg: TrainingConfig,
+                 mesh=None):
+        self.cfg = model_cfg
+        self.tcfg = train_cfg
+        self.dataset = dataset
+        self.collator = collator
+        self.mesh = mesh or create_mesh(dp=train_cfg.dp, tp=train_cfg.tp)
+        if train_cfg.bf16:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        self.params = shard_params(params, self.mesh)
+        base_tx = build_optimizer(self.params, optim_cfg)
+        if train_cfg.gradient_accumulation_steps > 1:
+            self.tx = optax.MultiSteps(base_tx, train_cfg.gradient_accumulation_steps)
+        else:
+            self.tx = base_tx
+        self.state = create_train_state(self.params, self.tx)
+        self._step_fn = self._build_step()
+        self._ground_step_fn = self._build_ground_step()
+
+    # ------------- jitted steps -------------
+
+    def _build_step(self):
+        cfg, tx, remat = self.cfg, self.tx, self.tcfg.remat
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, batch: lv3d.Batch):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, cfg, batch, remat)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return step
+
+    def _build_ground_step(self):
+        cfg, tx, remat = self.cfg, self.tx, self.tcfg.remat
+        w = self.tcfg.grounding_loss_weight
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, batch: lv3d.Batch, world_coords, objects,
+                 objects_valid, ground_slot, box_label_hot):
+            def lf(p):
+                loss, metrics = grounding_loss_fn(
+                    p, cfg, batch, world_coords, objects, objects_valid,
+                    ground_slot, box_label_hot, remat)
+                return w * loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return step
+
+    # ------------- data order -------------
+
+    def _epoch_order(self, rng: np.random.Generator):
+        bs = self.tcfg.per_device_batch_size * self.mesh.devices.size
+        if self.tcfg.group_by == "task_length":
+            order = get_task_length_grouped_indices(
+                self.dataset.task_lengths, self.tcfg.per_device_batch_size,
+                self.mesh.devices.size, rng)
+        elif self.tcfg.group_by == "length":
+            order = get_length_grouped_indices(
+                self.dataset.lengths, self.tcfg.per_device_batch_size,
+                self.mesh.devices.size, rng)
+        elif self.tcfg.group_by == "modality_length":
+            order = get_modality_length_grouped_indices(
+                self.dataset.modality_lengths, self.tcfg.per_device_batch_size,
+                self.mesh.devices.size, rng)
+        else:
+            order = list(rng.permutation(len(self.dataset)))
+        return batches_from_order(order, bs)
+
+    def _to_batch(self, arrays: Dict[str, np.ndarray]) -> lv3d.Batch:
+        model_fields = {k: jnp.asarray(v) for k, v in arrays.items()
+                        if k in lv3d.Batch._fields}
+        batch = lv3d.Batch(**model_fields)
+        return shard_batch(batch, self.mesh)
+
+    # ------------- main loop -------------
+
+    def train(self, resume: bool = True) -> TrainState:
+        start_step = 0
+        if resume:
+            latest = ckpt.latest_checkpoint(self.tcfg.output_dir)
+            if latest:
+                print(f"[trainer] resuming from {latest}")
+                self.state = ckpt.restore_checkpoint(latest, self.state)
+                start_step = int(self.state.step)
+
+        rng = np.random.default_rng(self.tcfg.seed)
+        global_step = start_step
+        with self.mesh:
+            for epoch in range(self.tcfg.num_epochs):
+                for batch_idx in self._epoch_order(rng):
+                    if global_step < start_step:
+                        global_step += 1
+                        continue
+                    samples = [self.dataset[i] for i in batch_idx]
+                    arrays = self.collator(samples)
+                    batch = self._to_batch(arrays)
+                    t0 = time.time()
+                    if "ground_slot" in arrays:
+                        extras = [jnp.asarray(arrays[k]) for k in
+                                  ("world_coords_full", "objects", "objects_valid",
+                                   "ground_slot", "box_label_hot")]
+                        self.state, metrics = self._ground_step_fn(
+                            self.state, batch, *extras)
+                    else:
+                        self.state, metrics = self._step_fn(self.state, batch)
+                    global_step += 1
+                    if global_step % self.tcfg.logging_steps == 0:
+                        vals = {k: float(v) for k, v in metrics.items()}
+                        print(f"[trainer] step {global_step} "
+                              f"{vals} ({time.time() - t0:.2f}s)")
+                    if global_step % self.tcfg.save_steps == 0:
+                        path = ckpt.save_checkpoint(self.tcfg.output_dir,
+                                                    global_step, self.state)
+                        print(f"[trainer] saved {path}")
+        ckpt.save_params_only(self.tcfg.output_dir, self.state.params)
+        return self.state
