@@ -174,3 +174,50 @@ class TestDatasetAndCollator:
         state, metrics = train_step(state, batch, CFG, tx, remat=True)
         assert np.isfinite(float(metrics["lm_loss"]))
         assert float(metrics["grad_norm"]) > 0
+
+
+class TestConfigVariants:
+    """mrope and minmax pooling configs collate + forward end to end."""
+
+    @pytest.fixture(scope="class")
+    def env(self, scene, data_cfg):
+        from fixtures import FakeTokenizer
+        tok = FakeTokenizer()
+        proc = SigLipImageProcessor(size=(CFG.vision.image_size,) * 2)
+        ds = SupervisedDataset(scene["ann"], tok, data_cfg, image_processor=proc)
+        return ds
+
+    def test_mrope_config(self, env):
+        from video3d_tpu.config import PosEmbedType, World3DConfig, replace as rep
+        from video3d_tpu.models import llava_video3d as lv3d
+        import jax
+
+        cfg = rep(CFG, world_3d=World3DConfig(pos_embed=PosEmbedType.MROPE))
+        col = Collator(cfg, CollatorConfig(max_len=192, frames_upbound=4))
+        arrays = col([env[0]])
+        m = arrays["mrope_position_ids"][0]
+        # vision tokens carry voxel ids (values up to 300), text ids stay small
+        n_text_prefix = int(np.argmax(arrays["kind"][0] == 2))
+        assert (m[:n_text_prefix, 0] == np.arange(n_text_prefix)).all()
+        assert m[:, 0].max() > 100  # voxel ids present
+        batch = lv3d.Batch(**{k: jnp.asarray(v) for k, v in arrays.items()
+                              if k in lv3d.Batch._fields})
+        params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+        logits = lv3d.forward(params, cfg, batch)
+        assert np.isfinite(np.asarray(logits[0, :10])).all()
+
+    def test_minmax_pooling_config(self, env):
+        from video3d_tpu.config import CoordPooling, World3DConfig, replace as rep
+        from video3d_tpu.models import llava_video3d as lv3d
+        import jax
+
+        cfg = rep(CFG, world_3d=World3DConfig(pooling=CoordPooling.MINMAX))
+        col = Collator(cfg, CollatorConfig(max_len=192, frames_upbound=4))
+        arrays = col([env[0]])
+        g = -(-cfg.vision.num_patches_per_side // cfg.spatial_pool_stride)
+        assert arrays["patch_coords"].shape == (1, 4, g, g, 2, 3)
+        batch = lv3d.Batch(**{k: jnp.asarray(v) for k, v in arrays.items()
+                              if k in lv3d.Batch._fields})
+        params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+        logits = lv3d.forward(params, cfg, batch)
+        assert np.isfinite(np.asarray(logits[0, :10])).all()

@@ -156,3 +156,64 @@ class TestKVCacheDecode:
             step_logits = np.asarray(qwen2.lm_head(params, hidden))
             np.testing.assert_allclose(step_logits[:, 0], full_logits[:, p],
                                        rtol=2e-4, atol=2e-4, err_msg=f"step {t}")
+
+
+class TestLlamaFamily:
+    """attention_bias=False path (LLaMA/Mistral wrappers, SURVEY M9)."""
+
+    def test_logits_match_hf_llama(self):
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        torch.manual_seed(1)
+        cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, head_dim=8,
+                          max_position_embeddings=256, rope_theta=10000.0,
+                          rms_norm_eps=1e-6, tie_word_embeddings=False,
+                          attention_bias=False, attn_implementation="eager")
+        hf = LlamaForCausalLM(cfg).eval()
+        lcfg = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8,
+                         rope_theta=10000.0, max_position_embeddings=256,
+                         attention_bias=False, mrope_section=(2, 1, 1))
+        params = convert_qwen2(hf.state_dict(), lcfg)
+        assert "bq" not in params["layers"][0]["attn"]
+
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 128, size=(1, 9))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+        pos = replicate_positions(np.broadcast_to(np.arange(9), (1, 9)))
+        hidden, _ = qwen2.qwen2_forward(params, lcfg, embeds, pos)
+        logits = np.asarray(qwen2.lm_head(params, hidden))
+        np.testing.assert_allclose(logits, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestBuilderConfig:
+    def test_llm_config_from_hf(self):
+        from video3d_tpu.models.builder import llm_config_from_hf, model_config_from_hf
+
+        hf = {"model_type": "qwen2", "vocab_size": 152064, "hidden_size": 3584,
+              "intermediate_size": 18944, "num_hidden_layers": 28,
+              "num_attention_heads": 28, "num_key_value_heads": 4,
+              "rope_theta": 1000000.0,
+              "world_position_embedding_type": "avg-discrete-sin3d",
+              "voxel_size": 0.1, "min_xyz_range": [-15, -15, -5],
+              "max_xyz_range": [15, 15, 5], "ground_head_type": "infonce",
+              "object_feature_type": "patch14-pe"}
+        cfg = llm_config_from_hf(hf)
+        assert cfg.head_dim == 128 and cfg.attention_bias
+        assert cfg.mrope_section == (32, 16, 16)
+        mc = model_config_from_hf(hf)
+        from video3d_tpu.config import GroundHeadType, PosEmbedType
+        assert mc.world_3d.pos_embed == PosEmbedType.SIN3D
+        assert mc.world_3d.discrete
+        assert mc.ground_head == GroundHeadType.INFONCE
+        # llama-style
+        hf2 = {"model_type": "llama", "vocab_size": 128, "hidden_size": 32,
+               "intermediate_size": 64, "num_hidden_layers": 2,
+               "num_attention_heads": 4}
+        cfg2 = llm_config_from_hf(hf2)
+        assert not cfg2.attention_bias and cfg2.rope_theta == 1e4

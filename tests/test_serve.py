@@ -1,0 +1,102 @@
+"""End-to-end serving tests: controller + worker over real HTTP sockets,
+full generate round-trip through the tiny engine on the synthetic scene."""
+
+import json
+import os
+import socket
+import time
+import urllib.request
+
+import pytest
+
+import jax
+
+from video3d_tpu.config import DataConfig, ModelConfig
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.video_processor import VideoProcessor
+from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.serve.controller import _post_json, serve_controller
+from video3d_tpu.serve.model_worker import serve_worker
+
+from fixtures import FakeTokenizer, make_fake_scene
+
+CFG = ModelConfig.tiny()
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    info = make_fake_scene(root, n_frames=2)
+    data_cfg = DataConfig(video_folder=root,
+                          annotation_dir=os.path.join(root, "embodiedscan"),
+                          metadata_dir=os.path.join(root, "metadata"),
+                          frames_upbound=2)
+    tok = FakeTokenizer()
+    engine = InferenceEngine(
+        lv3d.init_model(jax.random.PRNGKey(0), CFG), CFG, tok,
+        VideoProcessor(data_cfg),
+        SigLipImageProcessor(size=(CFG.vision.image_size,) * 2),
+        EngineConfig(max_new_tokens=3, eos_token_id=tok.eos_token_id,
+                     max_frames=2, buckets=(256,), stop_str=""))
+
+    cport, wport = free_port(), free_port()
+    controller, cserver = serve_controller(port=cport, background=True)
+    caddr = f"http://127.0.0.1:{cport}"
+    worker, wserver = serve_worker(engine, "video3d-tiny", port=wport,
+                                   controller_addr=caddr, background=True,
+                                   heartbeat=False)
+    yield info, caddr, f"http://127.0.0.1:{wport}", controller
+    cserver.shutdown()
+    wserver.shutdown()
+
+
+class TestServe:
+    def test_register_and_list_models(self, stack):
+        info, caddr, waddr, controller = stack
+        models = _post_json(caddr + "/list_models", {})["models"]
+        assert models == ["video3d-tiny"]
+
+    def test_dispatch(self, stack):
+        info, caddr, waddr, controller = stack
+        addr = _post_json(caddr + "/get_worker_address",
+                          {"model": "video3d-tiny"})["address"]
+        assert addr == waddr
+        assert _post_json(caddr + "/get_worker_address",
+                          {"model": "nope"})["address"] == ""
+
+    def test_generate_roundtrip_through_controller(self, stack):
+        info, caddr, waddr, controller = stack
+        out = _post_json(caddr + "/worker_generate", {
+            "model": "video3d-tiny",
+            "video": info["sample_idx"],
+            "prompt": "<image>\nwhat is in the room",
+        }, timeout=300)
+        assert out["error_code"] == 0
+        assert isinstance(out["text"], str)
+        assert out["inference_time"] > 0
+
+    def test_heartbeat_and_expiry(self, stack):
+        info, caddr, waddr, controller = stack
+        assert _post_json(caddr + "/receive_heart_beat", {
+            "worker_name": waddr, "queue_length": 0})["exist"]
+        # unknown worker -> exist False
+        assert not _post_json(caddr + "/receive_heart_beat", {
+            "worker_name": "http://nope", "queue_length": 0})["exist"]
+        # force expiry
+        controller.workers[waddr].last_heart_beat = time.time() - 9999
+        controller.remove_stale_workers()
+        assert _post_json(caddr + "/list_models", {})["models"] == []
+        # re-register for other tests
+        _post_json(caddr + "/register_worker", {
+            "worker_name": waddr, "check_heart_beat": True,
+            "worker_status": {"model_names": ["video3d-tiny"], "speed": 1,
+                              "queue_length": 0}})

@@ -167,6 +167,7 @@ class LLMConfig:
     rope_theta: float = 1_000_000.0
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = False
+    attention_bias: bool = True   # Qwen2 has qkv bias; LLaMA-family does not
     # 3-axis mRoPE split of the 64 rotary freqs (modeling_qwen2.py:162)
     mrope_section: Tuple[int, int, int] = (32, 16, 16)
 

@@ -215,26 +215,45 @@ class Collator:
                 box_inputs[b] = s["box_input"]
                 has_box_input = True
 
-        plan = build_splice_plan(
-            [s["input_ids"] for s in samples],
-            [s["labels"] for s in samples],
-            num_frames, tokens_per_frame=T, max_len=self.cfg.max_len,
-            grid_side=g, coord_token_id=self.cfg.coord_token_id,
-            truncate_to=mc.tokenizer_model_max_length)
-
         # Patch coords pooled + discretized on host (parity path); the TPU
         # fast path moves this into the jitted step.
+        from video3d_tpu.config import CoordPooling, PosEmbedType
+
         vox = mc.world_3d.voxel
-        pooled = geometry.average_coordinate_in_patch(
-            jnp.asarray(coords.reshape(B * V, S, S, 3)), patch_size=S // g)
-        patch_coords = np.asarray(pooled).reshape(B, V, g, g, 3)
-        if mc.world_3d.discrete:
+        flat = jnp.asarray(coords.reshape(B * V, S, S, 3))
+        ps = S // g
+        pooling = mc.world_3d.pooling
+        if pooling == CoordPooling.AVG:
+            pooled = geometry.average_coordinate_in_patch(flat, patch_size=ps)
+        elif pooling == CoordPooling.MINMAX:
+            pooled = geometry.minmax_coordinate_in_patch(flat, patch_size=ps)
+        elif pooling in (CoordPooling.SAMPLE9, CoordPooling.SAMPLE5,
+                         CoordPooling.SAMPLE1):
+            pooled = geometry.sample_n_points(flat, pooling.n_points, patch_size=ps)
+        else:
+            raise ValueError(pooling)
+        n_pts = pooling.n_points
+        tail = (g, g, n_pts, 3) if n_pts > 1 else (g, g, 3)
+        patch_coords = np.asarray(pooled).reshape(B, V, *tail)
+        if mc.world_3d.discrete or mc.world_3d.pos_embed == PosEmbedType.MROPE:
             patch_coords = np.clip(patch_coords, vox.min_xyz_range, vox.max_xyz_range)
             patch_coords = np.round(
                 (patch_coords - np.asarray(vox.min_xyz_range, np.float32)) / vox.voxel_size)
             box_inputs = np.clip(box_inputs, vox.min_xyz_range, vox.max_xyz_range)
             box_inputs = np.round(
                 (box_inputs - np.asarray(vox.min_xyz_range, np.float32)) / vox.voxel_size)
+
+        mrope_coords = None
+        if mc.world_3d.pos_embed == PosEmbedType.MROPE:
+            assert n_pts == 1, "mrope requires a single coord per patch"
+            mrope_coords = [patch_coords[b] for b in range(B)]
+        plan = build_splice_plan(
+            [s["input_ids"] for s in samples],
+            [s["labels"] for s in samples],
+            num_frames, tokens_per_frame=T, max_len=self.cfg.max_len,
+            grid_side=g, coord_token_id=self.cfg.coord_token_id,
+            mrope_coords=mrope_coords,
+            truncate_to=mc.tokenizer_model_max_length)
 
         out = {
             "images": images,

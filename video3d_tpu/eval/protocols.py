@@ -149,6 +149,29 @@ def scanrefer_metrics(records: Sequence[dict]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# NR3D (easy/hard, view-dep/indep; eval_nr3d.py:9-48)
+# ---------------------------------------------------------------------------
+
+def nr3d_metrics(records: Sequence[dict]) -> dict:
+    acc25, acc50 = defaultdict(list), defaultdict(list)
+    for item in records:
+        iou = box3d_iou(np.asarray(item["gt_response"], float),
+                        np.asarray(item["pred_response"], float))
+        qt = item["question_type"]
+        buckets = ["all",
+                   "easy" if "easy" in qt else "hard",
+                   "view-dep" if "view-dep" in qt else "view-indep"]
+        for b in buckets:
+            acc25[b].append(iou >= 0.25)
+            acc50[b].append(iou >= 0.5)
+    out = {}
+    for k in acc25:
+        out[f"{k}@0.25"] = float(np.mean(acc25[k])) * 100
+        out[f"{k}@0.5"] = float(np.mean(acc50[k])) * 100
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Multi3DRefer
 # ---------------------------------------------------------------------------
 

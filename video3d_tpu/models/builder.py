@@ -1,0 +1,102 @@
+"""Pretrained model loading: HF checkpoint directory -> (tokenizer, params,
+ModelConfig, context_len).
+
+Equivalent of the reference's ``load_pretrained_model``
+(/root/reference/llava/model/builder.py:27-305): dispatch by model family
+(qwen / llama via config.json ``model_type``), read the 3D knobs the
+reference persists into the checkpoint config (``world_position_embedding
+_type``, ``voxel_size``, ``min/max_xyz_range``, ``object_feature_type``,
+``ground_head_type``), apply an ``overwrite_config`` dict (e.g. the eval
+drivers' ``{"vocab_size": 151649, "tie_word_embeddings": False}``,
+model_scanqa.py:94-101), and convert weights into the functional pytree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from video3d_tpu.config import (GroundHeadType, LLMConfig, ModelConfig,
+                                ObjectFeatureType, ProjectorConfig,
+                                VisionConfig, VoxelConfig, World3DConfig,
+                                replace)
+
+
+def llm_config_from_hf(hf: Dict[str, Any]) -> LLMConfig:
+    """HF config.json dict -> LLMConfig for qwen2/llama-family decoders."""
+    model_type = hf.get("model_type", "qwen2")
+    is_llama = "llama" in model_type or "mistral" in model_type
+    heads = hf["num_attention_heads"]
+    head_dim = hf.get("head_dim") or hf["hidden_size"] // heads
+    return LLMConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=hf.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 1e6 if not is_llama else 1e4),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        attention_bias=hf.get("attention_bias", not is_llama),
+        mrope_section=(head_dim // 4, head_dim // 8, head_dim // 8),
+    )
+
+
+def model_config_from_hf(hf: Dict[str, Any]) -> ModelConfig:
+    """Parse the 3D knobs the reference stores in the checkpoint config."""
+    w3d = World3DConfig.from_reference_string(
+        hf.get("world_position_embedding_type", "avg-discrete-sin3d"),
+        VoxelConfig(
+            voxel_size=hf.get("voxel_size", 0.1),
+            min_xyz_range=tuple(hf.get("min_xyz_range", (-15, -15, -5))),
+            max_xyz_range=tuple(hf.get("max_xyz_range", (15, 15, 5)))))
+    oft = hf.get("object_feature_type", "patch14-pe")
+    w3d = replace(w3d,
+                  object_feature_type=(ObjectFeatureType.PATCH27
+                                       if "patch27" in oft
+                                       else ObjectFeatureType.PATCH14),
+                  object_feature_use_pe="pe" in oft)
+    ground = hf.get("ground_head_type") or "none"
+    return ModelConfig(
+        llm=llm_config_from_hf(hf),
+        world_3d=w3d,
+        ground_head=GroundHeadType(ground),
+        ground_head_temperature=hf.get("ground_head_temperature", 0.07),
+        tokenizer_model_max_length=hf.get("tokenizer_model_max_length", 32768),
+    )
+
+
+def load_pretrained_model(model_path: str,
+                          model_name: Optional[str] = None,
+                          overwrite_config: Optional[Dict[str, Any]] = None,
+                          dtype=jnp.bfloat16,
+                          load_tokenizer: bool = True):
+    """Returns (tokenizer, params, model_cfg, context_len)."""
+    from video3d_tpu.models.weights import (convert_llava_checkpoint,
+                                            load_safetensors_dir)
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    if overwrite_config:
+        hf.update(overwrite_config)
+
+    cfg = model_config_from_hf(hf)
+    state = load_safetensors_dir(model_path)
+    params = convert_llava_checkpoint(
+        state, cfg.llm, cfg.vision, dtype=dtype,
+        ground_head="ground_head_obj.0.weight" in state)
+
+    tokenizer = None
+    if load_tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+    context_len = hf.get("max_sequence_length",
+                         hf.get("tokenizer_model_max_length", 32768))
+    return tokenizer, params, cfg, context_len

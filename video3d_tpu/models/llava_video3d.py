@@ -129,7 +129,7 @@ def encode_video(params: Params, cfg: ModelConfig,
     if patch_coords is not None and cfg.world_3d.pos_embed in (
             PosEmbedType.SIN3D, PosEmbedType.MLP):
         n_points = cfg.world_3d.pooling.n_points
-        coords = patch_coords.reshape(B, V * g * g, *patch_coords.shape[4:], 3) \
+        coords = patch_coords.reshape(B, V * g * g, n_points, 3) \
             if n_points > 1 else patch_coords.reshape(B, V * g * g, 3)
         pe = world_position_embedding(params, jax.lax.stop_gradient(coords),
                                       cfg, n_points)
@@ -165,7 +165,9 @@ def assemble_embeds(params: Params, cfg: ModelConfig,
     vis = jnp.take_along_axis(vision_tokens, vision_index[..., None], axis=1)
     embeds = jnp.where((kind == KIND_VISION)[..., None], vis, text_emb)
     embeds = jnp.where((kind == KIND_PAD)[..., None], 0.0, embeds)
-    if coord_mask is not None and box_input is not None:
+    if coord_mask is not None and box_input is not None and \
+            cfg.world_3d.pos_embed in (PosEmbedType.SIN3D, PosEmbedType.MLP):
+        # <coord> input PE only under sin3d/mlp (llava_arch.py:697-700)
         pe = world_position_embedding(
             params, jax.lax.stop_gradient(box_input[:, None, :]), cfg)  # (B,1,D)
         embeds = embeds + coord_mask[..., None] * pe.astype(embeds.dtype)

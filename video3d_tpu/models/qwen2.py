@@ -118,9 +118,17 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
-    q = (h @ p["attn"]["wq"] + p["attn"]["bq"]).reshape(B, L, H, hd)
-    k = (h @ p["attn"]["wk"] + p["attn"]["bk"]).reshape(B, L, KV, hd)
-    v = (h @ p["attn"]["wv"] + p["attn"]["bv"]).reshape(B, L, KV, hd)
+    attn_p = p["attn"]
+    q = h @ attn_p["wq"]
+    k = h @ attn_p["wk"]
+    v = h @ attn_p["wv"]
+    if "bq" in attn_p:       # Qwen2 qkv bias; LLaMA-family omits it
+        q = q + attn_p["bq"]
+        k = k + attn_p["bk"]
+        v = v + attn_p["bv"]
+    q = q.reshape(B, L, H, hd)
+    k = k.reshape(B, L, KV, hd)
+    v = v.reshape(B, L, KV, hd)
     q, k = apply_rotary(q, k, cos, sin)
 
     new_kv = None
@@ -212,14 +220,19 @@ def init_qwen2(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
 
     def layer(k):
         ks = jax.random.split(k, 7)
+        attn = {
+            "wq": linear(ks[0], D, H * hd),
+            "wk": linear(ks[1], D, KV * hd),
+            "wv": linear(ks[2], D, KV * hd),
+            "wo": linear(ks[3], H * hd, D),
+        }
+        if cfg.attention_bias:
+            attn.update({"bq": jnp.zeros((H * hd,), dtype),
+                         "bk": jnp.zeros((KV * hd,), dtype),
+                         "bv": jnp.zeros((KV * hd,), dtype)})
         return {
             "input_layernorm": jnp.ones((D,), dtype),
-            "attn": {
-                "wq": linear(ks[0], D, H * hd), "bq": jnp.zeros((H * hd,), dtype),
-                "wk": linear(ks[1], D, KV * hd), "bk": jnp.zeros((KV * hd,), dtype),
-                "wv": linear(ks[2], D, KV * hd), "bv": jnp.zeros((KV * hd,), dtype),
-                "wo": linear(ks[3], H * hd, D),
-            },
+            "attn": attn,
             "post_attention_layernorm": jnp.ones((D,), dtype),
             "mlp": {
                 "w_gate": linear(ks[4], D, I),

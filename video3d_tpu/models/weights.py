@@ -72,17 +72,19 @@ def convert_qwen2(state: Mapping[str, Any], cfg: LLMConfig,
     layers = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
+        attn = {
+            "wq": lin(p + "self_attn.q_proj.weight"),
+            "wk": lin(p + "self_attn.k_proj.weight"),
+            "wv": lin(p + "self_attn.v_proj.weight"),
+            "wo": lin(p + "self_attn.o_proj.weight"),
+        }
+        if prefix + p + "self_attn.q_proj.bias" in state:  # Qwen2 yes, LLaMA no
+            attn.update({"bq": vec(p + "self_attn.q_proj.bias"),
+                         "bk": vec(p + "self_attn.k_proj.bias"),
+                         "bv": vec(p + "self_attn.v_proj.bias")})
         layers.append({
             "input_layernorm": vec(p + "input_layernorm.weight"),
-            "attn": {
-                "wq": lin(p + "self_attn.q_proj.weight"),
-                "bq": vec(p + "self_attn.q_proj.bias"),
-                "wk": lin(p + "self_attn.k_proj.weight"),
-                "bk": vec(p + "self_attn.k_proj.bias"),
-                "wv": lin(p + "self_attn.v_proj.weight"),
-                "bv": vec(p + "self_attn.v_proj.bias"),
-                "wo": lin(p + "self_attn.o_proj.weight"),
-            },
+            "attn": attn,
             "post_attention_layernorm": vec(p + "post_attention_layernorm.weight"),
             "mlp": {
                 "w_gate": lin(p + "mlp.gate_proj.weight"),

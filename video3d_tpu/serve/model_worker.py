@@ -1,0 +1,130 @@
+"""Serving model worker: one TPU-backed InferenceEngine behind HTTP.
+
+API surface mirrors the reference worker
+(/root/reference/llava/serve/model_worker.py:44-230 — register with the
+controller, heartbeat thread, /worker_get_status, /worker_generate) but —
+unlike the reference serve stack, which has no 3D support — requests here
+carry a scene id and run the full decode -> voxel-PE -> prefill -> greedy
+pipeline.
+
+Request schema (POST /worker_generate):
+  {"video": "scannet/scene0000_00", "prompt": "<image>\\nwhere is ...",
+   "max_new_tokens": 512}
+Response: {"text": ..., "inference_time": seconds}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from video3d_tpu.constants import WORKER_HEART_BEAT_INTERVAL
+from video3d_tpu.serve.controller import _post_json
+
+
+class ModelWorker:
+    def __init__(self, engine, model_name: str,
+                 controller_addr: Optional[str] = None,
+                 worker_addr: Optional[str] = None,
+                 heartbeat: bool = True):
+        self.engine = engine
+        self.model_name = model_name
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = str(uuid.uuid4())[:8]
+        self.queue_length = 0
+        self.lock = threading.Lock()
+        self._hb_stop = threading.Event()
+        if controller_addr and worker_addr:
+            self.register()
+            if heartbeat:
+                t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+                t.start()
+
+    def status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.queue_length}
+
+    def register(self) -> None:
+        _post_json(self.controller_addr + "/register_worker", {
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.status(),
+        })
+
+    def _heartbeat_loop(self) -> None:
+        while not self._hb_stop.wait(WORKER_HEART_BEAT_INTERVAL):
+            try:
+                ok = _post_json(self.controller_addr + "/receive_heart_beat", {
+                    "worker_name": self.worker_addr,
+                    "queue_length": self.queue_length,
+                })
+                if not ok.get("exist"):
+                    self.register()
+            except Exception:
+                pass
+
+    def generate(self, request: dict) -> dict:
+        with self.lock:
+            self.queue_length += 1
+        try:
+            record = {
+                "video": request["video"],
+                "conversations": [
+                    {"from": "human", "value": request["prompt"]},
+                    {"from": "gpt", "value": None},
+                ],
+            }
+            t0 = time.time()
+            text = self.engine.generate_answer(record)
+            return {"text": text, "inference_time": time.time() - t0,
+                    "error_code": 0}
+        except Exception as e:  # noqa: BLE001
+            return {"text": "", "error": str(e), "error_code": 1}
+        finally:
+            with self.lock:
+                self.queue_length -= 1
+
+
+class _WorkerHandler(BaseHTTPRequestHandler):
+    worker: ModelWorker = None
+
+    def log_message(self, *args):
+        pass
+
+    def _reply(self, payload: dict, code: int = 200):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        data = json.loads(self.rfile.read(n) or b"{}")
+        if self.path == "/worker_get_status":
+            self._reply(self.worker.status())
+        elif self.path == "/worker_generate":
+            self._reply(self.worker.generate(data))
+        else:
+            self._reply({"error": f"unknown path {self.path}"}, 404)
+
+
+def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
+                 port: int = 21002, controller_addr: Optional[str] = None,
+                 background: bool = False, heartbeat: bool = True):
+    worker_addr = f"http://{host}:{port}"
+    worker = ModelWorker(engine, model_name, controller_addr, worker_addr,
+                         heartbeat=heartbeat)
+    handler = type("Handler", (_WorkerHandler,), {"worker": worker})
+    server = ThreadingHTTPServer((host, port), handler)
+    if background:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return worker, server
+    server.serve_forever()

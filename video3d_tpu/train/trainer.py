@@ -41,6 +41,9 @@ class TrainingConfig:
     gradient_accumulation_steps: int = 2
     save_steps: int = 1000
     logging_steps: int = 1
+    metrics_file: Optional[str] = None     # jsonl metrics log (wandb-free)
+    profile_steps: Optional[tuple] = None  # (start, stop) jax.profiler window
+    profile_dir: str = "/tmp/video3d_tpu_profile"
     seed: int = 0
     group_by: str = "task_length"      # task_length | length | modality_length | none
     bf16: bool = True
@@ -162,12 +165,16 @@ class Trainer:
 
         rng = np.random.default_rng(self.tcfg.seed)
         global_step = start_step
+        metrics_f = open(self.tcfg.metrics_file, "a") if self.tcfg.metrics_file else None
         with self.mesh:
             for epoch in range(self.tcfg.num_epochs):
                 for batch_idx in self._epoch_order(rng):
                     if global_step < start_step:
                         global_step += 1
                         continue
+                    if self.tcfg.profile_steps and \
+                            global_step == self.tcfg.profile_steps[0]:
+                        jax.profiler.start_trace(self.tcfg.profile_dir)
                     samples = [self.dataset[i] for i in batch_idx]
                     arrays = self.collator(samples)
                     batch = self._to_batch(arrays)
@@ -181,13 +188,28 @@ class Trainer:
                     else:
                         self.state, metrics = self._step_fn(self.state, batch)
                     global_step += 1
+                    if self.tcfg.profile_steps and \
+                            global_step == self.tcfg.profile_steps[1]:
+                        jax.block_until_ready(metrics)
+                        jax.profiler.stop_trace()
+                        print(f"[trainer] profile -> {self.tcfg.profile_dir}")
                     if global_step % self.tcfg.logging_steps == 0:
                         vals = {k: float(v) for k, v in metrics.items()}
+                        step_time = time.time() - t0
                         print(f"[trainer] step {global_step} "
-                              f"{vals} ({time.time() - t0:.2f}s)")
+                              f"{vals} ({step_time:.2f}s)")
+                        if metrics_f:
+                            import json as _json
+
+                            metrics_f.write(_json.dumps(
+                                {"step": global_step, "epoch": epoch,
+                                 "step_time_s": step_time, **vals}) + "\n")
+                            metrics_f.flush()
                     if global_step % self.tcfg.save_steps == 0:
                         path = ckpt.save_checkpoint(self.tcfg.output_dir,
                                                     global_step, self.state)
                         print(f"[trainer] saved {path}")
+        if metrics_f:
+            metrics_f.close()
         ckpt.save_params_only(self.tcfg.output_dir, self.state.params)
         return self.state
