@@ -1,0 +1,202 @@
+"""Tests for the LoRA adapters, DPO loss, and on-device max-coverage
+selection."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import ModelConfig
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.train.lora import (LoraConfig, apply_lora, init_lora,
+                                    lora_size)
+
+CFG = ModelConfig.tiny()
+
+
+class TestLora:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+        lcfg = LoraConfig(r=4, alpha=8)
+        lora = init_lora(jax.random.PRNGKey(1), params, lcfg)
+        return params, lora, lcfg
+
+    def test_targets_llm_only(self, setup):
+        params, lora, lcfg = setup
+        assert lora["llm"]["layers"][0]["attn"]["wq"] is not None
+        assert lora["llm"]["layers"][0]["mlp"]["w_gate"] is not None
+        assert lora["projector"]["w1"] is None
+        assert lora["vision"]["patch_embed"]["w"] is None
+        assert lora["llm"]["embed_tokens"] is None
+        assert lora_size(lora) > 0
+
+    def test_zero_init_is_identity(self, setup):
+        params, lora, lcfg = setup
+        merged = apply_lora(params, lora, lcfg)
+        np.testing.assert_allclose(
+            np.asarray(merged["llm"]["layers"][0]["attn"]["wq"]),
+            np.asarray(params["llm"]["layers"][0]["attn"]["wq"]))
+
+    def test_nonzero_delta_and_gradient_flow(self, setup):
+        params, lora, lcfg = setup
+        # set B nonzero -> weights change by A@B * scale
+        ad = lora["llm"]["layers"][0]["attn"]["wq"]
+        lora2 = jax.tree.map(lambda x: x, lora,
+                             is_leaf=lambda x: x is None or
+                             (isinstance(x, dict) and set(x) == {"A", "B"}))
+        lora2["llm"]["layers"][0]["attn"]["wq"] = {
+            "A": ad["A"], "B": jnp.ones_like(ad["B"])}
+        merged = apply_lora(params, lora2, lcfg)
+        delta = np.asarray(merged["llm"]["layers"][0]["attn"]["wq"]) - \
+            np.asarray(params["llm"]["layers"][0]["attn"]["wq"])
+        expected = np.asarray(ad["A"]) @ np.ones((4, ad["A"].shape[0] and
+                                                  merged["llm"]["layers"][0]["attn"]["wq"].shape[1])) * lcfg.scale
+        np.testing.assert_allclose(delta, expected, rtol=1e-5, atol=1e-6)
+
+        # gradient flows into lora only
+        def loss(lo):
+            m = apply_lora(params, lo, lcfg)
+            return jnp.sum(m["llm"]["layers"][0]["attn"]["wq"] ** 2)
+
+        g = jax.grad(loss)(lora2)
+        assert float(jnp.abs(g["llm"]["layers"][0]["attn"]["wq"]["A"]).sum()) > 0
+
+
+class TestDPO:
+    def test_loss_matches_manual_formula(self):
+        from video3d_tpu.train.dpo import DPOConfig, dpo_loss
+
+        rng = np.random.default_rng(0)
+        pc, pr, rc, rr = (jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+                          for _ in range(4))
+        cfg = DPOConfig(beta=0.1)
+        loss, metrics = dpo_loss(pc, pr, rc, rr, cfg)
+        logits = 0.1 * ((np.asarray(pc) - np.asarray(rc))
+                        - (np.asarray(pr) - np.asarray(rr)))
+        ref = float(-np.log(1 / (1 + np.exp(-logits))).mean())
+        np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+        assert 0 <= float(metrics["reward_accuracy"]) <= 1
+
+    def test_sequence_logprob_masks_ignore(self):
+        from video3d_tpu.constants import IGNORE_INDEX
+        from video3d_tpu.train.dpo import sequence_logprob
+
+        logits = jnp.asarray(np.random.default_rng(1)
+                             .normal(size=(1, 5, 7)).astype(np.float32))
+        labels = jnp.asarray([[IGNORE_INDEX, IGNORE_INDEX, 3, 4, IGNORE_INDEX]])
+        lp = sequence_logprob(logits, labels)
+        logp = np.asarray(jax.nn.log_softmax(logits[:, :-1], axis=-1))
+        ref = logp[0, 1, 3] + logp[0, 2, 4]
+        np.testing.assert_allclose(float(lp[0]), ref, rtol=1e-5)
+
+    def test_dpo_prefers_chosen_after_step(self):
+        """One DPO step on the tiny model increases the chosen/rejected
+        log-prob margin."""
+        import optax
+
+        from video3d_tpu.models import qwen2
+        from video3d_tpu.train.dpo import DPOConfig, dpo_loss, sequence_logprob
+
+        cfg = CFG.llm
+        params = qwen2.init_qwen2(jax.random.PRNGKey(0), cfg)
+        ref_params = jax.tree.map(lambda x: x, params)
+        rng = np.random.default_rng(2)
+        chosen_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)))
+        rejected_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)))
+        pos = jnp.broadcast_to(jnp.arange(8)[None, :, None], (2, 8, 3))
+
+        def seq_lp(p, ids):
+            h, _ = qwen2.qwen2_forward(p, cfg, qwen2.embed_tokens(p, ids), pos)
+            return sequence_logprob(qwen2.lm_head(p, h), ids)
+
+        def loss_fn(p):
+            loss, m = dpo_loss(seq_lp(p, chosen_ids), seq_lp(p, rejected_ids),
+                               seq_lp(ref_params, chosen_ids),
+                               seq_lp(ref_params, rejected_ids), DPOConfig())
+            return loss, m
+
+        (l0, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        tx = optax.sgd(1e-2)
+        updates, _ = tx.update(grads, tx.init(params))
+        params2 = optax.apply_updates(params, updates)
+        l1, _ = loss_fn(params2)
+        assert float(l1) < float(l0)
+
+
+class TestMCSelect:
+    def test_matches_host_greedy(self):
+        """Device greedy == exact host set-cover on a collision-free case."""
+        from video3d_tpu.ops.mc_select import greedy_select_frames
+        from video3d_tpu.tools.max_coverage import greedy_max_coverage
+
+        rng = np.random.default_rng(0)
+        V, N = 5, 200
+        frame_vox = rng.integers(0, 12, size=(V, N, 3)).astype(np.int32)
+        scene_vox = np.unique(frame_vox.reshape(-1, 3), axis=0)
+
+        # table_bits=24 -> negligible collision probability for ~750 voxels
+        order, gains, num_all = greedy_select_frames(
+            jnp.asarray(frame_vox), jnp.asarray(scene_vox), max_frames=V,
+            table_bits=24)
+
+        fv = {i: set(map(tuple, frame_vox[i].reshape(-1, 3).tolist()))
+              for i in range(V)}
+        pc = set(map(tuple, scene_vox.tolist()))
+
+        # host greedy with first-index tie break for comparability
+        import random
+
+        class FirstChoice(random.Random):
+            def choice(self, seq):
+                return seq[0]
+
+        h_order, h_gains = greedy_max_coverage(fv, pc, max_frames=V,
+                                               rng=FirstChoice())
+        assert [int(x) for x in order] == list(h_order)
+        assert [int(x) for x in gains] == list(h_gains)
+        assert int(num_all) == len(pc)
+
+    def test_prefix_by_ratio(self):
+        from video3d_tpu.ops.mc_select import select_prefix_by_ratio
+
+        order = np.array([3, 0, 2, 1], np.int32)
+        gains = np.array([50, 30, 15, 5], np.int32)
+        picked = select_prefix_by_ratio(order, gains, 100, 0.9)
+        assert picked == [0, 2, 3]  # 50+30+15 >= 90, sorted chronologically
+
+    def test_hash_distributes(self):
+        from video3d_tpu.ops.mc_select import hash_voxels
+
+        vox = jnp.asarray(np.mgrid[0:20, 0:20, 0:5].reshape(3, -1).T)
+        h = np.asarray(hash_voxels(vox))
+        assert h.min() >= 0 and h.max() < (1 << 20)
+        # collision rate tiny for 2000 voxels in 1M buckets
+        assert len(np.unique(h)) > 0.995 * len(h)
+
+
+class TestWeightDelta:
+    def test_delta_roundtrip(self):
+        from video3d_tpu.tools.weight_delta import apply_delta, make_delta
+
+        base = {"w": jnp.ones((3, 2)), "nested": {"b": jnp.zeros((4,))}}
+        tuned = {"w": jnp.full((3, 2), 2.5), "nested": {"b": jnp.ones((4,))}}
+        delta = make_delta(tuned, base)
+        back = apply_delta(base, delta)
+        for a, b in zip(jax.tree_util.tree_leaves(back),
+                        jax.tree_util.tree_leaves(tuned)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_vocab_extension_rows_kept(self):
+        from video3d_tpu.tools.weight_delta import apply_delta, make_delta
+
+        base = {"embed": jnp.ones((10, 4))}
+        tuned = {"embed": jnp.concatenate(
+            [jnp.full((10, 4), 3.0), jnp.full((2, 4), 7.0)])}  # +2 tokens
+        delta = make_delta(tuned, base)
+        assert delta["embed"].shape == (12, 4)
+        np.testing.assert_allclose(np.asarray(delta["embed"][10:]), 7.0)
+        back = apply_delta(base, delta)
+        np.testing.assert_allclose(np.asarray(back["embed"]), np.asarray(tuned["embed"]))
