@@ -78,18 +78,24 @@ def bench_tpu():
         mask = jnp.tril(jnp.ones((PREFILL_LEN, PREFILL_LEN), bool))[None]
         hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds, pos,
                                         attn_mask=mask)
-        return hidden[:, 16 + n_vis]
+        # scalar output: device->host fetch of one float is the only reliable
+        # sync point on the remote-tunnel platform (block_until_ready is a
+        # no-op there); summing ties the result to the whole graph.
+        return jnp.sum(hidden[:, 16 + n_vis].astype(jnp.float32))
 
     jfn = jax.jit(pipeline)
     args = (params, jnp.asarray(depths), jnp.asarray(intr),
             jnp.asarray(poses), jnp.asarray(images))
-    jfn(*args)[0].block_until_ready()          # compile
+    float(jfn(*args))                           # compile + first run
     iters = 10
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for _ in range(iters):
-        out = jfn(*args)
-    out.block_until_ready()
+        # chain a data dependency so no execution can be elided or reordered
+        acc = acc + jfn(*args)
+    total = float(acc)                          # one round-trip syncs all
     dt = (time.perf_counter() - t0) / iters
+    assert total == total, "NaN in benchmark output"
     return V_FRAMES / dt
 
 

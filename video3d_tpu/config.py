@@ -153,6 +153,17 @@ class VisionConfig:
 
 
 @dataclass(frozen=True)
+class MoEConfig:
+    """Qwen2-MoE block (HF qwen2_moe; reference llava_qwen_moe wrapper)."""
+
+    num_experts: int = 8
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 64
+    shared_expert_intermediate_size: int = 64
+    norm_topk_prob: bool = False
+
+
+@dataclass(frozen=True)
 class LLMConfig:
     """Qwen2-7B-Instruct decoder (qwen2/modeling_qwen2.py)."""
 
@@ -168,6 +179,7 @@ class LLMConfig:
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = False
     attention_bias: bool = True   # Qwen2 has qkv bias; LLaMA-family does not
+    moe: Optional[MoEConfig] = None   # sparse-MoE MLP when set
     # 3-axis mRoPE split of the 64 rotary freqs (modeling_qwen2.py:162)
     mrope_section: Tuple[int, int, int] = (32, 16, 16)
 

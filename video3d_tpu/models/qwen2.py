@@ -152,9 +152,14 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
     x = x + attn.reshape(B, L, D) @ p["attn"]["wo"]
 
     h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(h @ p["mlp"]["w_gate"])
-    up = h @ p["mlp"]["w_up"]
-    x = x + (gate * up) @ p["mlp"]["w_down"]
+    if "moe" in p:     # sparse-MoE layer (models/moe.py)
+        from video3d_tpu.models.moe import moe_block
+
+        x = x + moe_block(p["moe"], h, cfg.moe)
+    else:
+        gate = jax.nn.silu(h @ p["mlp"]["w_gate"])
+        up = h @ p["mlp"]["w_up"]
+        x = x + (gate * up) @ p["mlp"]["w_down"]
     return x, new_kv
 
 

@@ -25,19 +25,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
-                devices=None) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the available devices.
+                ep: int = 1, devices=None) -> Mesh:
+    """Build a (dp, fsdp, ep, tp) mesh over the available devices.
 
-    fsdp defaults to n_devices // (dp * tp) so the mesh always covers every
-    device (v5e-8 default: (1, 8, 1)).
+    fsdp defaults to n_devices // (dp * ep * tp) so the mesh always covers
+    every device (v5e-8 default: (1, 8, 1, 1)). ``ep`` shards MoE expert
+    banks; keep it 1 for dense models.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp is None:
-        fsdp = n // (dp * tp)
-    assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+        fsdp = n // (dp * tp * ep)
+    assert dp * fsdp * ep * tp == n, (dp, fsdp, ep, tp, n)
+    arr = np.asarray(devices).reshape(dp, fsdp, ep, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "ep", "tp"))
 
 
 # Path-pattern -> PartitionSpec rules. First match wins. Paths look like
@@ -50,6 +51,11 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # LLM MLP: SwiGLU hidden dim over tp
     (r"llm/layers/\d+/mlp/w_(gate|up)$", P("fsdp", "tp")),
     (r"llm/layers/\d+/mlp/w_down$", P("tp", "fsdp")),
+    # MoE expert banks: experts over ep, hidden dim over tp
+    (r"llm/layers/\d+/moe/experts/w_(gate|up)$", P("ep", "fsdp", "tp")),
+    (r"llm/layers/\d+/moe/experts/w_down$", P("ep", "tp", "fsdp")),
+    (r"llm/layers/\d+/moe/shared/w_(gate|up)$", P("fsdp", "tp")),
+    (r"llm/layers/\d+/moe/shared/w_down$", P("tp", "fsdp")),
     # Embeddings / head: big tables sharded both ways
     (r"llm/embed_tokens$", P("tp", "fsdp")),
     (r"llm/lm_head$", P("fsdp", "tp")),
