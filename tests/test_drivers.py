@@ -112,3 +112,59 @@ class TestGroundingDriver:
         assert len(rec["scores"]) == len(rec["objects"]) + 1
         out = protocols.multi3drefer_metrics([rec])
         assert "all@F1_0.25" in out
+
+
+class TestDeviceGeometryPath:
+    def test_device_geometry_answers_match_host(self, env):
+        """device_geometry=True (fused kernel, interpret on CPU) produces the
+        same greedy answer as the host path — the voxel ids agree."""
+        from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
+
+        info, host_engine, tok, outdir = env
+        dev_engine = InferenceEngine(
+            host_engine.params, CFG, tok, host_engine.vp, host_engine.ip,
+            host_engine.ecfg, device_geometry=True)
+        q = scanqa_question(info)
+        a_host = host_engine.generate_answer(q)
+        a_dev = dev_engine.generate_answer(q)
+        assert a_dev == a_host
+
+    def test_eval_during_training(self, env, tmp_path):
+        from video3d_tpu.config import DataConfig
+        from video3d_tpu.data.dataset import (Collator, CollatorConfig,
+                                              SupervisedDataset)
+        from video3d_tpu.data.image_processor import SigLipImageProcessor
+        from video3d_tpu.train.optim import OptimConfig
+        from video3d_tpu.train.trainer import Trainer, TrainingConfig
+        from video3d_tpu.parallel.mesh import create_mesh
+        from fixtures import make_fake_annotations
+        import jax
+
+        info, engine, tok, outdir = env
+        root = os.path.dirname(os.path.dirname(
+            engine.vp.cfg.annotation_dir.rstrip("/")))
+        ann = make_fake_annotations(engine.vp.cfg.video_folder,
+                                    info["sample_idx"], n=2)
+        dc = engine.vp.cfg
+        ds = SupervisedDataset(ann, tok, dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(max_len=160, frames_upbound=3))
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        trainer = Trainer(CFG, engine.params, ds, col,
+                          OptimConfig(total_steps=2),
+                          TrainingConfig(output_dir=str(tmp_path), bf16=False),
+                          mesh=mesh)
+        out = trainer.evaluate(max_batches=1)
+        assert np.isfinite(out["eval_loss"]) and out["eval_batches"] == 1
+
+    def test_run_vqa(self, env, tmp_path):
+        from video3d_tpu.eval.drivers import run_vqa
+        import json
+
+        info, engine, tok, outdir = env
+        q = {"id": "v0", "video": info["sample_idx"],
+             "conversations": [{"from": "human", "value": "<image>\ndescribe"}]}
+        f = str(tmp_path / "vqa.jsonl")
+        run_vqa(engine, [q], f)
+        rec = json.loads(open(f).readline())
+        assert "pred_response" in rec and rec["gt_response"] is None

@@ -61,12 +61,21 @@ SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
 
 
 class InferenceEngine:
-    """One-model inference wrapper used by all five drivers."""
+    """One-model inference wrapper used by all five drivers.
+
+    ``device_geometry=True`` (default on TPU) loads raw depths/poses and runs
+    the decode -> unproject -> pool -> voxelize chain through the fused
+    Pallas kernel instead of host numpy — the reference's CPU dataloader hot
+    loop moved on-device (SURVEY.md §3.1). Grounding drivers always take the
+    host path since they need full-resolution world coords for the object
+    patch masks.
+    """
 
     def __init__(self, params, model_cfg: ModelConfig, tokenizer,
                  video_processor: VideoProcessor,
                  image_processor: Optional[SigLipImageProcessor] = None,
-                 engine_cfg: Optional[EngineConfig] = None):
+                 engine_cfg: Optional[EngineConfig] = None,
+                 device_geometry: Optional[bool] = None):
         self.params = params
         self.cfg = model_cfg
         self.tokenizer = tokenizer
@@ -74,10 +83,50 @@ class InferenceEngine:
         self.ip = image_processor or SigLipImageProcessor(
             size=(model_cfg.vision.image_size,) * 2)
         self.ecfg = engine_cfg or EngineConfig()
+        if device_geometry is None:
+            import jax
+
+            device_geometry = jax.default_backend() not in ("cpu",)
+        self.device_geometry = device_geometry
 
     # ------------- shared assembly -------------
 
-    def _video_arrays(self, video_id: str, box_input=None):
+    def _discretize_box(self, box_input):
+        vox = self.cfg.world_3d.voxel
+        if box_input is None or not self.cfg.world_3d.discrete:
+            return box_input
+        box_input = np.clip(box_input, vox.min_xyz_range, vox.max_xyz_range)
+        return np.round((box_input - np.asarray(vox.min_xyz_range, np.float32))
+                        / vox.voxel_size)
+
+    def _video_arrays_device(self, video_id: str, box_input=None):
+        """TPU fast path: fused geometry kernel for the patch voxel coords."""
+        from video3d_tpu.kernels.fused_geometry import fused_patch_voxel_coords
+
+        mc = self.cfg
+        S = mc.vision.image_size
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        Vmax = self.ecfg.max_frames
+        raw = self.vp.load_raw(video_id, self.ip, force_sample=True,
+                               frames_upbound=Vmax)
+        V = raw["video_size"]
+        images = np.zeros((1, Vmax, 3, S, S), np.float32)
+        images[0, :V] = raw["images"][:V]
+        vox = mc.world_3d.voxel
+        patch = fused_patch_voxel_coords(
+            jnp.asarray(raw["depths"]), jnp.asarray(raw["intrinsic"]),
+            jnp.asarray(raw["poses"]), crop=S, grid=g,
+            min_xyz=vox.min_xyz_range, max_xyz=vox.max_xyz_range,
+            voxel=vox.voxel_size, discretize=mc.world_3d.discrete)
+        patch_full = np.zeros((1, Vmax, g, g, 3), np.float32)
+        patch_full[0, :V] = np.asarray(patch)
+        return raw, V, images, None, patch_full, self._discretize_box(box_input)
+
+    def _video_arrays(self, video_id: str, box_input=None,
+                      need_full_coords: bool = False):
+        if self.device_geometry and not need_full_coords \
+                and self.cfg.world_3d.pooling.n_points == 1:
+            return self._video_arrays_device(video_id, box_input)
         vd = self.vp.process_3d_video(video_id, self.ip, force_sample=True,
                                       frames_upbound=self.ecfg.max_frames)
         V = vd["video_size"]
@@ -99,12 +148,8 @@ class InferenceEngine:
             patch = np.clip(patch, vox.min_xyz_range, vox.max_xyz_range)
             patch = np.round((patch - np.asarray(vox.min_xyz_range, np.float32))
                              / vox.voxel_size)
-            if box_input is not None:
-                box_input = np.clip(box_input, vox.min_xyz_range, vox.max_xyz_range)
-                box_input = np.round(
-                    (box_input - np.asarray(vox.min_xyz_range, np.float32))
-                    / vox.voxel_size)
-        return vd, V, images, coords_full, patch.astype(np.float32), box_input
+        return (vd, V, images, coords_full, patch.astype(np.float32),
+                self._discretize_box(box_input))
 
     def _question_text(self, record) -> str:
         qs = record["conversations"][0]["value"]
@@ -168,7 +213,8 @@ class InferenceEngine:
                               has_image=True)
         ids = tok["input_ids"][0].tolist()
         labels = tok["labels"][0].tolist()
-        vd, V, images, coords_full, patch, _ = self._video_arrays(record["video"])
+        vd, V, images, coords_full, patch, _ = self._video_arrays(
+            record["video"], need_full_coords=True)
         batch, plan = self._build_batch(ids, labels, V, images, patch)
 
         objects = np.asarray(vd["objects"], np.float32).reshape(-1, 6)
@@ -262,6 +308,25 @@ def run_scanrefer(engine: InferenceEngine, questions: Sequence[dict],
             "gt_response": line["metadata"]["gt_box"] if "gt_box" in line["metadata"]
             else line.get("box"),
             "question_type": line["metadata"].get("question_type"),
+        })
+    return times
+
+
+def run_vqa(engine: InferenceEngine, questions: Sequence[dict],
+            answer_file: str) -> List[float]:
+    """Generic VQA driver (model_vqa.py equivalent): free-form prompts over
+    scenes, no gt assumptions."""
+    times = []
+    for line in questions:
+        t0 = time.time()
+        text = engine.generate_answer(line)
+        times.append(time.time() - t0)
+        _append_jsonl(answer_file, {
+            "sample_id": line.get("id"),
+            "prompt": line["conversations"][0]["value"],
+            "pred_response": text,
+            "gt_response": (line["conversations"][1].get("value")
+                            if len(line["conversations"]) > 1 else None),
         })
     return times
 

@@ -18,7 +18,7 @@ outside the kernel (one cheap XLA gather on int32).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,21 +89,32 @@ def _fused_kernel(scalars_ref, depth_ref, pose_ref, out_ref, *,
     out_ref[0] = out.at[:, :3].set(world)
 
 
-@functools.partial(jax.jit, static_argnames=("crop", "grid", "discretize",
-                                             "min_xyz", "max_xyz", "voxel",
-                                             "interpret"))
-def fused_patch_voxel_coords(depths: jax.Array, intrinsic: jax.Array,
-                             poses: jax.Array, crop: int = 384,
+def fused_patch_voxel_coords(depths, intrinsic, poses, crop: int = 384,
                              grid: int = 14,
                              min_xyz: Tuple[float, float, float] = (-15, -15, -5),
                              max_xyz: Tuple[float, float, float] = (15, 15, 5),
                              voxel: float = 0.1, discretize: bool = True,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: Optional[bool] = None) -> jax.Array:
     """(V, H, W) raw depths -> (V, grid, grid, 3) per-patch voxel indices.
 
     Equivalent to unproject -> resize_nearest -> center_crop ->
     average_coordinate_in_patch -> discrete_coords, fused per frame.
+    Runs the Pallas kernel compiled on TPU; interpret mode on CPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fused_patch_voxel_coords(depths, intrinsic, poses, crop, grid,
+                                     tuple(min_xyz), tuple(max_xyz), voxel,
+                                     discretize, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "grid", "discretize",
+                                             "min_xyz", "max_xyz", "voxel",
+                                             "interpret"))
+def _fused_patch_voxel_coords(depths: jax.Array, intrinsic: jax.Array,
+                              poses: jax.Array, crop: int, grid: int,
+                              min_xyz, max_xyz, voxel: float,
+                              discretize: bool, interpret: bool) -> jax.Array:
     V, H, W = depths.shape
     patch = crop // grid
     rows, cols = _src_maps(H, W, crop)

@@ -85,7 +85,9 @@ def build_optimizer(params, cfg: OptimConfig) -> optax.GradientTransformation:
     def adamw(lr):
         return optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps),
+            # f32 first moment even under bf16 params (mixed-precision Adam)
+            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                eps=cfg.adam_eps, mu_dtype=jnp.float32),
             optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
             optax.scale_by_schedule(cosine_warmup_schedule(cfg, 1.0)),
             optax.scale(-lr),

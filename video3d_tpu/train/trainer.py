@@ -152,6 +152,28 @@ class Trainer:
         batch = lv3d.Batch(**model_fields)
         return shard_batch(batch, self.mesh)
 
+    # ------------- evaluation (llava_trainer_eval.py equivalent) -------------
+
+    def evaluate(self, eval_dataset=None, max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Mean LM loss over an eval dataset (no updates)."""
+        dataset = eval_dataset or self.dataset
+        bs = self.tcfg.per_device_batch_size * self.mesh.devices.size
+
+        @jax.jit
+        def eval_loss(params, batch):
+            return loss_fn(params, self.cfg, batch, remat=False)[0]
+
+        losses = []
+        with self.mesh:
+            for s in range(0, len(dataset) - bs + 1, bs):
+                if max_batches is not None and len(losses) >= max_batches:
+                    break
+                samples = [dataset[i] for i in range(s, s + bs)]
+                batch = self._to_batch(self.collator(samples))
+                losses.append(float(eval_loss(self.state.params, batch)))
+        return {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
+                "eval_batches": len(losses)}
+
     # ------------- main loop -------------
 
     def train(self, resume: bool = True) -> TrainState:
