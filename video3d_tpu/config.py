@@ -218,9 +218,20 @@ class ModelConfig:
         pooled = -(-side // self.spatial_pool_stride)  # ceil -> 14
         if self.newline_position == NewlinePosition.GRID:
             return pooled * (pooled + 1)  # 14*15 = 210
-        if self.newline_position == NewlinePosition.NO_TOKEN:
-            return pooled * pooled
+        if self.newline_position == NewlinePosition.FRAME:
+            return pooled * pooled + 1
+        if self.newline_position == NewlinePosition.ONE_TOKEN:
+            raise NotImplementedError(
+                "one_token adds a single global token, not a per-frame count; "
+                "use total_vision_tokens()")
         return pooled * pooled
+
+    def total_vision_tokens(self, num_frames: int) -> int:
+        if self.newline_position == NewlinePosition.ONE_TOKEN:
+            side = self.vision.num_patches_per_side
+            pooled = -(-side // self.spatial_pool_stride)
+            return num_frames * pooled * pooled + 1
+        return num_frames * self.tokens_per_frame
 
     @classmethod
     def tiny(cls) -> "ModelConfig":

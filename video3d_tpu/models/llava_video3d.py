@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from video3d_tpu.config import (CoordPooling, GroundHeadType, ModelConfig,
-                                ObjectFeatureType, PosEmbedType)
+                                NewlinePosition, ObjectFeatureType,
+                                PosEmbedType)
 from video3d_tpu.constants import IGNORE_INDEX
 from video3d_tpu.models import qwen2, siglip
 from video3d_tpu.models.splice import KIND_PAD, KIND_TEXT, KIND_VISION
@@ -40,7 +41,13 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 def project_features(p: Params, x: jax.Array) -> jax.Array:
-    """mlp2x_gelu: Linear -> exact (erf) GELU -> Linear (builder.py:47-55)."""
+    """mm projector variants (multimodal_projector/builder.py:32-65):
+    mlp2x_gelu (Linear -> erf GELU -> Linear) when w2 present, plain linear
+    when only w1, identity when empty."""
+    if not p:                      # identity (builder.py 'identity')
+        return x
+    if "w2" not in p:              # linear (builder.py 'linear')
+        return x @ p["w1"] + p["b1"]
     h = jax.nn.gelu(x @ p["w1"] + p["b1"], approximate=False)
     return h @ p["w2"] + p["b2"]
 
@@ -135,13 +142,25 @@ def encode_video(params: Params, cfg: ModelConfig,
                                       cfg, n_points)
         pooled = pooled + pe.reshape(B, V, g * g, -1).astype(pooled.dtype)
 
-    # Grid-newline layout (llava_arch.py:307-328): rows of g patches, one
-    # newline token per row, frame-major.
+    # Newline layout (llava_arch.py:307-334 + :534-569):
+    #   GRID: one newline token per g-patch row (flagship, 210 tokens/frame)
+    #   FRAME: one newline token after each frame
+    #   ONE_TOKEN: single trailing newline token; NO_TOKEN: none.
     D = pooled.shape[-1]
-    grid = pooled.reshape(B, V, g, g, D)
-    newline = jnp.broadcast_to(
-        params["image_newline"].astype(pooled.dtype), (B, V, g, 1, D))
-    spliceable = jnp.concatenate([grid, newline], axis=3).reshape(B, -1, D)
+    nl = params["image_newline"].astype(pooled.dtype)
+    if cfg.newline_position == NewlinePosition.GRID:
+        grid = pooled.reshape(B, V, g, g, D)
+        newline = jnp.broadcast_to(nl, (B, V, g, 1, D))
+        spliceable = jnp.concatenate([grid, newline], axis=3).reshape(B, -1, D)
+    elif cfg.newline_position == NewlinePosition.FRAME:
+        newline = jnp.broadcast_to(nl, (B, V, 1, D))
+        spliceable = jnp.concatenate([pooled, newline], axis=2).reshape(B, -1, D)
+    elif cfg.newline_position == NewlinePosition.ONE_TOKEN:
+        flat = pooled.reshape(B, -1, D)
+        spliceable = jnp.concatenate(
+            [flat, jnp.broadcast_to(nl, (B, 1, D))], axis=1)
+    else:  # NO_TOKEN
+        spliceable = pooled.reshape(B, -1, D)
     return VisionTokens(spliceable=spliceable, pooled=pooled, raw=raw)
 
 
@@ -236,37 +255,79 @@ def object_features_from_masks(feats: jax.Array, masks: jax.Array) -> Tuple[jax.
     return sums / jnp.maximum(counts, 1.0)[:, None], valid
 
 
-def _ground_mlp(p: Params, x: jax.Array) -> jax.Array:
-    """Linear -> ReLU -> LayerNorm -> Linear (llava_qwen.py:100-111)."""
-    h = jax.nn.relu(x @ p["w1"] + p["b1"])
+def _layernorm(h, scale, bias):
     h32 = h.astype(jnp.float32)
     mean = h32.mean(-1, keepdims=True)
     var = ((h32 - mean) ** 2).mean(-1, keepdims=True)
-    h = ((h32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["ln_scale"] + p["ln_bias"]).astype(x.dtype)
+    return ((h32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias).astype(h.dtype)
+
+
+def _ground_mlp(p: Params, x: jax.Array) -> jax.Array:
+    """Linear -> ReLU -> LayerNorm -> Linear (infonce/mlp heads,
+    llava_qwen.py:66-71,100-111)."""
+    h = jax.nn.relu(x @ p["w1"] + p["b1"])
+    h = _layernorm(h, p["ln_scale"], p["ln_bias"])
+    return h @ p["w2"] + p["b2"]
+
+
+def _ground_mlp_ln_first(p: Params, x: jax.Array) -> jax.Array:
+    """Linear -> LayerNorm -> ReLU -> Linear (score head, llava_qwen.py:74-91)."""
+    h = x @ p["w1"] + p["b1"]
+    h = jax.nn.relu(_layernorm(h, p["ln_scale"], p["ln_bias"]))
     return h @ p["w2"] + p["b2"]
 
 
 def ground_scores(params: Params, query_hidden: jax.Array,
                   object_feats: jax.Array, object_valid: jax.Array,
                   cfg: ModelConfig) -> jax.Array:
-    """InfoNCE grounding scores (llava_qwen.py:294-300).
+    """Grounding scores by head type (llava_qwen.py:283-300).
 
     Args:
       query_hidden: (D,) hidden state at the <ground> token.
       object_feats: (N, D); object_valid: (N,) bool (padding mask).
     Returns:
-      (N+1,) cosine scores; slot N is the learned zero-target. Invalid
-      (padded) objects score -inf so softmax/argmax ignore them.
+      infonce: (N+1,) cosine scores, slot N = learned zero-target;
+      mlp / score: (N,) raw scores. Invalid (padded) objects score -inf.
     """
     gh = params["ground_head"]
-    feats = jnp.concatenate([object_feats, gh["zero_target"][None].astype(object_feats.dtype)], axis=0)
-    obj = _ground_mlp(gh["obj"], feats)
-    qry = _ground_mlp(gh["query"], query_hidden[None])
-    obj = obj / jnp.linalg.norm(obj.astype(jnp.float32), axis=-1, keepdims=True).astype(obj.dtype)
-    qry = qry / jnp.linalg.norm(qry.astype(jnp.float32), axis=-1, keepdims=True).astype(qry.dtype)
-    scores = (obj * qry).sum(-1)
-    valid = jnp.concatenate([object_valid, jnp.ones((1,), bool)])
-    return jnp.where(valid, scores, -jnp.inf)
+    if cfg.ground_head == GroundHeadType.INFONCE:
+        feats = jnp.concatenate(
+            [object_feats, gh["zero_target"][None].astype(object_feats.dtype)], axis=0)
+        obj = _ground_mlp(gh["obj"], feats)
+        qry = _ground_mlp(gh["query"], query_hidden[None])
+        obj = obj / jnp.linalg.norm(obj.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(obj.dtype)
+        qry = qry / jnp.linalg.norm(qry.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(qry.dtype)
+        scores = (obj * qry).sum(-1)
+        valid = jnp.concatenate([object_valid, jnp.ones((1,), bool)])
+        return jnp.where(valid, scores, -jnp.inf)
+    if cfg.ground_head == GroundHeadType.MLP:
+        # hidden -> MLP -> dot with object features (llava_qwen.py:283-285)
+        q = _ground_mlp(gh["query"], query_hidden[None])[0]
+        scores = (object_feats * q).sum(-1)
+        return jnp.where(object_valid, scores, -jnp.inf)
+    if cfg.ground_head == GroundHeadType.SCORE:
+        # obj/query MLPs -> elementwise product -> scoring MLP (:287-292)
+        obj = _ground_mlp_ln_first(gh["obj"], object_feats)
+        qry = _ground_mlp_ln_first(gh["query"], query_hidden[None])
+        mul = obj * qry
+        scores = (_ground_mlp_ln_first(gh["score"], mul))[:, 0]
+        return jnp.where(object_valid, scores, -jnp.inf)
+    raise ValueError(cfg.ground_head)
+
+
+def bce_ground_loss(scores: jax.Array, target_multi_hot: jax.Array) -> jax.Array:
+    """Weighted BCE for mlp/score heads (llava_qwen.py:313-322): positives
+    reweighted by (N - P) / P."""
+    valid = jnp.isfinite(scores)
+    s = jnp.where(valid, scores, 0.0).astype(jnp.float32)
+    t = target_multi_hot[: scores.shape[0]].astype(jnp.float32)
+    n_pos = (t * valid).sum()
+    n = valid.sum()
+    weight = jnp.where(t > 0, jnp.where(n_pos > 0, (n - n_pos) / jnp.maximum(n_pos, 1), 1.0), 1.0)
+    bce = jnp.maximum(s, 0) - s * t + jnp.log1p(jnp.exp(-jnp.abs(s)))
+    return (bce * weight * valid).sum() / jnp.maximum(valid.sum(), 1)
 
 
 def infonce_loss(scores: jax.Array, target_multi_hot: jax.Array,
@@ -280,22 +341,37 @@ def infonce_loss(scores: jax.Array, target_multi_hot: jax.Array,
     return log_all - log_pos
 
 
-def init_ground_head(key: jax.Array, hidden: int, dtype=jnp.float32) -> Params:
+def init_ground_head(key: jax.Array, hidden: int, dtype=jnp.float32,
+                     head_type: GroundHeadType = GroundHeadType.INFONCE) -> Params:
     ks = jax.random.split(key, 5)
 
-    def mlp(k):
+    def mlp(k, din, dout):
         k1, k2 = jax.random.split(k)
         return {
-            "w1": 0.02 * jax.random.normal(k1, (hidden, hidden), dtype),
-            "b1": jnp.zeros((hidden,), dtype),
-            "ln_scale": jnp.ones((hidden,), dtype),
-            "ln_bias": jnp.zeros((hidden,), dtype),
-            "w2": 0.02 * jax.random.normal(k2, (hidden, hidden), dtype),
-            "b2": jnp.zeros((hidden,), dtype),
+            "w1": 0.02 * jax.random.normal(k1, (din, dout), dtype),
+            "b1": jnp.zeros((dout,), dtype),
+            "ln_scale": jnp.ones((dout,), dtype),
+            "ln_bias": jnp.zeros((dout,), dtype),
+            "w2": 0.02 * jax.random.normal(k2, (dout, dout), dtype),
+            "b2": jnp.zeros((dout,), dtype),
         }
 
-    return {"obj": mlp(ks[0]), "query": mlp(ks[1]),
-            "zero_target": jax.random.normal(ks[2], (hidden,), dtype)}
+    if head_type == GroundHeadType.INFONCE:
+        return {"obj": mlp(ks[0], hidden, hidden),
+                "query": mlp(ks[1], hidden, hidden),
+                "zero_target": jax.random.normal(ks[2], (hidden,), dtype)}
+    if head_type == GroundHeadType.MLP:
+        return {"query": mlp(ks[1], hidden, hidden)}
+    if head_type == GroundHeadType.SCORE:
+        head = {"obj": mlp(ks[0], hidden, 1024),
+                "query": mlp(ks[1], hidden, 1024),
+                "score": mlp(ks[2], 1024, 1024)}
+        # scoring MLP projects to a single logit
+        k1, _ = jax.random.split(ks[3])
+        head["score"]["w2"] = 0.02 * jax.random.normal(k1, (1024, 1), dtype)
+        head["score"]["b2"] = jnp.zeros((1,), dtype)
+        return head
+    raise ValueError(head_type)
 
 
 # ---------------------------------------------------------------------------
@@ -417,8 +493,9 @@ def init_model(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
         "image_newline": 0.02 * jax.random.normal(ks[2], (cfg.llm.hidden_size,), dtype),
         "llm": qwen2.init_qwen2(ks[3], cfg.llm, dtype),
     }
-    if cfg.ground_head == GroundHeadType.INFONCE:
-        params["ground_head"] = init_ground_head(ks[4], cfg.llm.hidden_size, dtype)
+    if cfg.ground_head != GroundHeadType.NONE:
+        params["ground_head"] = init_ground_head(ks[4], cfg.llm.hidden_size,
+                                                 dtype, cfg.ground_head)
     if cfg.world_3d.pos_embed == PosEmbedType.MLP:
         from video3d_tpu.ops.pos_embed import init_mlp_position_embedding
         params["world_pe_mlp"] = init_mlp_position_embedding(
