@@ -12,44 +12,11 @@ from video3d_tpu.kernels.attention import mha_reference
 
 
 def flash_interpret(q, k, v, block_q=64, block_k=64):
-    """Invoke the kernel with interpret=True via a thin monkeypatch."""
-    import functools
+    """Run the production kernel in Pallas interpreter mode."""
+    from video3d_tpu.kernels.flash_attention import flash_attention
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from video3d_tpu.kernels import flash_attention as fa
-
-    B, L, H, hd = q.shape
-    S, KV = k.shape[1], k.shape[2]
-    group = H // KV
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
-
-    def kv_index(bh, qi, ki):
-        b, h = bh // H, bh % H
-        return (b * KV + h // group, ki, 0)
-
-    out = pl.pallas_call(
-        functools.partial(fa._flash_kernel, sm_scale=hd ** -0.5,
-                          block_q=block_q, block_k=block_k, causal=True),
-        grid=(B * H, L // block_q, S // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, hd), kv_index),
-            pl.BlockSpec((1, block_k, hd), kv_index),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
-        ],
-        interpret=True,
-    )(qf, kf, vf)
-    return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)
+    return flash_attention(q, k, v, block_q=block_q, block_k=block_k,
+                           interpret=True)
 
 
 class TestFlashKernel:
@@ -88,3 +55,25 @@ class TestFlashKernel:
         ref = np.asarray(mha_reference(q, k, v, causal=True)).astype(np.float32)
         got = np.asarray(flash_interpret(q, k, v)).astype(np.float32)
         np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+
+
+class TestLengthMasking:
+    def test_lengths_match_reference(self):
+        """Per-sample right-pad masking agrees with the jnp reference at
+        valid query rows."""
+        rng = np.random.default_rng(3)
+        B, L, H, KV, hd = 2, 128, 2, 1, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        lengths = jnp.asarray([100, 64], jnp.int32)
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        got = np.asarray(flash_attention(q, k, v, lengths=lengths,
+                                         block_q=64, block_k=64,
+                                         interpret=True))
+        ref = np.asarray(mha_reference(q, k, v, causal=True, kv_len=lengths))
+        for b, n in enumerate([100, 64]):
+            np.testing.assert_allclose(got[b, :n], ref[b, :n],
+                                       rtol=2e-4, atol=2e-4)
+        assert np.isfinite(got).all()   # padded rows finite (not NaN)

@@ -59,14 +59,14 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     scores = jnp.einsum("blhd,bshd->bhls", q, k).astype(jnp.float32) * (hd ** -0.5)
 
     allow = jnp.ones((B, L, S), bool)
+    slots = jnp.arange(S)[None, None, :]
     if q_positions is not None:
-        slots = jnp.arange(S)[None, None, :]
         allow = slots <= q_positions[:, :, None]
-        if kv_len is not None:
-            allow = allow & (slots < kv_len[:, None, None])
     elif causal:
         allow = (jnp.arange(S)[None, None, :] <= jnp.arange(L)[None, :, None] + (S - L))
         allow = jnp.broadcast_to(allow, (B, L, S))
+    if kv_len is not None:
+        allow = allow & (slots < kv_len[:, None, None])
     if mask is not None:
         allow = allow & mask
 
@@ -80,8 +80,11 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         causal: bool = True,
         q_positions: Optional[jax.Array] = None,
         kv_len: Optional[jax.Array] = None) -> jax.Array:
-    """Backend-dispatching attention; see :func:`mha_reference` for args."""
-    # Pallas flash path: TPU, long-enough sequences, no arbitrary dense mask.
+    """Backend-dispatching attention; see :func:`mha_reference` for args.
+
+    The Pallas flash path handles the production prefill/training case:
+    causal, right-padded (per-sample ``kv_len``), no arbitrary dense mask.
+    """
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
     except RuntimeError:
@@ -90,6 +93,6 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
     if (on_tpu and mask is None and q_positions is None and causal
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
         from video3d_tpu.kernels.flash_attention import flash_attention
-        return flash_attention(q, k, v, causal=True)
+        return flash_attention(q, k, v, lengths=kv_len, causal=True)
     return mha_reference(q, k, v, mask=mask, causal=causal,
                          q_positions=q_positions, kv_len=kv_len)

@@ -24,10 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, sm_scale: float, block_q: int, block_k: int,
-                  causal: bool):
+                  causal: bool, use_lengths: bool):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -40,6 +40,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
 
     # Causal: skip k blocks whose first row is strictly beyond the last query.
     run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
+    if use_lengths:
+        # also skip k blocks entirely beyond this sample's valid prefix
+        run = run & (ki * block_k < len_ref[0])
 
     @pl.when(run)
     def _step():
@@ -51,10 +54,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale   # (bq, bk)
 
-        if causal:
+        if causal or use_lengths:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(cols <= rows, s, NEG_INF)
+            allow = cols <= rows if causal else (cols == cols)
+            if use_lengths:
+                allow = allow & (cols < len_ref[0])
+            s = jnp.where(allow, s, NEG_INF)
 
         m_prev = m_scratch[:]                        # (bq, 128) replicated
         l_prev = l_scratch[:]
@@ -73,19 +79,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        # Fully-masked rows (can't happen for causal L==S) would have l=0.
-        l = l_scratch[:, :1]
+        # Rows past a sample's length get uniform garbage (finite; callers
+        # never read padded positions). Guard l against 0 anyway.
+        l = jnp.maximum(l_scratch[:, :1], 1e-30)
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
+                                             "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    lengths: jax.Array = None,
                     causal: bool = True,
-                    block_q: int = 256, block_k: int = 512) -> jax.Array:
-    """Causal flash attention.
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    """Causal flash attention with optional per-sample key-length masking.
 
     Args:
       q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0, L == S.
+      lengths: optional (B,) int32 — keys at s >= lengths[b] are masked
+        (right-padded batches). Outputs at padded query rows are garbage but
+        finite; callers mask them.
     Returns:
       (B, L, H, hd) in q.dtype.
     """
@@ -100,6 +113,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
     kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
     vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    use_lengths = lengths is not None
+    if lengths is None:
+        lengths = jnp.full((B,), S, jnp.int32)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)            # (B*H,)
 
     def kv_index(bh, qi, ki):
         b, h = bh // H, bh % H
@@ -108,9 +125,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     grid = (B * H, L // block_q, S // block_k)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, sm_scale=hd ** -0.5,
-                          block_q=block_q, block_k=block_k, causal=causal),
+                          block_q=block_q, block_k=block_k, causal=causal,
+                          use_lengths=use_lengths),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1,), lambda bh, qi, ki: (bh,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, hd), kv_index),
             pl.BlockSpec((1, block_k, hd), kv_index),
@@ -125,5 +145,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qf, kf, vf)
+        interpret=interpret,
+    )(len_bh, qf, kf, vf)
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)

@@ -64,7 +64,7 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
     cache_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
     hidden, cache = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
-        cache_positions=cache_positions, kv_len=batch.seq_len)
+        cache_positions=cache_positions, kv_len=batch.seq_len, prefill=True)
     # logits of the last real token per sample
     last = jnp.take_along_axis(hidden, (batch.seq_len - 1)[:, None, None], axis=1)
     next_logits = qwen2.lm_head(params["llm"], last)[:, 0]      # (B, vocab)

@@ -403,18 +403,13 @@ def _position_ids_3d(batch: Batch, cfg: ModelConfig) -> jax.Array:
 
 def forward(params: Params, cfg: ModelConfig, batch: Batch,
             remat: bool = False) -> jax.Array:
-    """Training/eval forward pass -> (B, L, vocab) logits."""
-    vt = encode_video(params, cfg, batch.images, batch.patch_coords, remat=remat)
-    embeds = assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
-                             batch.kind, batch.vision_index,
-                             batch.coord_mask, batch.box_input)
-    L = embeds.shape[1]
-    valid = batch.kind != KIND_PAD                       # (B, L)
-    causal = jnp.tril(jnp.ones((L, L), bool))
-    attn_mask = valid[:, None, :] & causal[None]
-    hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds,
-                                    _position_ids_3d(batch, cfg),
-                                    attn_mask=attn_mask, remat=remat)
+    """Training/eval forward pass -> (B, L, vocab) logits.
+
+    Right padding means causal + per-sample key length fully describes the
+    mask, so attention runs on the Pallas flash path (no (B, L, L) mask
+    tensor is ever built).
+    """
+    hidden, _ = forward_hidden(params, cfg, batch, remat=remat)
     return qwen2.lm_head(params["llm"], hidden)
 
 
@@ -425,12 +420,9 @@ def forward_hidden(params: Params, cfg: ModelConfig, batch: Batch,
     embeds = assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
                              batch.kind, batch.vision_index,
                              batch.coord_mask, batch.box_input)
-    L = embeds.shape[1]
-    valid = batch.kind != KIND_PAD
-    attn_mask = valid[:, None, :] & jnp.tril(jnp.ones((L, L), bool))[None]
     hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds,
                                     _position_ids_3d(batch, cfg),
-                                    attn_mask=attn_mask, remat=remat)
+                                    kv_len=batch.seq_len, remat=remat)
     return hidden, vt
 
 

@@ -100,7 +100,8 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                   kv: Optional[Tuple[jax.Array, jax.Array]] = None,
                   cache_positions: Optional[jax.Array] = None,
                   kv_len: Optional[jax.Array] = None,
-                  attn_mask: Optional[jax.Array] = None):
+                  attn_mask: Optional[jax.Array] = None,
+                  prefill: bool = False):
     """One decoder block.
 
     Args:
@@ -144,10 +145,16 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         k_cache = scatter(k_cache, k.astype(k_cache.dtype))
         v_cache = scatter(v_cache, v.astype(v_cache.dtype))
         new_kv = (k_cache, v_cache)
-        attn = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                   q_positions=cache_positions, kv_len=kv_len, causal=True)
+        if prefill:
+            # Prefill fills slots 0..L-1, so attention over the raw K/V with
+            # plain causal + length masking is identical to reading the cache
+            # back — and flash-eligible.
+            attn = mha(q, k, v, causal=True, kv_len=kv_len)
+        else:
+            attn = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                       q_positions=cache_positions, kv_len=kv_len, causal=True)
     else:
-        attn = mha(q, k, v, mask=attn_mask, causal=attn_mask is None)
+        attn = mha(q, k, v, mask=attn_mask, causal=True, kv_len=kv_len)
 
     x = x + attn.reshape(B, L, D) @ p["attn"]["wo"]
 
@@ -170,14 +177,18 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
                   kv_cache: Optional[KVCache] = None,
                   cache_positions: Optional[jax.Array] = None,
                   kv_len: Optional[jax.Array] = None,
+                  prefill: bool = False,
                   remat: bool = False):
     """Run the decoder stack.
 
     Args:
       inputs_embeds: (B, L, D) already-spliced embeddings.
       position_ids: (B, L, 3) mRoPE ids (replicate a 1D id for plain RoPE).
-      attn_mask: (B, L, S) boolean or None for plain causal (prefill w/o cache).
-      kv_cache: optional KVCache for decode.
+      attn_mask: optional (B, L, S) boolean dense mask. For the common
+        right-padded causal case pass ``kv_len`` (B,) instead — that routes
+        through the Pallas flash kernel.
+      kv_cache: optional KVCache; ``prefill=True`` marks the cache fill pass
+        (slots 0..L-1), which attends on the raw K/V flash path.
     Returns:
       (hidden_states (B, L, D), new KVCache or None)
     """
@@ -187,10 +198,12 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     layer = decoder_layer
     if remat:
         layer = jax.checkpoint(
-            decoder_layer,
+            functools.partial(decoder_layer, prefill=prefill),
             static_argnums=(4,),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
+    else:
+        layer = functools.partial(decoder_layer, prefill=prefill)
 
     new_k, new_v = [], []
     for i, lp in enumerate(params["layers"]):
