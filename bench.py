@@ -75,25 +75,32 @@ def bench_tpu():
         embeds = jax.lax.dynamic_update_slice(embeds, vt.spliceable, (0, 16, 0))
         pos = jnp.broadcast_to(jnp.arange(PREFILL_LEN)[None, :, None],
                                (1, PREFILL_LEN, 3))
-        mask = jnp.tril(jnp.ones((PREFILL_LEN, PREFILL_LEN), bool))[None]
-        hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds, pos,
-                                        attn_mask=mask)
+        # plain causal (no dense mask) -> Pallas flash attention path
+        hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds, pos)
         # scalar output: device->host fetch of one float is the only reliable
         # sync point on the remote-tunnel platform (block_until_ready is a
         # no-op there); summing ties the result to the whole graph.
         return jnp.sum(hidden[:, 16 + n_vis].astype(jnp.float32))
 
-    jfn = jax.jit(pipeline)
+    iters = 10
     args = (params, jnp.asarray(depths), jnp.asarray(intr),
             jnp.asarray(poses), jnp.asarray(images))
-    float(jfn(*args))                           # compile + first run
-    iters = 10
+
+    # The remote-tunnel platform adds tens of ms of RTT per dispatch, so the
+    # repeat loop runs ON DEVICE: one dispatch, `iters` executions chained
+    # through a scalar carry (nothing can be elided), one scalar fetch.
+    @jax.jit
+    def repeat(params, depths, intr, poses, images):
+        def body(i, acc):
+            # perturb the input by the loop index so the body is NOT
+            # loop-invariant (XLA would otherwise hoist it and run it once)
+            return acc + pipeline(params, depths + i, intr, poses, images)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    for _ in range(2):                          # compile + warm-up
+        total = float(repeat(*args))
     t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
-    for _ in range(iters):
-        # chain a data dependency so no execution can be elided or reordered
-        acc = acc + jfn(*args)
-    total = float(acc)                          # one round-trip syncs all
+    total = float(repeat(*args))
     dt = (time.perf_counter() - t0) / iters
     assert total == total, "NaN in benchmark output"
     return V_FRAMES / dt

@@ -28,9 +28,11 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, sm_scale: float, block_q: int, block_k: int,
                   causal: bool, use_lengths: bool):
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    length = len_ref[bh, 0] if use_lengths else None
 
     @pl.when(ki == 0)
     def _init():
@@ -42,7 +44,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
     run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
     if use_lengths:
         # also skip k blocks entirely beyond this sample's valid prefix
-        run = run & (ki * block_k < len_ref[0])
+        run = run & (ki * block_k < length)
 
     @pl.when(run)
     def _step():
@@ -59,7 +61,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             allow = cols <= rows if causal else (cols == cols)
             if use_lengths:
-                allow = allow & (cols < len_ref[0])
+                allow = allow & (cols < length)
             s = jnp.where(allow, s, NEG_INF)
 
         m_prev = m_scratch[:]                        # (bq, 128) replicated
@@ -116,7 +118,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     use_lengths = lengths is not None
     if lengths is None:
         lengths = jnp.full((B,), S, jnp.int32)
-    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)            # (B*H,)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)[:, None]   # (B*H, 1)
 
     def kv_index(bh, qi, ki):
         b, h = bh // H, bh % H
@@ -129,7 +131,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           use_lengths=use_lengths),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda bh, qi, ki: (bh,),
+            # full lengths table in SMEM for every program (tiny), indexed
+            # by program_id — per-row SMEM blocks don't lower on Mosaic
+            pl.BlockSpec((B * H, 1), lambda bh, qi, ki: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, hd), kv_index),

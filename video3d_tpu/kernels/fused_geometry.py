@@ -38,17 +38,26 @@ def _src_maps(H: int, W: int, crop: int) -> Tuple[jax.Array, jax.Array]:
     return rows.astype(jnp.int32), cols.astype(jnp.int32)
 
 
-def _fused_kernel(scalars_ref, depth_ref, pose_ref, out_ref, *,
+def _fused_kernel(scalars_ref, depth_ref, out_ref, *,
                   crop: int, patch: int, grid: int,
                   src_h: int, src_w: int, depth_scale: float,
                   min_xyz: Tuple[float, float, float],
                   max_xyz: Tuple[float, float, float], voxel: float,
                   discretize: bool):
-    """One frame: depth (crop, crop) -> voxel ids (grid*grid, 3 padded)."""
-    fx = scalars_ref[0, 0]
-    fy = scalars_ref[0, 1]
-    cx = scalars_ref[0, 2]
-    cy = scalars_ref[0, 3]
+    """One frame: depth (crop, crop) -> voxel ids (3, grid, grid).
+
+    Everything stays rank-2 (Mosaic has no 2D<->4D reshapes): pooling is two
+    MXU matmuls against an indicator matrix, the 4x4 pose transform is four
+    scalar-broadcast linear combinations of the pooled channel tiles.
+    """
+    f = pl.program_id(0)
+    fx = scalars_ref[f, 0]
+    fy = scalars_ref[f, 1]
+    cx = scalars_ref[f, 2]
+    cy = scalars_ref[f, 3]
+
+    def pose(i, j):
+        return scalars_ref[f, 4 + 4 * i + j]
 
     new_w = int(src_w * (crop / src_h))
     left = (new_w - crop) // 2
@@ -63,30 +72,37 @@ def _fused_kernel(scalars_ref, depth_ref, pose_ref, out_ref, *,
     x = (u - cx) * z / fx
     y = (v - cy) * z / fy
 
-    # per-patch means of camera-space coords (affine pose commutes with mean)
-    def pool(a):
-        return a[: grid * patch, : grid * patch].reshape(
-            grid, patch, grid, patch).mean(axis=(1, 3))          # (grid, grid)
+    # Per-patch mean via P^T @ a @ P with indicator matrix
+    # P[i, g] = 1/patch where i // patch == g (inside the pooled area);
+    # the affine pose commutes with the mean, so pool first.
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (crop, grid), 0)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (crop, grid), 1)
+    P = jnp.where((rows_i // patch == cols_g) & (rows_i < grid * patch),
+                  1.0 / patch, 0.0).astype(jnp.float32)          # (crop, grid)
 
-    cam = jnp.stack([pool(x).reshape(-1), pool(y).reshape(-1),
-                     pool(z).reshape(-1),
-                     jnp.ones((grid * grid,), jnp.float32)], axis=1)  # (G, 4)
+    def pool(a):                                                 # -> (grid, grid)
+        # HIGHEST precision: geometry needs true-f32 matmuls (the MXU
+        # otherwise truncates f32 inputs to bf16 passes)
+        ap = jax.lax.dot_general(a, P, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot_general(P, ap, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
-    pose = pose_ref[0]                                           # (4, 4)
-    world4 = jax.lax.dot_general(cam, pose, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (G, 4)
-    world = world4[:, :3] / world4[:, 3:4]
+    px, py, pz = pool(x), pool(y), pool(z)                       # (grid, grid)
 
-    if discretize:
-        # per-axis scalar clamps (array constants can't be captured in-kernel)
-        cols = []
-        for a in range(3):
-            w = jnp.clip(world[:, a], min_xyz[a], max_xyz[a])
-            cols.append(jnp.round((w - min_xyz[a]) / voxel))
-        world = jnp.stack(cols, axis=1)
+    def affine(row):
+        return (pose(row, 0) * px + pose(row, 1) * py
+                + pose(row, 2) * pz + pose(row, 3))
 
-    out = jnp.zeros_like(out_ref[0])
-    out_ref[0] = out.at[:, :3].set(world)
+    ww = affine(3)
+    for a, wa in enumerate((affine(0), affine(1), affine(2))):
+        w = wa / ww
+        if discretize:
+            w = jnp.clip(w, min_xyz[a], max_xyz[a])
+            w = jnp.round((w - min_xyz[a]) / voxel)
+        out_ref[0, a] = w
 
 
 def fused_patch_voxel_coords(depths, intrinsic, poses, crop: int = 384,
@@ -123,11 +139,13 @@ def _fused_patch_voxel_coords(depths: jax.Array, intrinsic: jax.Array,
 
     if intrinsic.ndim == 2:
         intrinsic = jnp.broadcast_to(intrinsic, (V, 4, 4))
-    scalars = jnp.stack([intrinsic[:, 0, 0], intrinsic[:, 1, 1],
-                         intrinsic[:, 0, 2], intrinsic[:, 1, 2]],
-                        axis=1).astype(jnp.float32)               # (V, 4)
+    # one SMEM scalar table per frame: fx, fy, cx, cy, then the 16 pose entries
+    scalars = jnp.concatenate([
+        jnp.stack([intrinsic[:, 0, 0], intrinsic[:, 1, 1],
+                   intrinsic[:, 0, 2], intrinsic[:, 1, 2]], axis=1),
+        poses.reshape(V, 16),
+    ], axis=1).astype(jnp.float32)                                # (V, 20)
 
-    out_pad = 128   # lane-aligned output row
     kernel = functools.partial(
         _fused_kernel, crop=crop, patch=patch, grid=grid, src_h=H, src_w=W,
         depth_scale=1000.0, min_xyz=tuple(min_xyz), max_xyz=tuple(max_xyz),
@@ -136,15 +154,16 @@ def _fused_patch_voxel_coords(depths: jax.Array, intrinsic: jax.Array,
         kernel,
         grid=(V,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            # full (V, 20) scalar table in SMEM, indexed by program id
+            # (per-row SMEM blocks don't lower on Mosaic)
+            pl.BlockSpec((V, 20), lambda v: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, crop, crop), lambda v: (v, 0, 0)),
-            pl.BlockSpec((1, 4, 4), lambda v: (v, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, grid * grid, out_pad), lambda v: (v, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((V, grid * grid, out_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, 3, grid, grid), lambda v: (v, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((V, 3, grid, grid), jnp.float32),
         interpret=interpret,
-    )(scalars, dsel, poses.astype(jnp.float32))
-    return out[:, :, :3].reshape(V, grid, grid, 3)
+    )(scalars, dsel)
+    return out.transpose(0, 2, 3, 1)                              # (V, g, g, 3)
 
 
 def reference_patch_voxel_coords(depths, intrinsic, poses, crop=384, grid=14,
