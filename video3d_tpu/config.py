@@ -253,6 +253,9 @@ class DataConfig:
     val_box_type: str = "pred"
     add_spatial_instruction: bool = True
     crop_strategy: str = "center_crop"     # or 'resize'
+    # clamp world coords to the scene point-cloud bounds ('norm' in the
+    # reference's frame_sampling_strategy string, video_utils.py:232-234)
+    normalize_coords: bool = False
 
 
 def replace(cfg, **kwargs):

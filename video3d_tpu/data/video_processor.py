@@ -96,11 +96,13 @@ class VideoProcessor:
         self.mc_sampling: Dict[str, dict] = {}
         self.pc_min: Dict[str, np.ndarray] = {}
         self.pc_max: Dict[str, np.ndarray] = {}
-        if cfg.frame_sampling in (FrameSampling.MC, FrameSampling.MC_RATIO90,
-                                  FrameSampling.MC_RATIO95):
+        is_mc = cfg.frame_sampling in (FrameSampling.MC, FrameSampling.MC_RATIO90,
+                                       FrameSampling.MC_RATIO95)
+        if is_mc:
             with open(os.path.join(cfg.metadata_dir, "scannet_select_frames.json")) as f:
                 for dd in json.load(f):
                     self.mc_sampling[dd["video_id"]] = dd
+        if is_mc or cfg.normalize_coords:
             pcd_path = os.path.join(cfg.metadata_dir, "pcd_discrete_0.1.pkl")
             if os.path.exists(pcd_path):
                 with open(pcd_path, "rb") as f:
@@ -184,7 +186,8 @@ class VideoProcessor:
         """Frames + aligned coords + boundary + objects (video_utils.py:242-326)."""
         strategy = strategy or self.cfg.crop_strategy
         frame_files = self.select_frames(video_id, force_sample, frames_upbound)
-        wc = self.calculate_world_coords(video_id, frame_files)
+        wc = self.calculate_world_coords(video_id, frame_files,
+                                         do_normalize=self.cfg.normalize_coords)
         V, H, W, _ = wc.shape
 
         flat = wc.reshape(-1, 3)

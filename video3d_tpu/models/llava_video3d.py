@@ -438,6 +438,7 @@ def language_model_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
 def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
                       world_coords: jax.Array, object_boxes: jax.Array,
                       object_valid: jax.Array, ground_slot: jax.Array,

@@ -188,17 +188,23 @@ class Trainer:
         rng = np.random.default_rng(self.tcfg.seed)
         global_step = start_step
         metrics_f = open(self.tcfg.metrics_file, "a") if self.tcfg.metrics_file else None
+        from video3d_tpu.train.prefetch import BatchPrefetcher
+
         with self.mesh:
             for epoch in range(self.tcfg.num_epochs):
-                for batch_idx in self._epoch_order(rng):
+                order = self._epoch_order(rng)
+                # skip already-trained batches on resume
+                to_run = []
+                for batch_idx in order:
                     if global_step < start_step:
                         global_step += 1
                         continue
+                    to_run.append(batch_idx)
+                prefetcher = BatchPrefetcher(self.dataset, self.collator, to_run)
+                for arrays in prefetcher:
                     if self.tcfg.profile_steps and \
                             global_step == self.tcfg.profile_steps[0]:
                         jax.profiler.start_trace(self.tcfg.profile_dir)
-                    samples = [self.dataset[i] for i in batch_idx]
-                    arrays = self.collator(samples)
                     batch = self._to_batch(arrays)
                     t0 = time.time()
                     if "ground_slot" in arrays:
