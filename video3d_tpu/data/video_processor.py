@@ -160,10 +160,11 @@ class VideoProcessor:
         axis_align = np.asarray(meta["axis_align_matrix"], np.float64)
         intrinsic = np.asarray(meta["depth_cam2img"], np.float64)
 
+        from video3d_tpu.native import load_depth_png
+
         depths, poses = [], []
         for fp in frame_files:
-            with Image.open(fp.replace(".jpg", ".png")) as im:
-                depths.append(np.asarray(im).astype(np.int32))
+            depths.append(load_depth_png(fp.replace(".jpg", ".png")).astype(np.int32))
             poses.append(axis_align @ load_matrix_from_txt(fp.replace("jpg", "txt")))
         return (np.stack(depths), intrinsic.astype(np.float32),
                 np.stack(poses).astype(np.float32))
