@@ -200,3 +200,46 @@ class TestWeightDelta:
         np.testing.assert_allclose(np.asarray(delta["embed"][10:]), 7.0)
         back = apply_delta(base, delta)
         np.testing.assert_allclose(np.asarray(back["embed"]), np.asarray(tuned["embed"]))
+
+
+class TestDPODataPath:
+    def test_pair_collation_and_step(self, tmp_path):
+        import os
+        from fixtures import FakeTokenizer, make_fake_scene
+        from video3d_tpu.config import DataConfig
+        from video3d_tpu.data.dataset import Collator, CollatorConfig
+        from video3d_tpu.data.image_processor import SigLipImageProcessor
+        from video3d_tpu.data.video_processor import VideoProcessor
+        from video3d_tpu.train.dpo import DPOConfig, dpo_step_loss
+        from video3d_tpu.train.dpo_data import DPOCollator, DPODataset
+
+        root = str(tmp_path / "data")
+        info = make_fake_scene(root, n_frames=2)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        tok = FakeTokenizer()
+        records = [{"video": info["sample_idx"],
+                    "prompt": "what color is the chair",
+                    "chosen": "brown wooden chair",
+                    "rejected": "blue sofa"}]
+        ds = DPODataset(records, tok, VideoProcessor(dc),
+                        SigLipImageProcessor(size=(56, 56)), frames_upbound=2)
+        col = DPOCollator(Collator(CFG, CollatorConfig(max_len=160,
+                                                       frames_upbound=2)))
+        chosen_arr, rejected_arr = col([ds[0]])
+        assert (chosen_arr["labels"] != rejected_arr["labels"]).any()
+
+        def to_batch(a):
+            return lv3d.Batch(**{k: jnp.asarray(v) for k, v in a.items()
+                                 if k in lv3d.Batch._fields})
+
+        params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+        ref_params = jax.tree.map(lambda x: x, params)
+        loss, metrics = dpo_step_loss(params, ref_params, CFG,
+                                      to_batch(chosen_arr),
+                                      to_batch(rejected_arr),
+                                      DPOConfig(), remat=False)
+        # identical policies -> logits 0 -> loss = log 2
+        np.testing.assert_allclose(float(loss), np.log(2.0), rtol=1e-4)
