@@ -198,3 +198,51 @@ class TestExtractPcd:
         np.testing.assert_allclose(corners[0].min(axis=0), [0, 0, 0])
         np.testing.assert_allclose(corners[0].max(axis=0), [1, 0, 0])
         np.testing.assert_allclose(corners[1].min(axis=0), [0, 1, 0])
+
+
+class TestScenePack:
+    def test_pack_and_read_matches_direct(self, tmp_path):
+        from video3d_tpu.config import DataConfig, replace
+        from video3d_tpu.data.video_processor import VideoProcessor
+        from video3d_tpu.tools.pack_scenes import pack_scene
+
+        root = str(tmp_path / "data")
+        info = make_fake_scene(root, n_frames=3)
+        cfg = DataConfig(video_folder=root,
+                         annotation_dir=os.path.join(root, "embodiedscan"),
+                         metadata_dir=os.path.join(root, "metadata"))
+        vp = VideoProcessor(cfg)
+        packed = str(tmp_path / "packed")
+        pack_scene(vp, info["sample_idx"], packed)
+
+        frames = vp.select_frames(info["sample_idx"], True, 3)
+        d_ref, i_ref, p_ref = vp.load_frame_geometry(info["sample_idx"], frames)
+
+        vp2 = VideoProcessor(replace(cfg, packed_dir=packed))
+        d, i, p = vp2.load_frame_geometry(info["sample_idx"], frames)
+        np.testing.assert_array_equal(d, d_ref)
+        np.testing.assert_allclose(i, i_ref)
+        np.testing.assert_allclose(p, p_ref, rtol=1e-6)
+
+    def test_pack_subset_and_order(self, tmp_path):
+        from video3d_tpu.config import DataConfig, replace
+        from video3d_tpu.data.video_processor import VideoProcessor
+        from video3d_tpu.tools.pack_scenes import pack_scene
+
+        root = str(tmp_path / "data")
+        info = make_fake_scene(root, n_frames=4)
+        cfg = DataConfig(video_folder=root,
+                         annotation_dir=os.path.join(root, "embodiedscan"),
+                         metadata_dir=os.path.join(root, "metadata"))
+        vp = VideoProcessor(cfg)
+        packed = str(tmp_path / "packed")
+        pack_scene(vp, info["sample_idx"], packed)
+        vp2 = VideoProcessor(replace(cfg, packed_dir=packed))
+        all_frames = [os.path.join(root, img["img_path"])
+                      for img in vp.scene[info["sample_idx"]]["images"]]
+        # reversed subset must map by filename, not position
+        subset = [all_frames[2], all_frames[0]]
+        d, _, p = vp2.load_frame_geometry(info["sample_idx"], subset)
+        d_ref, _, p_ref = vp.load_frame_geometry(info["sample_idx"], subset)
+        np.testing.assert_array_equal(d, d_ref)
+        np.testing.assert_allclose(p, p_ref, rtol=1e-6)

@@ -256,6 +256,9 @@ class DataConfig:
     # clamp world coords to the scene point-cloud bounds ('norm' in the
     # reference's frame_sampling_strategy string, video_utils.py:232-234)
     normalize_coords: bool = False
+    # directory of packed per-scene depth/pose bundles (tools/pack_scenes.py);
+    # None -> per-frame PNG/txt reads like the reference
+    packed_dir: Optional[str] = None
 
 
 def replace(cfg, **kwargs):

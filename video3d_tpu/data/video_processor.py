@@ -155,7 +155,15 @@ class VideoProcessor:
 
     def load_frame_geometry(self, video_id: str, frame_files: Sequence[str]):
         """Read per-frame depth PNG (mm uint16) + pose txt; compose axis
-        alignment (video_utils.py:196-228)."""
+        alignment (video_utils.py:196-228). Uses packed scene bundles when
+        ``cfg.packed_dir`` is set (tools/pack_scenes.py)."""
+        if self.cfg.packed_dir is not None:
+            if not hasattr(self, "_scene_pack"):
+                from video3d_tpu.tools.pack_scenes import ScenePack
+
+                self._scene_pack = ScenePack(self.cfg.packed_dir)
+            if self._scene_pack.has(video_id):
+                return self._scene_pack.frame_geometry(video_id, frame_files)
         meta = self.scene[video_id]
         axis_align = np.asarray(meta["axis_align_matrix"], np.float64)
         intrinsic = np.asarray(meta["depth_cam2img"], np.float64)
