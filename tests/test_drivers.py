@@ -168,3 +168,27 @@ class TestDeviceGeometryPath:
         run_vqa(engine, [q], f)
         rec = json.loads(open(f).readline())
         assert "pred_response" in rec and rec["gt_response"] is None
+
+
+class TestBatchedGeneration:
+    def test_batched_matches_single(self, env):
+        """Batched generate == per-sample generate (right-padded batch)."""
+        info, engine, tok, outdir = env
+        q1 = scanqa_question(info, 0)
+        q2 = scanqa_question(info, 1)
+        q2["conversations"][0]["value"] = "<image>\nhow many chairs are there"
+        singles = [engine.generate_answer(q1), engine.generate_answer(q2)]
+        batched = engine.generate_answers_batch([q1, q2])
+        assert batched == singles
+
+    def test_run_generative_batch_mode(self, env, tmp_path):
+        from video3d_tpu.eval.drivers import run_generative
+        import json
+
+        info, engine, tok, outdir = env
+        qs = [scanqa_question(info, i) for i in range(3)]
+        f = str(tmp_path / "batched.jsonl")
+        times = run_generative(engine, qs, f, batch_size=2)
+        assert len(times) == 3
+        records = [json.loads(l) for l in open(f)]
+        assert [r["sample_id"] for r in records] == ["q0_0", "q1_0", "q2_0"]

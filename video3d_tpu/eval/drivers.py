@@ -202,6 +202,64 @@ class InferenceEngine:
             text = text[: -len(self.ecfg.stop_str)].strip()
         return text
 
+    def generate_answers_batch(self, records: Sequence[dict],
+                               box_inputs: Optional[Sequence] = None,
+                               coord_token_id=None) -> List[str]:
+        """Batched greedy generation: one prefill + one decode loop for B
+        questions. Decode is HBM-bound (weight reads dominate), so batching
+        multiplies throughput at nearly constant latency.
+        """
+        B = len(records)
+        mc = self.cfg
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        T = mc.tokens_per_frame
+        Vmax = self.ecfg.max_frames
+        S = mc.vision.image_size
+
+        ids_list, vids, frames, images_list, patch_list, boxes = [], [], [], [], [], []
+        has_box = False
+        for bi, record in enumerate(records):
+            question = {"from": "human", "value": self._question_text(record)}
+            ids_list.append(preprocess_qwen_eval(
+                [question, {"from": "gpt", "value": None}], self.tokenizer))
+            box = None if box_inputs is None else box_inputs[bi]
+            _, V, images, _, patch, box = self._video_arrays(record["video"], box)
+            frames.append(V)
+            images_list.append(images[0])
+            patch_list.append(patch[0])
+            boxes.append(box if box is not None else np.zeros((3,), np.float32))
+            has_box = has_box or box is not None
+
+        total = max(len(i) for i in ids_list) + Vmax * T
+        L = pick_bucket(total + self.ecfg.max_new_tokens, self.ecfg.buckets)
+        plan = build_splice_plan(ids_list, None, frames, tokens_per_frame=T,
+                                 max_len=L, grid_side=g,
+                                 coord_token_id=coord_token_id,
+                                 truncate_to=mc.tokenizer_model_max_length)
+        batch = lv3d.Batch(
+            images=jnp.asarray(np.stack(images_list)),
+            patch_coords=jnp.asarray(np.stack(patch_list)),
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask),
+            box_input=(jnp.asarray(np.stack(boxes).astype(np.float32))
+                       if has_box else None))
+        res = generate_greedy(self.params, self.cfg, batch,
+                              max_new_tokens=self.ecfg.max_new_tokens,
+                              eos_token_id=self.ecfg.eos_token_id)
+        out = []
+        for b in range(B):
+            toks = np.asarray(res.tokens)[b][: int(res.lengths[b])]
+            text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+            if text.endswith(self.ecfg.stop_str):
+                text = text[: -len(self.ecfg.stop_str)].strip()
+            out.append(text)
+        return out
+
     # ------------- discriminative (grounding) -------------
 
     def ground(self, record) -> Tuple[np.ndarray, np.ndarray]:
@@ -249,27 +307,38 @@ def _append_jsonl(path: str, record: dict) -> None:
 
 def run_generative(engine: InferenceEngine, questions: Sequence[dict],
                    answer_file: str, gt_from_annotations: bool = False,
-                   coord_token_id=None) -> List[float]:
-    """ScanQA / SQA3D / Scan2Cap loop (model_scanqa.py:129-206)."""
+                   coord_token_id=None, batch_size: int = 1) -> List[float]:
+    """ScanQA / SQA3D / Scan2Cap loop (model_scanqa.py:129-206).
+
+    ``batch_size > 1`` runs batched prefill+decode (decode is HBM-bound, so
+    this multiplies throughput at ~constant step latency).
+    """
     times = []
-    for line in questions:
-        box_input = None
-        if line.get("box_input") is not None:
-            box_input = np.asarray(line["box_input"][:3], np.float32)
+    for s in range(0, len(questions), batch_size):
+        chunk = list(questions[s:s + batch_size])
+        box_inputs = [np.asarray(l["box_input"][:3], np.float32)
+                      if l.get("box_input") is not None else None
+                      for l in chunk]
         t0 = time.time()
-        text = engine.generate_answer(line, box_input=box_input,
-                                      coord_token_id=coord_token_id)
-        times.append(time.time() - t0)
-        gt = (line.get("annotations", [line["conversations"][1]["value"]])
-              if gt_from_annotations else line["conversations"][1]["value"])
-        _append_jsonl(answer_file, {
-            "dataset": line["metadata"]["dataset"],
-            "sample_id": line["id"],
-            "prompt": line["conversations"][0]["value"],
-            "pred_response": text,
-            "gt_response": gt,
-            "question_type": line["metadata"].get("question_type"),
-        })
+        if batch_size == 1:
+            texts = [engine.generate_answer(chunk[0], box_input=box_inputs[0],
+                                            coord_token_id=coord_token_id)]
+        else:
+            texts = engine.generate_answers_batch(
+                chunk, box_inputs=box_inputs, coord_token_id=coord_token_id)
+        dt = (time.time() - t0) / len(chunk)
+        for line, text in zip(chunk, texts):
+            times.append(dt)
+            gt = (line.get("annotations", [line["conversations"][1]["value"]])
+                  if gt_from_annotations else line["conversations"][1]["value"])
+            _append_jsonl(answer_file, {
+                "dataset": line["metadata"]["dataset"],
+                "sample_id": line["id"],
+                "prompt": line["conversations"][0]["value"],
+                "pred_response": text,
+                "gt_response": gt,
+                "question_type": line["metadata"].get("question_type"),
+            })
     return times
 
 
