@@ -102,15 +102,28 @@ def cmd_train(args):
         ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
     params = _load_params(args.model_path, model_cfg)
     steps = len(dataset) * args.num_epochs // max(1, args.global_batch_size)
+
+    # mm_tunable_parts -> pytree prefixes (train_3d.py:1758-1829; world-PE
+    # params and the ground head always train, :1818-1829)
+    part_map = {"mm_language_model": ("llm",),
+                "mm_vision_tower": ("vision",),
+                "mm_mlp_adapter": ("projector", "image_newline")}
+    tunable = ("ground_head", "world_pe_mlp")
+    for part in args.mm_tunable_parts.split(","):
+        tunable += part_map.get(part.strip(), ())
+
     trainer = Trainer(
         model_cfg, params, dataset, collator,
         OptimConfig(learning_rate=args.learning_rate,
                     mm_vision_tower_lr=args.mm_vision_tower_lr,
-                    warmup_ratio=args.warmup_ratio, total_steps=max(1, steps)),
+                    mm_projector_lr=args.mm_projector_lr,
+                    warmup_ratio=args.warmup_ratio, total_steps=max(1, steps),
+                    tunable_prefixes=tunable),
         TrainingConfig(output_dir=args.output_dir, num_epochs=args.num_epochs,
                        per_device_batch_size=args.per_device_batch_size,
                        gradient_accumulation_steps=args.gradient_accumulation_steps,
                        save_steps=args.save_steps, group_by=args.group_by,
+                       metrics_file=args.metrics_file,
                        dp=args.dp, tp=args.tp))
     trainer.train(resume=not args.no_resume)
 
@@ -137,14 +150,18 @@ def cmd_eval(args, task: str):
         engine_cfg=drivers.EngineConfig(
             max_frames=args.max_frame_num,
             ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
-    run = {"scanqa": drivers.run_scanqa, "sqa3d": drivers.run_sqa3d,
-           "scanrefer": drivers.run_scanrefer,
-           "multi3drefer": drivers.run_multi3drefer}.get(task)
     if task == "scan2cap":
-        times = drivers.run_scan2cap(engine, questions, args.answer_file,
-                                     tokenizer.convert_tokens_to_ids("<coord>"))
+        times = drivers.run_generative(
+            engine, questions, args.answer_file, gt_from_annotations=True,
+            coord_token_id=tokenizer.convert_tokens_to_ids("<coord>"),
+            batch_size=args.batch_size)
+    elif task in ("scanqa", "sqa3d"):
+        times = drivers.run_generative(engine, questions, args.answer_file,
+                                       batch_size=args.batch_size)
+    elif task == "scanrefer":
+        times = drivers.run_scanrefer(engine, questions, args.answer_file)
     else:
-        times = run(engine, questions, args.answer_file)
+        times = drivers.run_multi3drefer(engine, questions, args.answer_file)
     print(f"mean inference time: {np.mean(times):.3f}s over {len(times)} samples")
 
 
@@ -163,6 +180,10 @@ def main(argv=None):
     pt.add_argument("--global-batch-size", type=int, default=16)
     pt.add_argument("--learning-rate", type=float, default=1e-5)
     pt.add_argument("--mm-vision-tower-lr", type=float, default=2e-6)
+    pt.add_argument("--mm-projector-lr", type=float, default=None)
+    pt.add_argument("--mm-tunable-parts",
+                    default="mm_language_model,mm_vision_tower,mm_mlp_adapter")
+    pt.add_argument("--metrics-file", default=None)
     pt.add_argument("--warmup-ratio", type=float, default=0.03)
     pt.add_argument("--save-steps", type=int, default=1000)
     pt.add_argument("--group-by", default="task_length")
@@ -179,6 +200,7 @@ def main(argv=None):
         pe.add_argument("--answer-file", required=True)
         pe.add_argument("--rank", type=int, default=0)
         pe.add_argument("--world", type=int, default=1)
+        pe.add_argument("--batch-size", type=int, default=1)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":
