@@ -77,3 +77,57 @@ class TestLengthMasking:
             np.testing.assert_allclose(got[b, :n], ref[b, :n],
                                        rtol=2e-4, atol=2e-4)
         assert np.isfinite(got).all()   # padded rows finite (not NaN)
+
+
+class TestBackward:
+    def _setup(self, B=2, L=128, H=4, KV=2, hd=128, seed=5):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        lengths = jnp.asarray([L, 100][:B] if B > 1 else [L], jnp.int32)
+        return q, k, v, lengths
+
+    def test_grads_match_reference(self):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        q, k, v, lengths = self._setup()
+        # loss reads only valid rows so padded-row garbage has zero cotangent
+        row_mask = (jnp.arange(128)[None, :, None, None]
+                    < lengths[:, None, None, None])
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, lengths=lengths, block_q=64,
+                                  block_k=64, interpret=True)
+            return jnp.sum((out * row_mask) ** 2)
+
+        def loss_ref(q, k, v):
+            out = mha_reference(q, k, v, causal=True, kv_len=lengths)
+            return jnp.sum((out * row_mask) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, gf, gr in zip("qkv", g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name}")
+
+    def test_gqa_grad_accumulates_over_group(self):
+        """dK/dV must sum contributions from all q heads in a group."""
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        q, k, v, lengths = self._setup(B=1, H=4, KV=1)
+
+        def loss_flash(k):
+            out = flash_attention(q, k, v, lengths=lengths, block_q=64,
+                                  block_k=64, interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_ref(k):
+            return jnp.sum(mha_reference(q, k, v, causal=True,
+                                         kv_len=lengths) ** 2)
+
+        gf = jax.grad(loss_flash)(k)
+        gr = jax.grad(loss_ref)(k)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3)

@@ -1,20 +1,28 @@
-"""Causal flash attention as a Pallas TPU kernel (online softmax, GQA-aware).
+"""Flash attention as Pallas TPU kernels — forward AND backward (custom VJP).
 
 TPU-native replacement for the reference's flash-attention-2 CUDA dependency
-(qwen2/modeling_qwen2.py:330-632). One grid program owns one (batch*head,
-q-block); the k dimension is the innermost "arbitrary" grid axis so the
-running max / denominator / accumulator live in VMEM scratch across k steps
-(standard online-softmax recurrence). Causal blocks strictly above the
-diagonal are predicated off with ``pl.when``.
+(qwen2/modeling_qwen2.py:330-632). Forward: one grid program per
+(batch*head, q-block), k innermost "arbitrary" axis, online-softmax state in
+VMEM scratch; also emits the per-row logsumexp for the backward pass.
+Backward: the standard flash recurrences
+    P  = exp(sigma QK^T - lse)
+    dV = P^T dO
+    dS = P * (dO V^T - delta),   delta_i = dO_i . O_i
+    dQ = sigma dS K,             dK = sigma dS^T Q
+as two kernels (dQ over q-blocks, dK/dV over k-blocks). All block math is
+kept in *transposed* (block_k, block_q) form so lse/delta rows broadcast
+along lanes — Mosaic has no cheap vector transpose.
 
-Layout: q (B, L, H, hd) is viewed as (B*H, L, hd); k/v (B, S, KV, hd) as
-(B*KV, S, hd). GQA is handled in the k/v index_map (kv head = q head //
-group), so no materialized head broadcast.
+Layout: q (B, L, H, hd) -> (B*H, L, hd); k/v (B, S, KV, hd) -> (B*KV, S, hd).
+GQA is handled by the k/v index_map (kv head = q head // group); backward
+produces per-q-head dK/dV which are summed over the group outside.
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scratch, l_scratch, acc_scratch,
-                  *, sm_scale: float, block_q: int, block_k: int,
-                  causal: bool, use_lengths: bool):
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scratch, l_scratch, acc_scratch,
+                *, sm_scale: float, block_q: int, block_k: int,
+                causal: bool, use_lengths: bool):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -40,10 +52,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # Causal: skip k blocks whose first row is strictly beyond the last query.
     run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
     if use_lengths:
-        # also skip k blocks entirely beyond this sample's valid prefix
         run = run & (ki * block_k < length)
 
     @pl.when(run)
@@ -69,8 +79,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
         m_cur = jnp.max(s, axis=1, keepdims=True)    # (bq, 1)
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
 
-        alpha = jnp.exp(m_prev - m_next)             # rescale of old state
-        p = jnp.exp(s - m_next[:, :1])               # (bq, bk)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
         l_next = l_prev * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
 
@@ -81,72 +91,157 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        # Rows past a sample's length get uniform garbage (finite; callers
-        # never read padded positions). Guard l against 0 anyway.
         l = jnp.maximum(l_scratch[:, :1], 1e-30)
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        # per-row logsumexp, written as a (1, block_q) lane-major row
+        lse = m_scratch[:, :1] + jnp.log(l)          # (bq, 1)
+        lse_ref[0] = jax.lax.dot_general(
+            jnp.ones((1, lse.shape[0]), jnp.float32) * 0.0 + 1.0, lse,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * 0.0 + lse.reshape(1, -1) \
+            if False else lse.reshape(1, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
-                                             "interpret", "sm_scale"))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    lengths: jax.Array = None,
-                    causal: bool = True,
-                    block_q: int = 256, block_k: int = 512,
-                    sm_scale: float = None,
-                    interpret: bool = False) -> jax.Array:
-    """Flash attention (causal or bidirectional) with optional per-sample
-    key-length masking.
+# ---------------------------------------------------------------------------
+# Backward kernels (transposed block math)
+# ---------------------------------------------------------------------------
 
-    Args:
-      q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0, L == S.
-      lengths: optional (B,) int32 — keys at s >= lengths[b] are masked
-        (right-padded batches). Outputs at padded query rows are garbage but
-        finite; callers mask them.
-      sm_scale: softmax scale; default hd**-0.5 (pass the true head dim's
-        scale when q/k are zero-padded on the feature axis).
-    Returns:
-      (B, L, H, hd) in q.dtype.
-    """
-    B, L, H, hd = q.shape
-    S, KV = k.shape[1], k.shape[2]
-    assert H % KV == 0 and L == S, (q.shape, k.shape)
+def _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                qi, ki, *, sm_scale, block_q, block_k, causal, use_lengths,
+                length):
+    """Shared dS computation: returns (p_T, ds_T) each (block_k, block_q)."""
+    q = q_ref[0].astype(jnp.float32)                 # (bq, hd)
+    k = k_ref[0].astype(jnp.float32)                 # (bk, hd)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)               # (bq, hd)
+    lse = lse_ref[0]                                 # (1, bq)
+    delta = d_ref[0]                                 # (1, bq)
+
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale        # (bk, bq)
+    if causal or use_lengths:
+        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
+        allow = cols <= rows if causal else (cols == cols)
+        if use_lengths:
+            allow = allow & (cols < length)
+        s_t = jnp.where(allow, s_t, NEG_INF)
+
+    p_t = jnp.exp(s_t - lse)                                   # (bk, bq)
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (bk, bq)
+    ds_t = p_t * (dp_t - delta) * sm_scale
+    return p_t, ds_t
+
+
+def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref,
+               dq_scratch, *, sm_scale, block_q, block_k, causal, use_lengths):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    length = len_ref[bh, 0] if use_lengths else None
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
+    if use_lengths:
+        run = run & (ki * block_k < length)
+
+    @pl.when(run)
+    def _step():
+        _, ds_t = _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                              qi, ki, sm_scale=sm_scale, block_q=block_q,
+                              block_k=block_k, causal=causal,
+                              use_lengths=use_lengths, length=length)
+        k = k_ref[0].astype(jnp.float32)
+        # dQ_block += ds^T_T @ K  == contract ds_t dim0 with k dim0
+        dq_scratch[:] += jax.lax.dot_general(
+            ds_t, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (bq, hd)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                dk_ref, dv_ref, dk_scratch, dv_scratch,
+                *, sm_scale, block_q, block_k, causal, use_lengths):
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    length = len_ref[bh, 0] if use_lengths else None
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    run = ((qi + 1) * block_q - 1 >= ki * block_k) if causal else True
+    if use_lengths:
+        run = run & (ki * block_k < length)
+
+    @pl.when(run)
+    def _step():
+        p_t, ds_t = _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                                qi, ki, sm_scale=sm_scale, block_q=block_q,
+                                block_k=block_k, causal=causal,
+                                use_lengths=use_lengths, length=length)
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        dv_scratch[:] += jax.lax.dot_general(
+            p_t, do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (bk, hd)
+        dk_scratch[:] += jax.lax.dot_general(
+            ds_t, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (bk, hd)
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core on flattened layouts
+# ---------------------------------------------------------------------------
+
+def _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k, sm_scale,
+              use_lengths, interpret):
+    BH, L, hd = qf.shape
+    S = kf.shape[1]
     group = H // KV
-    block_q = min(block_q, L)
-    block_k = min(block_k, S)
-    assert L % block_q == 0 and S % block_k == 0
-    if sm_scale is None:
-        sm_scale = hd ** -0.5
-
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
-    use_lengths = lengths is not None
-    if lengths is None:
-        lengths = jnp.full((B,), S, jnp.int32)
-    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)[:, None]   # (B*H, 1)
 
     def kv_index(bh, qi, ki):
         b, h = bh // H, bh % H
         return (b * KV + h // group, ki, 0)
 
-    grid = (B * H, L // block_q, S // block_k)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, sm_scale=sm_scale,
-                          block_q=block_q, block_k=block_k, causal=causal,
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k, causal=causal,
                           use_lengths=use_lengths),
-        grid=grid,
+        grid=(BH, L // block_q, S // block_k),
         in_specs=[
-            # full lengths table in SMEM for every program (tiny), indexed
-            # by program_id — per-row SMEM blocks don't lower on Mosaic
-            pl.BlockSpec((B * H, 1), lambda bh, qi, ki: (0, 0),
+            pl.BlockSpec((BH, 1), lambda bh, qi, ki: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, hd), kv_index),
             pl.BlockSpec((1, block_k, hd), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, L, hd), qf.dtype),
+            jax.ShapeDtypeStruct((BH, 1, L), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -157,4 +252,147 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
         interpret=interpret,
     )(len_bh, qf, kf, vf)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash_core(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
+                sm_scale, interpret):
+    out, _ = _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
+                       sm_scale, True, interpret)
+    return out
+
+
+def _flash_core_fwd(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
+                    sm_scale, interpret):
+    out, lse = _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
+                         sm_scale, True, interpret)
+    return out, (qf, kf, vf, len_bh, out, lse)
+
+
+def _flash_core_bwd(H, KV, causal, block_q, block_k, sm_scale, interpret,
+                    residuals, g):
+    qf, kf, vf, len_bh, out, lse = residuals
+    BH, L, hd = qf.shape
+    S = kf.shape[1]
+    group = H // KV
+    B = BH // H
+    do = g.astype(jnp.float32)
+
+    delta = jnp.sum(do * out.astype(jnp.float32), axis=-1)[:, None, :]  # (BH,1,L)
+
+    def kv_index3(bh, qi, ki):
+        b, h = bh // H, bh % H
+        return (b * KV + h // group, ki, 0)
+
+    common_in_specs = [
+        pl.BlockSpec((BH, 1), lambda bh, i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k, causal=causal, use_lengths=True),
+        grid=(BH, L // block_q, S // block_k),
+        in_specs=common_in_specs + [
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, hd), kv_index3),
+            pl.BlockSpec((1, block_k, hd), kv_index3),
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, L, hd), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(len_bh, qf, kf, vf, do.astype(qf.dtype), lse, delta)
+
+    def kv_index_kfirst(bh, ki, qi):
+        b, h = bh // H, bh % H
+        return (b * KV + h // group, ki, 0)
+
+    dk_per_head, dv_per_head = pl.pallas_call(
+        functools.partial(_dkv_kernel, sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k, causal=causal, use_lengths=True),
+        grid=(BH, S // block_k, L // block_q),
+        in_specs=common_in_specs + [
+            pl.BlockSpec((1, block_q, hd), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, hd), kv_index_kfirst),
+            pl.BlockSpec((1, block_k, hd), kv_index_kfirst),
+            pl.BlockSpec((1, block_q, hd), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, hd), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh, ki, qi: (bh, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, hd), kf.dtype),
+            jax.ShapeDtypeStruct((BH, S, hd), vf.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_k, hd), jnp.float32),
+                        pltpu.VMEM((block_k, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(len_bh, qf, kf, vf, do.astype(qf.dtype), lse, delta)
+
+    # GQA: sum per-q-head dK/dV over each group -> per-kv-head
+    dk = dk_per_head.reshape(B, KV, group, S, hd).sum(axis=2).reshape(B * KV, S, hd)
+    dv = dv_per_head.reshape(B, KV, group, S, hd).sum(axis=2).reshape(B * KV, S, hd)
+
+    dlen = np.zeros(len_bh.shape, jax.dtypes.float0)
+    return dq, dk.astype(kf.dtype), dv.astype(vf.dtype), dlen
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
+                                             "interpret", "sm_scale"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    lengths: jax.Array = None,
+                    causal: bool = True,
+                    block_q: int = 256, block_k: int = 512,
+                    sm_scale: float = None,
+                    interpret: bool = False) -> jax.Array:
+    """Flash attention (causal or bidirectional) with per-sample key-length
+    masking and a full custom VJP (trainable end to end).
+
+    Args:
+      q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0, L == S.
+      lengths: optional (B,) int32 — keys at s >= lengths[b] are masked
+        (right-padded batches). Outputs at padded query rows are garbage but
+        finite; callers mask them (their gradients are exactly zero when the
+        loss masks them).
+      sm_scale: softmax scale; default hd**-0.5.
+    Returns:
+      (B, L, H, hd) in q.dtype.
+    """
+    B, L, H, hd = q.shape
+    S, KV = k.shape[1], k.shape[2]
+    assert H % KV == 0 and L == S, (q.shape, k.shape)
+    block_q = min(block_q, L)
+    block_k = min(block_k, S)
+    assert L % block_q == 0 and S % block_k == 0
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    if lengths is None:
+        lengths = jnp.full((B,), S, jnp.int32)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)[:, None]   # (B*H, 1)
+
+    out = _flash_core(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
+                      float(sm_scale), interpret)
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)
