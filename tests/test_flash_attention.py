@@ -131,3 +131,56 @@ class TestBackward:
         gr = jax.grad(loss_ref)(k)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestShardMapFlash:
+    def test_sharded_forward_and_grad(self):
+        """flash under shard_map on the 8-dev CPU mesh: output stays sharded
+        and gradients match the reference (XLA would otherwise gather a
+        pallas_call replicated)."""
+        from jax import shard_map
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                    ("dp", "fsdp", "tp"))
+        B, L, H, KV, hd = 4, 128, 4, 2, 128
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        lens = jnp.asarray([L, 96, L, 64], jnp.int32)
+        spec = P(("dp", "fsdp"), None, "tp", None)
+
+        def local(qs, ks, vs, ls):
+            return flash_attention(qs, ks, vs, lengths=ls, causal=True,
+                                   block_q=64, block_k=64, interpret=True)
+
+        smapped = shard_map(local, mesh=mesh,
+                            in_specs=(spec, spec, spec, P(("dp", "fsdp"))),
+                            out_specs=spec, check_vma=False)
+        with mesh:
+            out = jax.jit(smapped)(
+                jax.device_put(q, NamedSharding(mesh, spec)),
+                jax.device_put(k, NamedSharding(mesh, spec)),
+                jax.device_put(v, NamedSharding(mesh, spec)), lens)
+        assert "tp" in str(out.sharding.spec)
+        ref = mha_reference(q, k, v, causal=True, kv_len=lens)
+        rmask = np.arange(L)[None, :, None, None] < np.asarray(lens)[:, None, None, None]
+        np.testing.assert_allclose(np.asarray(out) * rmask,
+                                   np.asarray(ref) * rmask,
+                                   rtol=2e-4, atol=2e-4)
+
+        # gradient through shard_map
+        msk = jnp.asarray(rmask)
+
+        def loss(q, k, v):
+            return jnp.sum((smapped(q, k, v, lens) * msk) ** 2)
+
+        with mesh:
+            gq = jax.jit(jax.grad(loss))(q, k, v)
+        def ref_loss(q, k, v):
+            return jnp.sum((mha_reference(q, k, v, causal=True, kv_len=lens) * msk) ** 2)
+        gq_ref = jax.grad(ref_loss)(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref),
+                                   rtol=2e-3, atol=2e-3)

@@ -20,6 +20,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 NEG_INF = -1e30
@@ -84,15 +85,59 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
 
     The Pallas flash path handles the production prefill/training case:
     causal, right-padded (per-sample ``kv_len``), no arbitrary dense mask.
+    Under an active multi-device mesh the kernel is wrapped in ``shard_map``
+    (batch over dp/fsdp, heads over tp) — XLA cannot SPMD-partition a
+    pallas_call by itself and would otherwise gather inputs and run it
+    replicated on every chip.
     """
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
     except RuntimeError:
         on_tpu = False
-    L, S, hd = q.shape[1], k.shape[1], q.shape[3]
+    B, L, H = q.shape[0], q.shape[1], q.shape[2]
+    S, KV, hd = k.shape[1], k.shape[2], k.shape[3]
     if (on_tpu and mask is None and q_positions is None and causal
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
         from video3d_tpu.kernels.flash_attention import flash_attention
+
+        mesh = _active_mesh()
+        if mesh is not None:
+            batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
+            n_batch = int(np.prod([mesh.shape[a] for a in batch_axes])) \
+                if batch_axes else 1
+            n_tp = mesh.shape.get("tp", 1)
+            if ((n_batch > 1 or n_tp > 1)
+                    and B % max(n_batch, 1) == 0
+                    and H % n_tp == 0 and KV % n_tp == 0):
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                bspec = batch_axes if len(batch_axes) > 1 else \
+                    (batch_axes[0] if batch_axes else None)
+                qkv_spec = P(bspec, None, "tp" if n_tp > 1 else None, None)
+                len_spec = P(bspec)
+
+                def local(qs, ks, vs, ls):
+                    return flash_attention(qs, ks, vs, lengths=ls, causal=True)
+
+                kv_len_arr = kv_len if kv_len is not None else \
+                    jnp.full((B,), S, jnp.int32)
+                return shard_map(local, mesh=mesh,
+                                 in_specs=(qkv_spec, qkv_spec, qkv_spec,
+                                           len_spec),
+                                 out_specs=qkv_spec,
+                                 check_vma=False)(q, k, v, kv_len_arr)
         return flash_attention(q, k, v, lengths=kv_len, causal=True)
     return mha_reference(q, k, v, mask=mask, causal=causal,
                          q_positions=q_positions, kv_len=kv_len)
+
+
+def _active_mesh():
+    """The ambient Mesh context (``with mesh:``), or None."""
+    try:
+        from jax.interpreters import pxla
+
+        mesh = pxla.thread_resources.env.physical_mesh
+        return None if mesh.empty or mesh.size == 1 else mesh
+    except Exception:  # noqa: BLE001
+        return None
