@@ -118,11 +118,13 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
     B, L, D = x.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
+    from video3d_tpu.models.quant import matmul as _mm
+
     h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
     attn_p = p["attn"]
-    q = h @ attn_p["wq"]
-    k = h @ attn_p["wk"]
-    v = h @ attn_p["wv"]
+    q = _mm(h, attn_p["wq"])
+    k = _mm(h, attn_p["wk"])
+    v = _mm(h, attn_p["wv"])
     if "bq" in attn_p:       # Qwen2 qkv bias; LLaMA-family omits it
         q = q + attn_p["bq"]
         k = k + attn_p["bk"]
@@ -156,7 +158,7 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
     else:
         attn = mha(q, k, v, mask=attn_mask, causal=True, kv_len=kv_len)
 
-    x = x + attn.reshape(B, L, D) @ p["attn"]["wo"]
+    x = x + _mm(attn.reshape(B, L, D), p["attn"]["wo"])
 
     h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
     if "moe" in p:     # sparse-MoE layer (models/moe.py)
@@ -164,9 +166,9 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
 
         x = x + moe_block(p["moe"], h, cfg.moe)
     else:
-        gate = jax.nn.silu(h @ p["mlp"]["w_gate"])
-        up = h @ p["mlp"]["w_up"]
-        x = x + (gate * up) @ p["mlp"]["w_down"]
+        gate = jax.nn.silu(_mm(h, p["mlp"]["w_gate"]))
+        up = _mm(h, p["mlp"]["w_up"])
+        x = x + _mm(gate * up, p["mlp"]["w_down"])
     return x, new_kv
 
 
@@ -220,7 +222,9 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
 
 def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
     """(B, L, D) -> (B, L, vocab) logits."""
-    return hidden @ params["lm_head"]
+    from video3d_tpu.models.quant import matmul as _mm
+
+    return _mm(hidden, params["lm_head"])
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
