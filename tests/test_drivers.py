@@ -106,6 +106,7 @@ class TestGroundingDriver:
         q = self._question(info)
         q["metadata"]["dataset"] = "multi3drefer"
         q["metadata"]["question_type"] = "st_w_d"
+        q["box"] = [q["box"]]   # multi3drefer gt is a LIST of boxes
         run_multi3drefer(engine, [q], answer_file)
         with open(answer_file) as f:
             rec = json.loads(f.readline())

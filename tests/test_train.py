@@ -116,3 +116,110 @@ class TestTrainerLoop:
         # saved checkpoint exists and final params exported
         assert ckpt.latest_checkpoint(out) is not None
         assert os.path.isdir(os.path.join(out, "model"))
+
+
+class TestGroundingTrainStep:
+    def test_ground_step_runs_and_updates(self, tmp_path):
+        """ScanRefer-style record -> collator grounding extras ->
+        Trainer._ground_step_fn (InfoNCE) updates the ground head."""
+        import json
+
+        from fixtures import FakeTokenizer, make_fake_scene
+        from video3d_tpu.config import DataConfig
+        from video3d_tpu.data.dataset import (Collator, CollatorConfig,
+                                              SupervisedDataset)
+        from video3d_tpu.data.image_processor import SigLipImageProcessor
+        from video3d_tpu.parallel.mesh import create_mesh
+
+        root = str(tmp_path / "data")
+        info = make_fake_scene(root, n_frames=2)
+        # two records: the warmup schedule makes step 0's lr exactly 0
+        rec = [{
+            "id": f"g{i}", "video": info["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "<image>\nIdentify the chair"},
+                {"from": "gpt", "value": "<ground>"},
+            ],
+            "metadata": {"dataset": "scanrefer", "question_type": "unique",
+                         "object_id": 1},
+        } for i in range(2)]
+        ann = os.path.join(root, "ground.json")
+        with open(ann, "w") as f:
+            json.dump(rec, f)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        tok = FakeTokenizer()
+        ds = SupervisedDataset(ann, tok, dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(
+            max_len=160, frames_upbound=2, max_objects=6,
+            ground_token_id=tok.vocab["<ground>"]))
+        arrays = col([ds[0]])
+        assert "ground_slot" in arrays
+        assert arrays["box_label_hot"][0, 1] == 1.0   # object_id 1 positive
+
+        params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        trainer = Trainer(CFG, params, ds, col,
+                          OptimConfig(total_steps=2, learning_rate=1e-3),
+                          TrainingConfig(output_dir=str(tmp_path / "out"),
+                                         save_steps=100, group_by="none",
+                                         gradient_accumulation_steps=1,
+                                         bf16=False), mesh=mesh)
+        before = np.asarray(jax.device_get(
+            trainer.state.params["ground_head"]["query"]["w1"]))
+        state = trainer.train(resume=False)
+        after = np.asarray(jax.device_get(state.params["ground_head"]["query"]["w1"]))
+        assert not np.allclose(before, after), "ground head must update"
+
+    def test_scan2cap_coord_pe_path(self, tmp_path):
+        """Scan2Cap record with box_input flows through <coord> PE."""
+        import json
+
+        from fixtures import FakeTokenizer, make_fake_scene
+        from video3d_tpu.config import DataConfig
+        from video3d_tpu.data.dataset import (Collator, CollatorConfig,
+                                              SupervisedDataset)
+        from video3d_tpu.data.image_processor import SigLipImageProcessor
+
+        root = str(tmp_path / "data")
+        info = make_fake_scene(root, n_frames=2)
+        rec = [{
+            "id": "c0", "video": info["sample_idx"],
+            "box_input": [1.0, 2.0, 0.5, 0.8, 0.8, 0.8],
+            "conversations": [
+                {"from": "human",
+                 "value": "<image> Given an object located at <coord> , describe the object in detail."},
+                {"from": "gpt", "value": "a brown chair"},
+            ],
+            "metadata": {"dataset": "scan2cap", "question_type": "unique"},
+        }]
+        ann = os.path.join(root, "cap.json")
+        with open(ann, "w") as f:
+            json.dump(rec, f)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        tok = FakeTokenizer()
+        ds = SupervisedDataset(ann, tok, dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(max_len=192, frames_upbound=2,
+                                           coord_token_id=tok.vocab["<coord>"]))
+        arrays = col([ds[0]])
+        assert arrays["coord_mask"].sum() == 1
+        # box center discretized into voxel units
+        np.testing.assert_allclose(arrays["box_input"][0],
+                                   [(1 + 15) / 0.1, (2 + 15) / 0.1, (0.5 + 5) / 0.1])
+
+        batch = lv3d.Batch(**{k: jnp.asarray(v) for k, v in arrays.items()
+                              if k in lv3d.Batch._fields})
+        params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+        logits = lv3d.forward(params, CFG, batch)
+        assert np.isfinite(np.asarray(logits[0, :8])).all()
+        # PE actually changed the <coord> position embedding
+        no_pe = batch._replace(coord_mask=jnp.zeros_like(batch.coord_mask))
+        logits2 = lv3d.forward(params, CFG, no_pe)
+        assert np.abs(np.asarray(logits) - np.asarray(logits2)).max() > 1e-4

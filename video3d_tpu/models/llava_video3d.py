@@ -462,7 +462,9 @@ def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
                                grid=g, pool_px=cfg.vision.image_size // g)
     feats = vt.raw[0] if cfg.world_3d.object_feature_type == ObjectFeatureType.PATCH14 \
         else vt.pooled[0]
-    obj_feats, nonzero = object_features_from_masks(feats, masks)
+    # Objects whose box covers no patch keep a zero feature vector and are
+    # still scored (llava_arch.py:492-496); only PADDED slots are masked out.
+    obj_feats, _ = object_features_from_masks(feats, masks)
     if cfg.world_3d.object_feature_use_pe and cfg.world_3d.pos_embed in (
             PosEmbedType.SIN3D, PosEmbedType.MLP):
         centers = object_boxes[:, :3]
@@ -473,7 +475,7 @@ def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
         pe = world_position_embedding(params, centers[None], cfg)[0]
         obj_feats = obj_feats + pe.astype(obj_feats.dtype)
     query = hidden[0, ground_slot]
-    return ground_scores(params, query, obj_feats, object_valid & nonzero, cfg)
+    return ground_scores(params, query, obj_feats, object_valid, cfg)
 
 
 def init_model(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
