@@ -223,3 +223,17 @@ class TestGroundingTrainStep:
         no_pe = batch._replace(coord_mask=jnp.zeros_like(batch.coord_mask))
         logits2 = lv3d.forward(params, CFG, no_pe)
         assert np.abs(np.asarray(logits) - np.asarray(logits2)).max() > 1e-4
+
+
+class TestPosSkipping:
+    def test_offsets_monotone_and_bounded(self):
+        from video3d_tpu.train.trainer import apply_pos_skipping
+
+        rng = np.random.default_rng(0)
+        pos = np.broadcast_to(np.arange(32), (2, 32)).copy()
+        for _ in range(20):
+            out = apply_pos_skipping(pos, 100, rng)
+            d = out - pos
+            assert d.min() >= 0 and d.max() <= 100
+            # offsets non-decreasing along the sequence (left <= right)
+            assert (np.diff(d[0]) >= 0).all()

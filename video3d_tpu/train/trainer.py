@@ -51,6 +51,24 @@ class TrainingConfig:
     dp: int = 1
     tp: int = 1
     grounding_loss_weight: float = 1.0
+    # use_pos_skipping (llava_arch.py:823-829): during training, add random
+    # offsets to position ids before/after a random split point to expose the
+    # model to larger absolute positions. 0 disables.
+    pos_skipping_range: int = 0
+
+
+def apply_pos_skipping(position_ids: np.ndarray, skip_range: int,
+                       rng: np.random.Generator) -> np.ndarray:
+    """use_pos_skipping (llava_arch.py:823-829): pick a random split point,
+    add ``left_add`` to ids before it and ``right_add >= left_add`` after."""
+    L = position_ids.shape[1]
+    split = int(rng.integers(0, L + 1))
+    left_add = int(rng.integers(0, skip_range + 1))
+    right_add = int(rng.integers(left_add, skip_range + 1))
+    out = position_ids.copy()
+    out[:, :split] += left_add
+    out[:, split:] += right_add
+    return out
 
 
 def grounding_loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
@@ -202,6 +220,11 @@ class Trainer:
                     to_run.append(batch_idx)
                 prefetcher = BatchPrefetcher(self.dataset, self.collator, to_run)
                 for arrays in prefetcher:
+                    if self.tcfg.pos_skipping_range:
+                        arrays = dict(arrays)
+                        arrays["position_ids"] = apply_pos_skipping(
+                            arrays["position_ids"],
+                            self.tcfg.pos_skipping_range, rng)
                     if self.tcfg.profile_steps and \
                             global_step == self.tcfg.profile_steps[0]:
                         jax.profiler.start_trace(self.tcfg.profile_dir)
