@@ -85,3 +85,33 @@ class TestGenerate:
         n = int(res.lengths[0])
         assert n <= 5
         assert not (toks[:n] == EOS).any()
+
+
+class TestSampling:
+    def test_greedy_when_temperature_zero(self, setup):
+        params, batch, plan = setup
+        a = generate_greedy(params, CFG, batch, max_new_tokens=4,
+                            eos_token_id=EOS, cache_dtype=jnp.float32)
+        b = generate_greedy(params, CFG, batch, max_new_tokens=4,
+                            eos_token_id=EOS, cache_dtype=jnp.float32,
+                            temperature=0.0, top_p=0.9)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    def test_sampling_varies_with_key(self, setup):
+        params, batch, plan = setup
+        outs = []
+        for seed in (0, 1, 2):
+            r = generate_greedy(params, CFG, batch, max_new_tokens=6,
+                                eos_token_id=EOS, cache_dtype=jnp.float32,
+                                temperature=1.5,
+                                rng_key=jax.random.PRNGKey(seed))
+            outs.append(np.asarray(r.tokens)[0].tolist())
+        assert len({tuple(o) for o in outs}) > 1, "sampling must vary"
+
+    def test_top_p_filters_tail(self):
+        from video3d_tpu.models.generate import sample_token
+        # one dominant logit: top_p=0.5 keeps only it -> deterministic
+        logits = jnp.asarray([[10.0, 0.0, 0.0, 0.0]])
+        for seed in range(5):
+            tok = sample_token(logits, jax.random.PRNGKey(seed), 1.0, 0.5)
+            assert int(tok[0]) == 0

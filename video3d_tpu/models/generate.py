@@ -32,15 +32,41 @@ def _decode_position_ids(pos: jax.Array) -> jax.Array:
     return jnp.broadcast_to(pos[..., None], (*pos.shape, 3))
 
 
+def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
+                 top_p: float) -> jax.Array:
+    """Temperature + nucleus sampling; greedy when temperature == 0.
+
+    Mirrors the reference's generation kwargs (model_scanqa.py:176-180:
+    do_sample = temperature > 0, top_p).
+    """
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest set with cumulative mass >= top_p (incl. first)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)            # (B,)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None],
+                                     axis=-1)                 # (B, 1)
+        logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "eos_token_id", "max_cache_len",
-                                             "cache_dtype"))
+                                             "cache_dtype", "temperature",
+                                             "top_p"))
 def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
                     max_new_tokens: int = 512,
                     eos_token_id: int = 151645,
                     max_cache_len: Optional[int] = None,
-                    cache_dtype=jnp.bfloat16) -> GenerateResult:
-    """Greedy decode.
+                    cache_dtype=jnp.bfloat16,
+                    temperature: float = 0.0,
+                    top_p: float = 1.0,
+                    rng_key: Optional[jax.Array] = None) -> GenerateResult:
+    """Greedy (temperature == 0, the eval default) or sampled decode.
 
     Args:
       batch: spliced prefill batch (images + plan). ``batch.seq_len`` gives
@@ -48,6 +74,8 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
     Returns:
       GenerateResult with emitted token ids.
     """
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
     B, L = batch.text_ids.shape
     if max_cache_len is None:
         max_cache_len = L + max_new_tokens
@@ -98,7 +126,8 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
         return (s.step < max_new_tokens) & ~jnp.all(s.done)
 
     def body(s: State):
-        tok = jnp.argmax(s.next_logits, axis=-1).astype(jnp.int32)   # (B,)
+        step_key = jax.random.fold_in(rng_key, s.step)
+        tok = sample_token(s.next_logits, step_key, temperature, top_p)  # (B,)
         tok = jnp.where(s.done, eos_token_id, tok)
         tokens = s.tokens.at[:, s.step].set(tok)
         now_done = s.done | (tok == eos_token_id)
