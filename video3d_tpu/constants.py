@@ -1,23 +1,29 @@
-"""Token-level constants shared across the data pipeline and the model.
+"""Shared protocol constants.
 
-Mirrors the contract of the reference implementation
-(/root/reference/llava/constants.py:7-14): the multimodal splice protocol
-places a sentinel id in the token stream wherever per-frame visual tokens
-must be inserted, and masks loss with IGNORE_INDEX.
+These values are the multimodal splice / loss-masking wire protocol the
+data pipeline and model agree on; they must equal the reference's
+(/root/reference/llava/constants.py:7-14) for checkpoint and dataset
+interoperability: the tokenizer emits IMAGE_TOKEN_INDEX sentinels where
+per-frame visual tokens get spliced, and IGNORE_INDEX masks loss.
 """
 
-CONTROLLER_HEART_BEAT_EXPIRATION = 30
-WORKER_HEART_BEAT_INTERVAL = 15
-
-LOGDIR = "."
-
-# Model / splice constants
+# loss masking (HF convention)
 IGNORE_INDEX = -100
+
+# splice sentinel: '<image>' tokenizes to this id (mm_utils.py:341-360)
 IMAGE_TOKEN_INDEX = -200
+
+# token strings
 DEFAULT_IMAGE_TOKEN = "<image>"
 DEFAULT_IMAGE_PATCH_TOKEN = "<im_patch>"
 DEFAULT_IM_START_TOKEN = "<im_start>"
 DEFAULT_IM_END_TOKEN = "<im_end>"
 IMAGE_PLACEHOLDER = "<image-placeholder>"
+
+# task tokens added by the 3D recipe (train_3d.py:1697-1713)
 GROUND_TOKEN = "<ground>"
 COORD_TOKEN = "<coord>"
+
+# serving heartbeat protocol (controller worker-expiry contract)
+CONTROLLER_HEART_BEAT_EXPIRATION = 30
+WORKER_HEART_BEAT_INTERVAL = 15

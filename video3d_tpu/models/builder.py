@@ -76,10 +76,12 @@ def load_pretrained_model(model_path: str,
                           model_name: Optional[str] = None,
                           overwrite_config: Optional[Dict[str, Any]] = None,
                           dtype=jnp.bfloat16,
-                          load_tokenizer: bool = True):
+                          load_tokenizer: bool = True,
+                          vision_config=None):
     """Returns (tokenizer, params, model_cfg, context_len)."""
     from video3d_tpu.models.weights import (convert_llava_checkpoint,
-                                            load_safetensors_dir)
+                                            load_safetensors_dir,
+                                            vision_config_from_state)
 
     with open(os.path.join(model_path, "config.json")) as f:
         hf = json.load(f)
@@ -88,6 +90,11 @@ def load_pretrained_model(model_path: str,
 
     cfg = model_config_from_hf(hf)
     state = load_safetensors_dir(model_path)
+    if vision_config is None and \
+            "model.vision_tower.vision_tower.vision_model.embeddings.patch_embedding.weight" in state:
+        vision_config = vision_config_from_state(state)
+    if vision_config is not None:
+        cfg = replace(cfg, vision=vision_config)
     params = convert_llava_checkpoint(
         state, cfg.llm, cfg.vision, dtype=dtype,
         ground_head="ground_head_obj.0.weight" in state)

@@ -152,6 +152,30 @@ def convert_siglip(state: Mapping[str, Any], cfg: VisionConfig,
     }
 
 
+def vision_config_from_state(state: Mapping[str, Any],
+                             prefix: str = "model.vision_tower.vision_tower.vision_model.",
+                             num_attention_heads: Optional[int] = None) -> VisionConfig:
+    """Infer tower dims from checkpoint shapes (LLaVA checkpoints save the
+    tower with the last encoder layer already deleted, so the stored layer
+    count IS the run count). Head count is not derivable from shapes; pass
+    it, or the so400m default (16) is used for 1152-wide towers and
+    hidden // 64 otherwise."""
+    n_layers = 0
+    while f"{prefix}encoder.layers.{n_layers}.layer_norm1.weight" in state:
+        n_layers += 1
+    conv_w = _to_np(state[prefix + "embeddings.patch_embedding.weight"])
+    hidden, _, patch, _ = conv_w.shape
+    pos = _to_np(state[prefix + "embeddings.position_embedding.weight"])
+    side = int(round(pos.shape[0] ** 0.5))
+    fc1 = _to_np(state[prefix + "encoder.layers.0.mlp.fc1.weight"])
+    if num_attention_heads is None:
+        num_attention_heads = 16 if hidden == 1152 else max(1, hidden // 64)
+    return VisionConfig(hidden_size=hidden, intermediate_size=fc1.shape[0],
+                        num_hidden_layers=n_layers,
+                        num_attention_heads=num_attention_heads,
+                        image_size=side * patch, patch_size=patch)
+
+
 def convert_projector(state: Mapping[str, Any],
                       prefix: str = "model.mm_projector.", dtype=jnp.float32):
     """mlp2x_gelu projector: 0.weight/bias, 2.weight/bias (builder.py:47-55)."""
