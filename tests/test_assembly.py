@@ -239,3 +239,57 @@ class TestGroundingHead:
         assert s.shape == (6,)
         assert np.isinf(s[[2, 4]]).all() and np.isfinite(s[[0, 1, 3, 5]]).all()
         assert np.abs(s[np.isfinite(s)]).max() <= 1.0 + 1e-5  # cosine range
+
+
+class TestSpliceFuzz:
+    def test_randomized_plan_invariants(self):
+        """50 random (prompt, answer, V, truncation) cases: the plan must
+        keep text order, vision contiguity, label alignment, and position
+        arithmetic exactly."""
+        rng = np.random.default_rng(0)
+        for case in range(50):
+            T = int(rng.integers(2, 12))
+            V = int(rng.integers(0, 5))
+            n_pre = int(rng.integers(1, 8))
+            n_post = int(rng.integers(1, 8))
+            ids = rng.integers(1, 400, size=n_pre + n_post).tolist()
+            labels = [IGNORE_INDEX] * n_pre + ids[n_pre:]
+            has_image = V > 0 and rng.random() > 0.2
+            if has_image:
+                ids = ids[:n_pre] + [IMAGE_TOKEN_INDEX] + ids[n_pre:]
+                labels = labels[:n_pre] + [IGNORE_INDEX] + labels[n_pre:]
+            total = len([i for i in ids if i != IMAGE_TOKEN_INDEX]) + \
+                (V * T if has_image else 0)
+            max_len = int(total + rng.integers(0, 16))
+            truncate = int(rng.integers(4, total + 4)) if rng.random() < 0.3 else None
+
+            plan = build_splice_plan([ids], [labels], [V],
+                                     tokens_per_frame=T, max_len=max_len,
+                                     grid_side=3, truncate_to=truncate)
+            n = int(plan.seq_len[0])
+            expect = min(total, max_len, truncate or 10**9)
+            assert n == expect, (case, n, expect)
+            # positions are arange over the whole buffer
+            np.testing.assert_array_equal(plan.position_ids[0],
+                                          np.arange(max_len))
+            # pad tail
+            assert (plan.kind[0, n:] == KIND_PAD).all()
+            # text ids appear in original order at text slots
+            text_slots = plan.text_ids[0][plan.kind[0] == KIND_TEXT]
+            ref_text = [i for i in ids if i != IMAGE_TOKEN_INDEX]
+            np.testing.assert_array_equal(text_slots,
+                                          np.asarray(ref_text)[:len(text_slots)])
+            if has_image and n > n_pre:
+                # vision block contiguous right after the prefix
+                vis = np.nonzero(plan.kind[0] == KIND_VISION)[0]
+                if len(vis):
+                    assert vis[0] == n_pre
+                    np.testing.assert_array_equal(
+                        vis, np.arange(vis[0], vis[0] + len(vis)))
+                    np.testing.assert_array_equal(
+                        plan.vision_index[0][vis], np.arange(len(vis)))
+                    # vision slots never supervised
+                    assert (plan.labels[0][vis] == IGNORE_INDEX).all()
+            # supervised labels only at answer text slots
+            sup = np.nonzero(plan.labels[0] != IGNORE_INDEX)[0]
+            assert all(plan.kind[0][s] == KIND_TEXT for s in sup)
