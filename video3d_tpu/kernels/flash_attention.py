@@ -95,11 +95,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
         # per-row logsumexp, written as a (1, block_q) lane-major row
         lse = m_scratch[:, :1] + jnp.log(l)          # (bq, 1)
-        lse_ref[0] = jax.lax.dot_general(
-            jnp.ones((1, lse.shape[0]), jnp.float32) * 0.0 + 1.0, lse,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * 0.0 + lse.reshape(1, -1) \
-            if False else lse.reshape(1, -1)
+        lse_ref[0] = lse.reshape(1, -1)
 
 
 # ---------------------------------------------------------------------------
