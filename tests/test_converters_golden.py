@@ -160,3 +160,121 @@ class TestScanReferGolden:
                 ours = json.load(f)
             # the reference stores box as tuple->list; normalize via json
             assert ours == ref, split
+
+
+def _stub_llava_modules():
+    """Make `from llava.eval.box_utils import ...` / `llava.utils_3d` work
+    without importing the heavy llava package."""
+    import sys
+
+    for name, path in (("llava.eval.box_utils",
+                        "/root/reference/llava/eval/box_utils.py"),
+                       ("llava.utils_3d",
+                        "/root/reference/llava/utils_3d.py")):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules[name] = mod
+    for pkg in ("llava", "llava.eval"):
+        if pkg not in sys.modules:
+            sys.modules[pkg] = types.ModuleType(pkg)
+    sys.modules["llava"].eval = sys.modules["llava.eval"]
+    sys.modules["llava.eval"].box_utils = sys.modules["llava.eval.box_utils"]
+    sys.modules["llava"].utils_3d = sys.modules["llava.utils_3d"]
+
+
+class TestScan2CapAndM3DRGolden:
+    def _make_inputs(self, root):
+        import torch
+        from scipy import sparse
+
+        sr = os.path.join(root, "scanrefer")
+        m3 = os.path.join(root, "multi3drefer")
+        scannet = os.path.join(root, "scannet")
+        os.makedirs(sr, exist_ok=True)
+        os.makedirs(m3, exist_ok=True)
+        rng = np.random.default_rng(0)
+
+        n_pts = 200
+        xyz = rng.uniform(-3, 3, size=(n_pts, 3)).astype(np.float32)
+        for split in ("train", "val"):
+            data = [{
+                "scene_id": "scene0000_00", "object_id": str(oid),
+                "object_name": name, "ann_id": str(i),
+                "description": f"the {name} number {i}",
+                "eval_type": "unique" if i == 2 else "multiple",
+            } for i, (oid, name) in enumerate([(1, "chair"), (1, "chair"),
+                                               (2, "bed")])]
+            with open(os.path.join(sr, f"ScanRefer_filtered_{split}.json"), "w") as f:
+                json.dump(data, f)
+            m3_data = [{
+                "scene_id": "scene0000_00", "object_ids": [1, 2],
+                "ann_id": str(i), "description": f"both objects {i}",
+                "eval_type": "mt",
+            } for i in range(2)]
+            with open(os.path.join(m3, f"multi3drefer_{split}.json"), "w") as f:
+                json.dump(m3_data, f)
+
+            pth_dir = os.path.join(scannet, "pcd_with_object_aabbs", split)
+            os.makedirs(pth_dir, exist_ok=True)
+            corners = rng.uniform(-3, 3, size=(3, 8, 3)).astype(np.float32)
+            torch.save({"xyz": torch.tensor(xyz),
+                        "rgb": torch.tensor(rng.integers(0, 255, (n_pts, 3)).astype(np.uint8)),
+                        "aabb_obj_ids": torch.tensor([1, 2, 3], dtype=torch.int16),
+                        "aabb_corner_xyz": torch.tensor(corners)},
+                       os.path.join(pth_dir, "scene0000_00.pth"))
+
+        # sparse instance masks (reference load_masks: scipy sparse npz)
+        mask_dir = os.path.join(scannet, "mask")
+        os.makedirs(mask_dir, exist_ok=True)
+        dense = np.zeros((5, n_pts), np.int64)
+        for r in range(5):
+            dense[r, rng.choice(n_pts, 40, replace=False)] = 1
+        sparse.save_npz(os.path.join(mask_dir, "scene0000_00.mask"),
+                        sparse.csr_matrix(dense))
+        os.rename(os.path.join(mask_dir, "scene0000_00.mask.npz"),
+                  os.path.join(mask_dir, "scene0000_00.mask.npz"))
+        return sr, m3, scannet
+
+    def test_scan2cap_identical(self, tmp_path):
+        _stub_llava_modules()
+        sr, m3, scannet = self._make_inputs(str(tmp_path))
+        ref_mod = _load("process_scan2cap")
+        ref_out = str(tmp_path / "ref_s2c")
+        ref_mod.main(types.SimpleNamespace(scanrefer_dir=sr,
+                                           scannet_dir=scannet,
+                                           output_dir=ref_out, threshold=0.5))
+        from video3d_tpu.tools.converters import convert_scan2cap
+
+        our_out = str(tmp_path / "our_s2c")
+        convert_scan2cap(sr, scannet, our_out)
+        for split in ("train", "val"):
+            ref = json.load(open(os.path.join(
+                ref_out, f"scan2cap_{split}_llava_style.json")))
+            ours = json.load(open(os.path.join(
+                our_out, f"scan2cap_{split}_llava_style.json")))
+            assert ours == ref, split
+
+    def test_multi3drefer_identical(self, tmp_path, monkeypatch):
+        _stub_llava_modules()
+        sr, m3, scannet = self._make_inputs(str(tmp_path))
+        ref_mod = _load("process_multi3drefer")
+        ref_out = str(tmp_path / "ref_m3")
+        # reference hardcodes 'data/scannet'
+        os.makedirs(str(tmp_path / "data"), exist_ok=True)
+        if not os.path.exists(str(tmp_path / "data" / "scannet")):
+            os.symlink(scannet, str(tmp_path / "data" / "scannet"))
+        monkeypatch.chdir(str(tmp_path))
+        ref_mod.main(types.SimpleNamespace(multi3drefer_dir=m3,
+                                           output_dir=ref_out,
+                                           template_type="cls"))
+        from video3d_tpu.tools.converters import convert_multi3drefer
+
+        our_out = str(tmp_path / "our_m3")
+        convert_multi3drefer(m3, scannet, our_out)
+        for split in ("train", "val"):
+            ref = json.load(open(os.path.join(
+                ref_out, f"multi3drefer_{split}_llava_style.json")))
+            ours = json.load(open(os.path.join(
+                our_out, f"multi3drefer_{split}_llava_style.json")))
+            assert ours == ref, split

@@ -216,15 +216,18 @@ def convert_multi3drefer(multi3drefer_dir: str, scannet_dir: str,
 
 
 def load_pred_boxes(scannet_dir: str, scene_id: str, split: str = "val"):
-    """Mask3D instance masks -> predicted boxes (process_scan2cap.py load_masks
-    + extract_pred_box.py)."""
+    """Mask3D instance masks -> predicted boxes (process_scan2cap.py
+    load_masks + extract_pred_box.py). Masks are SCIPY SPARSE npz with up to
+    50 instance rows over the scene points."""
     import torch
+    from scipy import sparse
 
     pcd = torch.load(os.path.join(scannet_dir, "pcd_with_object_aabbs", split,
                                   f"{scene_id}.pth"), weights_only=False)
-    points = np.asarray(pcd["xyz"])
+    points = np.asarray(pcd["xyz"], dtype=np.float64)  # the reference's
+    # color-concat promotes points to f64 before box extraction
     mask_path = os.path.join(scannet_dir, "mask", f"{scene_id}.mask.npz")
-    masks = np.load(mask_path)["arr_0"][:50]
+    masks = np.array(sparse.load_npz(mask_path).todense())[:50, :]
     boxes = []
     for row in masks:
         sel = points[row.astype(bool)]

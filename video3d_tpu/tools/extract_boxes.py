@@ -39,6 +39,7 @@ def extract_gt_boxes(scannet_dir: str, split: str, output_file: str) -> Dict[str
 def extract_pred_boxes(scannet_dir: str, split: str, output_file: str,
                        top_k: int = 50) -> Dict[str, list]:
     import torch
+    from scipy import sparse
 
     pcd_dir = os.path.join(scannet_dir, "pcd_with_object_aabbs", split)
     mask_dir = os.path.join(scannet_dir, "mask")
@@ -51,8 +52,8 @@ def extract_pred_boxes(scannet_dir: str, split: str, output_file: str,
         if not os.path.exists(mask_path):
             continue
         pcd = torch.load(os.path.join(pcd_dir, fname), weights_only=False)
-        points = np.asarray(pcd["xyz"])
-        masks = np.load(mask_path)["arr_0"][:top_k]
+        points = np.asarray(pcd["xyz"], dtype=np.float64)
+        masks = np.array(sparse.load_npz(mask_path).todense())[:top_k, :]
         boxes: List[list] = []
         for row in masks:
             sel = points[row.astype(bool)]
