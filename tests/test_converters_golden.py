@@ -278,3 +278,39 @@ class TestScan2CapAndM3DRGolden:
             ours = json.load(open(os.path.join(
                 our_out, f"multi3drefer_{split}_llava_style.json")))
             assert ours == ref, split
+
+
+class TestGtBoxGolden:
+    def test_identical_output(self, tmp_path):
+        import torch
+
+        _stub_llava_modules()
+        scannet = str(tmp_path / "scannet")
+        rng = np.random.default_rng(0)
+        for split in ("train", "val"):
+            d = os.path.join(scannet, "pcd_with_object_aabbs", split)
+            os.makedirs(d, exist_ok=True)
+            # consecutive-id scene (kept) + non-consecutive scene (dropped)
+            torch.save({"aabb_obj_ids": torch.tensor([0, 1, 2], dtype=torch.int16),
+                        "aabb_corner_xyz": torch.tensor(
+                            rng.uniform(-3, 3, (3, 8, 3)).astype(np.float32))},
+                       os.path.join(d, "scene0000_00.pth"))
+            torch.save({"aabb_obj_ids": torch.tensor([0, 2, 3], dtype=torch.int16),
+                        "aabb_corner_xyz": torch.tensor(
+                            rng.uniform(-3, 3, (3, 8, 3)).astype(np.float32))},
+                       os.path.join(d, "scene0001_00.pth"))
+
+        ref_mod = _load("extract_gt_box")
+        ref_out = str(tmp_path / "ref")
+        ref_mod.main(types.SimpleNamespace(scannet_dir=scannet,
+                                           output_dir=ref_out))
+
+        from video3d_tpu.tools.extract_boxes import extract_gt_boxes
+
+        for split in ("train", "val"):
+            ours = extract_gt_boxes(
+                scannet, split, str(tmp_path / f"ours_{split}.json"))
+            ref = json.load(open(os.path.join(
+                ref_out, f"scannet_{split}_gt_box.json")))
+            assert set(ours) == set(ref) == {"scannet/scene0000_00"}
+            assert ours == ref, split

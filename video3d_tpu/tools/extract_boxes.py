@@ -21,15 +21,23 @@ from video3d_tpu.tools.converters import load_scene_boxes
 
 
 def extract_gt_boxes(scannet_dir: str, split: str, output_file: str) -> Dict[str, list]:
+    """Per-scene gt box lists in STORAGE order (extract_gt_box.py:66-78):
+    the list index must equal the object id, so scenes whose stored ids are
+    not exactly 0..N-1 are dropped, exactly like the reference — grounding
+    labels index into this list by object_id."""
     d = os.path.join(scannet_dir, "pcd_with_object_aabbs", split)
     out: Dict[str, list] = {}
     for fname in sorted(os.listdir(d)):
         if not fname.endswith(".pth"):
             continue
         scene_id = fname[:-4]
-        boxes = load_scene_boxes(os.path.join(d, fname))
-        ordered = [list(boxes[k]) for k in sorted(boxes, key=int)]
-        out[f"scannet/{scene_id}"] = ordered
+        boxes = load_scene_boxes(os.path.join(d, fname))   # insertion-ordered
+        ids = list(boxes.keys())
+        if any(i != int(j) for i, j in enumerate(ids)):
+            print(f"[extract_gt_boxes] dropping {scene_id}: "
+                  f"non-consecutive object ids")
+            continue
+        out[f"scannet/{scene_id}"] = [list(v) for v in boxes.values()]
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
     with open(output_file, "w") as f:
         json.dump(out, f)
