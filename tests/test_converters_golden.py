@@ -314,3 +314,46 @@ class TestGtBoxGolden:
                 ref_out, f"scannet_{split}_gt_box.json")))
             assert set(ours) == set(ref) == {"scannet/scene0000_00"}
             assert ours == ref, split
+
+
+class TestPredBoxGolden:
+    def test_identical_output(self, tmp_path):
+        import torch
+        from scipy import sparse
+
+        _stub_llava_modules()
+        scannet = str(tmp_path / "scannet")
+        meta = str(tmp_path / "meta")
+        os.makedirs(meta, exist_ok=True)
+        rng = np.random.default_rng(0)
+        n_pts = 150
+        for split in ("val", "test"):
+            d = os.path.join(scannet, "pcd_with_object_aabbs", split)
+            os.makedirs(d, exist_ok=True)
+            torch.save({"xyz": torch.tensor(
+                            rng.uniform(-3, 3, (n_pts, 3)).astype(np.float32)),
+                        "rgb": torch.tensor(
+                            rng.integers(0, 255, (n_pts, 3)).astype(np.float64))},
+                       os.path.join(d, "scene0000_00.pth"))
+            with open(os.path.join(meta, f"scannetv2_{split}.txt"), "w") as f:
+                f.write("scene0000_00\n")
+        mask_dir = os.path.join(scannet, "mask")
+        os.makedirs(mask_dir, exist_ok=True)
+        dense = np.zeros((4, n_pts), np.int64)
+        for r in range(4):
+            dense[r, rng.choice(n_pts, 30, replace=False)] = 1
+        sparse.save_npz(os.path.join(mask_dir, "scene0000_00.mask"),
+                        sparse.csr_matrix(dense))
+
+        ref_mod = _load("extract_pred_box")
+        ref_out = str(tmp_path / "ref")
+        ref_mod.main(types.SimpleNamespace(scannet_dir=scannet,
+                                           output_dir=ref_out,
+                                           scannet_meta=meta))
+
+        from video3d_tpu.tools.extract_boxes import extract_pred_boxes
+
+        ours = extract_pred_boxes(scannet, "val",
+                                  str(tmp_path / "ours_val.json"))
+        ref = json.load(open(os.path.join(ref_out, "scannet_val_pred_box.json")))
+        assert ours == ref

@@ -59,17 +59,20 @@ def extract_pred_boxes(scannet_dir: str, split: str, output_file: str,
         mask_path = os.path.join(mask_dir, f"{scene_id}.mask.npz")
         if not os.path.exists(mask_path):
             continue
-        pcd = torch.load(os.path.join(pcd_dir, fname), weights_only=False)
-        points = np.asarray(pcd["xyz"], dtype=np.float64)
-        masks = np.array(sparse.load_npz(mask_path).todense())[:top_k, :]
-        boxes: List[list] = []
-        for row in masks:
-            sel = points[row.astype(bool)]
-            if len(sel) == 0:
-                continue
-            center, size = convert_pc_to_box(sel)
-            boxes.append(center + size)
-        out[f"scannet/{scene_id}"] = boxes
+        try:
+            pcd = torch.load(os.path.join(pcd_dir, fname), weights_only=False)
+            points = np.asarray(pcd["xyz"], dtype=np.float64)
+            masks = np.array(sparse.load_npz(mask_path).todense())[:top_k, :]
+            boxes: List[list] = []
+            # box index MUST equal the mask row index (the eval drivers pair
+            # scores with boxes positionally); an empty row crashes and drops
+            # the whole scene, exactly like the reference (:84-92)
+            for row in masks:
+                center, size = convert_pc_to_box(points[row.astype(bool)])
+                boxes.append(center + size)
+            out[f"scannet/{scene_id}"] = boxes
+        except Exception as e:  # noqa: BLE001
+            print(f"[extract_pred_boxes] dropping {scene_id}: {e}")
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
     with open(output_file, "w") as f:
         json.dump(out, f)
