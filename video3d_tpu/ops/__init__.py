@@ -11,3 +11,6 @@ from video3d_tpu.ops.geometry import (
     pool_2d_tokens,
 )
 from video3d_tpu.ops.pos_embed import sin3d_position_embedding
+from video3d_tpu.ops.mc_select import (greedy_select_frames,
+                                       select_prefix_by_ratio)
+from video3d_tpu.ops.box import box3d_iou, convert_pc_to_box, iou_matrix
