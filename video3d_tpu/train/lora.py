@@ -74,6 +74,9 @@ def apply_lora(params: Any, lora: Any, cfg: LoraConfig) -> Any:
     def merge(w, ad):
         if ad is None:
             return w
+        if isinstance(w, dict):
+            raise TypeError("LoRA cannot merge into int8-quantized weights; "
+                            "apply LoRA before quantize_tree")
         delta = (ad["A"] @ ad["B"]) * cfg.scale
         return w + delta.astype(w.dtype)
 
