@@ -126,3 +126,64 @@ class TestLoadPretrained:
         got_feat = np.asarray(siglip.vision_tower_forward(
             vparams, jnp.asarray(pixels), vcfg))
         np.testing.assert_allclose(got_feat, ref_feat, rtol=3e-4, atol=3e-4)
+
+
+class TestExportRoundTrip:
+    def test_export_then_load_identical(self, tmp_path):
+        """init -> export (HF layout) -> load_pretrained_model -> identical
+        leaves, and HF torch loads our exported LLM with matching logits."""
+        from video3d_tpu.config import ModelConfig, VisionConfig, replace
+        from video3d_tpu.models import llava_video3d as lv3d
+        from video3d_tpu.models.builder import load_pretrained_model
+        from video3d_tpu.models.weights import export_llava_checkpoint
+
+        cfg = replace(ModelConfig.tiny(),
+                      vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                                          num_hidden_layers=2,
+                                          num_attention_heads=4,
+                                          image_size=42, patch_size=14))
+        params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+        out = str(tmp_path / "export")
+        export_llava_checkpoint(params, cfg.llm, cfg, out)
+
+        _, loaded, loaded_cfg, _ = load_pretrained_model(
+            out, dtype=jnp.float32, load_tokenizer=False,
+            vision_config=replace(cfg.vision))
+        assert loaded_cfg.world_3d.discrete
+        for (pa, a), (pb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(params["llm"]),
+                       key=lambda kv: str(kv[0])),
+                sorted(jax.tree_util.tree_leaves_with_path(loaded["llm"]),
+                       key=lambda kv: str(kv[0]))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, err_msg=str(pa))
+
+        # torch side can load our export
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+        from safetensors.torch import load_file
+
+        hf_cfg = Qwen2Config(vocab_size=512, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, max_position_embeddings=1024,
+                             rope_theta=1e6, tie_word_embeddings=False,
+                             attn_implementation="eager")
+        hf = Qwen2ForCausalLM(hf_cfg)
+        llm_state = {k: v for k, v in
+                     load_file(os.path.join(out, "model.safetensors")).items()
+                     if k.startswith(("model.layers", "model.embed_tokens",
+                                      "model.norm", "lm_head"))}
+        missing, unexpected = hf.load_state_dict(llm_state, strict=False)
+        assert not unexpected
+        hf.eval()
+        ids = np.random.default_rng(0).integers(0, 512, (1, 6))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+        from video3d_tpu.models import qwen2
+        from video3d_tpu.config import replace as rep
+
+        embeds = qwen2.embed_tokens(params["llm"], jnp.asarray(ids))
+        pos = jnp.broadcast_to(jnp.arange(6)[None, :, None], (1, 6, 3))
+        hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds, pos)
+        got = np.asarray(qwen2.lm_head(params["llm"], hidden))
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

@@ -186,6 +186,146 @@ def convert_projector(state: Mapping[str, Any],
     }
 
 
+def export_llava_checkpoint(params: Mapping[str, Any], llm_cfg: LLMConfig,
+                            model_cfg=None, path: str = None,
+                            extra_config: Optional[dict] = None) -> dict:
+    """Inverse of :func:`convert_llava_checkpoint`: functional pytree ->
+    HF-format state dict (reference key layout / (out, in) Linear
+    orientation), optionally written as safetensors + config.json so
+    torch-side tooling (and the reference itself) can load our training
+    results."""
+    import numpy as np
+
+    import jax
+
+    def t(x):
+        # safetensors writes raw buffers: transposed views MUST be
+        # materialized contiguous or the file silently holds wrong data
+        return np.ascontiguousarray(np.asarray(jax.device_get(x), np.float32).T)
+
+    def v(x):
+        return np.ascontiguousarray(np.asarray(jax.device_get(x), np.float32))
+
+    state: Dict[str, np.ndarray] = {}
+    llm = params["llm"]
+    state["model.embed_tokens.weight"] = v(llm["embed_tokens"])
+    state["model.norm.weight"] = v(llm["norm"])
+    state["lm_head.weight"] = t(llm["lm_head"])
+    for i, layer in enumerate(llm["layers"]):
+        p = f"model.layers.{i}."
+        state[p + "input_layernorm.weight"] = v(layer["input_layernorm"])
+        state[p + "post_attention_layernorm.weight"] = v(layer["post_attention_layernorm"])
+        a = layer["attn"]
+        state[p + "self_attn.q_proj.weight"] = t(a["wq"])
+        state[p + "self_attn.k_proj.weight"] = t(a["wk"])
+        state[p + "self_attn.v_proj.weight"] = t(a["wv"])
+        state[p + "self_attn.o_proj.weight"] = t(a["wo"])
+        if "bq" in a:
+            state[p + "self_attn.q_proj.bias"] = v(a["bq"])
+            state[p + "self_attn.k_proj.bias"] = v(a["bk"])
+            state[p + "self_attn.v_proj.bias"] = v(a["bv"])
+        m = layer["mlp"]
+        state[p + "mlp.gate_proj.weight"] = t(m["w_gate"])
+        state[p + "mlp.up_proj.weight"] = t(m["w_up"])
+        state[p + "mlp.down_proj.weight"] = t(m["w_down"])
+
+    if "vision" in params:
+        vp = params["vision"]
+        pre = "model.vision_tower.vision_tower.vision_model."
+        conv = np.asarray(jax.device_get(vp["patch_embed"]["w"]), np.float32)
+        hidden = conv.shape[1]
+        ps = int(round((conv.shape[0] // 3) ** 0.5))
+        state[pre + "embeddings.patch_embedding.weight"] = \
+            conv.T.reshape(hidden, 3, ps, ps)
+        state[pre + "embeddings.patch_embedding.bias"] = v(vp["patch_embed"]["b"])
+        state[pre + "embeddings.position_embedding.weight"] = v(vp["pos_embed"])
+        for i, layer in enumerate(vp["layers"]):
+            p = f"{pre}encoder.layers.{i}."
+            state[p + "layer_norm1.weight"] = v(layer["ln1"]["scale"])
+            state[p + "layer_norm1.bias"] = v(layer["ln1"]["bias"])
+            state[p + "layer_norm2.weight"] = v(layer["ln2"]["scale"])
+            state[p + "layer_norm2.bias"] = v(layer["ln2"]["bias"])
+            a = layer["attn"]
+            state[p + "self_attn.q_proj.weight"] = t(a["wq"])
+            state[p + "self_attn.q_proj.bias"] = v(a["bq"])
+            state[p + "self_attn.k_proj.weight"] = t(a["wk"])
+            state[p + "self_attn.k_proj.bias"] = v(a["bk"])
+            state[p + "self_attn.v_proj.weight"] = t(a["wv"])
+            state[p + "self_attn.v_proj.bias"] = v(a["bv"])
+            state[p + "self_attn.out_proj.weight"] = t(a["wo"])
+            state[p + "self_attn.out_proj.bias"] = v(a["bo"])
+            state[p + "mlp.fc1.weight"] = t(layer["mlp"]["w1"])
+            state[p + "mlp.fc1.bias"] = v(layer["mlp"]["b1"])
+            state[p + "mlp.fc2.weight"] = t(layer["mlp"]["w2"])
+            state[p + "mlp.fc2.bias"] = v(layer["mlp"]["b2"])
+
+    if "projector" in params:
+        pj = params["projector"]
+        state["model.mm_projector.0.weight"] = t(pj["w1"])
+        state["model.mm_projector.0.bias"] = v(pj["b1"])
+        state["model.mm_projector.2.weight"] = t(pj["w2"])
+        state["model.mm_projector.2.bias"] = v(pj["b2"])
+    if "image_newline" in params:
+        state["model.image_newline"] = v(params["image_newline"])
+    if "ground_head" in params and "zero_target" in params["ground_head"]:
+        gh = params["ground_head"]
+        state["ground_head_zero_target"] = v(gh["zero_target"])
+        for name in ("obj", "query"):
+            m = gh[name]
+            state[f"ground_head_{name}.0.weight"] = t(m["w1"])
+            state[f"ground_head_{name}.0.bias"] = v(m["b1"])
+            state[f"ground_head_{name}.2.weight"] = v(m["ln_scale"])
+            state[f"ground_head_{name}.2.bias"] = v(m["ln_bias"])
+            state[f"ground_head_{name}.3.weight"] = t(m["w2"])
+            state[f"ground_head_{name}.3.bias"] = v(m["b2"])
+
+    if path is not None:
+        import json as _json
+        import os as _os
+
+        from safetensors.numpy import save_file
+
+        _os.makedirs(path, exist_ok=True)
+        save_file(state, _os.path.join(path, "model.safetensors"))
+        config = {
+            "model_type": "qwen2",
+            "vocab_size": llm_cfg.vocab_size,
+            "hidden_size": llm_cfg.hidden_size,
+            "intermediate_size": llm_cfg.intermediate_size,
+            "num_hidden_layers": llm_cfg.num_hidden_layers,
+            "num_attention_heads": llm_cfg.num_attention_heads,
+            "num_key_value_heads": llm_cfg.num_key_value_heads,
+            "head_dim": llm_cfg.head_dim,
+            "max_position_embeddings": llm_cfg.max_position_embeddings,
+            "rope_theta": llm_cfg.rope_theta,
+            "rms_norm_eps": llm_cfg.rms_norm_eps,
+            "tie_word_embeddings": llm_cfg.tie_word_embeddings,
+        }
+        if model_cfg is not None:
+            w3d = model_cfg.world_3d
+            parts = [w3d.pooling.value]
+            if w3d.discrete:
+                parts.append("discrete")
+            if w3d.pos_embed.value != "none":
+                parts.append(w3d.pos_embed.value)
+            config.update({
+                "world_position_embedding_type": "-".join(parts),
+                "voxel_size": w3d.voxel.voxel_size,
+                "min_xyz_range": list(w3d.voxel.min_xyz_range),
+                "max_xyz_range": list(w3d.voxel.max_xyz_range),
+                "object_feature_type": w3d.object_feature_type.value
+                + ("-pe" if w3d.object_feature_use_pe else ""),
+                "ground_head_type": model_cfg.ground_head.value,
+                "ground_head_temperature": model_cfg.ground_head_temperature,
+                "tokenizer_model_max_length": model_cfg.tokenizer_model_max_length,
+            })
+        if extra_config:
+            config.update(extra_config)
+        with open(_os.path.join(path, "config.json"), "w") as f:
+            _json.dump(config, f, indent=2)
+    return state
+
+
 def convert_llava_checkpoint(state: Mapping[str, Any], llm_cfg: LLMConfig,
                              vision_cfg: VisionConfig, dtype=jnp.bfloat16,
                              ground_head: bool = False) -> Dict[str, Any]:
