@@ -52,3 +52,31 @@ def consolidate(checkpoint_path: str, output_path: str) -> str:
     host = jax.tree.map(lambda x: np.asarray(x), tree)
     ckptr.save(output_path, host, force=True)
     return output_path
+
+
+def main(argv=None):
+    import argparse
+
+    import orbax.checkpoint as ocp
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("command", choices=("make-delta", "apply-delta",
+                                            "consolidate"))
+    parser.add_argument("--base", help="base checkpoint (orbax dir)")
+    parser.add_argument("--target", help="finetuned ckpt / delta (orbax dir)")
+    parser.add_argument("--output", required=True)
+    args = parser.parse_args(argv)
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if args.command == "consolidate":
+        consolidate(args.target, args.output)
+        return
+    base = ckptr.restore(args.base)
+    target = ckptr.restore(args.target)
+    out = (make_delta(target, base) if args.command == "make-delta"
+           else apply_delta(base, target))
+    ckptr.save(args.output, jax.device_get(out), force=True)
+
+
+if __name__ == "__main__":
+    main()
