@@ -13,3 +13,25 @@ Layers (see SURVEY.md for the reference layer map):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "load_pretrained_model": ("video3d_tpu.models.builder", "load_pretrained_model"),
+    "InferenceEngine": ("video3d_tpu.eval.drivers", "InferenceEngine"),
+    "EngineConfig": ("video3d_tpu.eval.drivers", "EngineConfig"),
+    "VideoProcessor": ("video3d_tpu.data.video_processor", "VideoProcessor"),
+    "SigLipImageProcessor": ("video3d_tpu.data.image_processor", "SigLipImageProcessor"),
+    "ModelConfig": ("video3d_tpu.config", "ModelConfig"),
+    "DataConfig": ("video3d_tpu.config", "DataConfig"),
+    "Trainer": ("video3d_tpu.train.trainer", "Trainer"),
+    "TrainingConfig": ("video3d_tpu.train.trainer", "TrainingConfig"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keeps `import video3d_tpu` dependency-light)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'video3d_tpu' has no attribute {name!r}")
