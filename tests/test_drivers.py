@@ -193,3 +193,25 @@ class TestBatchedGeneration:
         assert len(times) == 3
         records = [json.loads(l) for l in open(f)]
         assert [r["sample_id"] for r in records] == ["q0_0", "q1_0", "q2_0"]
+
+
+class TestMcSamplingEngine:
+    def test_generate_with_mc_ratio90(self, env, tmp_path):
+        """Max-coverage frame sampling flows through the engine end to end
+        (video_utils.py:131-159 prefix selection + chronological sort)."""
+        from video3d_tpu.config import DataConfig, FrameSampling, replace
+        from video3d_tpu.data.video_processor import VideoProcessor
+        from video3d_tpu.eval.drivers import InferenceEngine
+
+        info, engine, tok, outdir = env
+        mc_cfg = replace(engine.vp.cfg, frame_sampling=FrameSampling.MC_RATIO90)
+        mc_engine = InferenceEngine(engine.params, CFG, tok,
+                                    VideoProcessor(mc_cfg), engine.ip,
+                                    engine.ecfg)
+        q = scanqa_question(info)
+        ans = mc_engine.generate_answer(q)
+        assert isinstance(ans, str)
+        # the mc selector must actually have been used
+        frames = mc_engine.vp.select_frames(info["sample_idx"], True, 3)
+        assert len(frames) <= 3 and frames == sorted(
+            frames, key=lambda f: int(f.split("/")[-1].split(".")[0]))
