@@ -51,6 +51,9 @@ class FakeTokenizer:
             ids.append(198)
         return self._Enc(ids[:-1] if ids else ids)
 
+    def add_tokens(self, tokens, special_tokens: bool = False) -> int:
+        return sum(t not in self.vocab and bool(self._id(t)) for t in tokens)
+
     def convert_tokens_to_ids(self, token: str) -> int:
         return self.vocab.get(token, self._id(token))
 

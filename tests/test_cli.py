@@ -1,0 +1,134 @@
+"""End-to-end CLI tests: `python -m video3d_tpu.cli eval-scanqa / train` on a
+tiny HF-format checkpoint export + the synthetic scene. The tokenizer loader
+is patched (the fixture tokenizer is not an HF checkpoint); everything else —
+checkpoint loading through the builder, config.json 3D-knob parsing, flag
+overrides, the engine, the trainer — runs for real."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+import video3d_tpu.cli as cli
+from video3d_tpu.config import ModelConfig, VisionConfig, replace
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models.weights import export_llava_checkpoint
+
+from fixtures import FakeTokenizer, make_fake_annotations, make_fake_scene
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    info = make_fake_scene(root, n_frames=3)
+    cfg = ModelConfig.tiny()
+    params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path_factory.mktemp("ckpt") / "export")
+    export_llava_checkpoint(params, cfg.llm, cfg, ckpt)
+    return root, info, ckpt
+
+
+def data_flags(root, extra=()):
+    return ["--video-folder", root,
+            "--embodiedscan-folder", os.path.join(root, "embodiedscan"),
+            "--metadata-folder", os.path.join(root, "metadata"),
+            "--max-frame-num", "3", *extra]
+
+
+class TestLoadModel:
+    def test_hf_dir_reads_config_json(self, env):
+        """3D knobs come from the checkpoint config, not flag defaults."""
+        root, info, ckpt = env
+        ns = _parse(["eval-scanqa", "--model-path", ckpt,
+                     "--question-file", "x", "--answer-file", "y"])
+        params, cfg = cli._load_model(ns)
+        assert cfg.llm.hidden_size == 64          # from config.json, not 3584
+        assert cfg.world_3d.discrete
+        assert "vision" in params and "llm" in params
+
+    def test_flag_overrides_win(self, env):
+        root, info, ckpt = env
+        ns = _parse(["eval-scanqa", "--model-path", ckpt,
+                     "--question-file", "x", "--answer-file", "y",
+                     "--voxel-size", "0.25",
+                     "--world-position-embedding-type", "avg-mlp"])
+        _, cfg = cli._load_model(ns)
+        assert cfg.world_3d.voxel.voxel_size == 0.25
+        assert not cfg.world_3d.discrete          # avg-mlp has no 'discrete'
+
+
+def _parse(argv):
+    import argparse
+
+    # reuse the real parser: intercept at parse_args via a tiny shim
+    holder = {}
+
+    real_eval = cli.cmd_eval
+    real_train = cli.cmd_train
+    cli.cmd_eval = lambda a, t: holder.update(args=a, task=t)
+    cli.cmd_train = lambda a: holder.update(args=a, task="train")
+    try:
+        cli.main(argv)
+    finally:
+        cli.cmd_eval = real_eval
+        cli.cmd_train = real_train
+    return holder["args"]
+
+
+class TestEvalCli:
+    def test_eval_scanqa_end_to_end(self, env, tmp_path, monkeypatch):
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        qfile = str(tmp_path / "questions.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": f"q{i}_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat is here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what",
+                             "answers": ["chair"]}} for i in range(2)], f)
+        afile = str(tmp_path / "answers.jsonl")
+        cli.main(["eval-scanqa", "--model-path", ckpt,
+                  "--question-file", qfile, "--answer-file", afile,
+                  "--max-new-tokens", "4", *data_flags(root)])
+        records = [json.loads(l) for l in open(afile)]
+        assert len(records) == 2
+        assert all(isinstance(r["pred_response"], str) for r in records)
+
+    def test_eval_rank_world_striping(self, env, tmp_path, monkeypatch):
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        qfile = str(tmp_path / "q.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": f"q{i}_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat is here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what"}}
+                for i in range(3)], f)
+        afile = str(tmp_path / "a.jsonl")
+        cli.main(["eval-scanqa", "--model-path", ckpt,
+                  "--question-file", qfile, "--answer-file", afile,
+                  "--rank", "1", "--world", "2", "--max-new-tokens", "4",
+                  *data_flags(root)])
+        records = [json.loads(l) for l in open(afile)]
+        assert [r["sample_id"] for r in records] == ["q1_0"]  # stripe 1::2
+
+
+class TestTrainCli:
+    def test_train_one_epoch(self, env, tmp_path, monkeypatch):
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        out = str(tmp_path / "run")
+        cli.main(["train", "--model-path", ckpt, "--data-path", ann,
+                  "--output-dir", out, "--num-epochs", "1",
+                  "--gradient-accumulation-steps", "1", "--max-len", "160",
+                  "--global-batch-size", "1", *data_flags(root)])
+        # the trainer ran and wrote step metrics
+        assert os.path.isdir(out)

@@ -25,26 +25,44 @@ def _load_tokenizer(path: str):
     return AutoTokenizer.from_pretrained(path)
 
 
+def _overrides(args):
+    """CLI flags the user explicitly set -> HF config.json key overrides.
+
+    Flag defaults are ``None`` sentinels so a checkpoint's persisted 3D knobs
+    (train_3d.py:1425-1475 writes them into config.json) win unless the user
+    overrides them — mirroring the reference eval drivers' ``overwrite_config``
+    (model_scanqa.py:94-101).
+    """
+    keys = {"world_position_embedding_type": args.world_position_embedding_type,
+            "voxel_size": args.voxel_size,
+            "min_xyz_range": args.min_xyz_range,
+            "max_xyz_range": args.max_xyz_range,
+            "ground_head_type": args.ground_head_type}
+    return {k: v for k, v in keys.items() if v is not None}
+
+
 def _model_cfg(args):
-    from video3d_tpu.config import (FrameSampling, GroundHeadType, ModelConfig,
-                                    VoxelConfig, World3DConfig, replace)
+    """ModelConfig from flags alone (orbax checkpoints carry no config.json)."""
+    from video3d_tpu.config import (GroundHeadType, ModelConfig, VoxelConfig,
+                                    World3DConfig)
 
     w3d = World3DConfig.from_reference_string(
-        args.world_position_embedding_type,
-        VoxelConfig(voxel_size=args.voxel_size,
-                    min_xyz_range=tuple(args.min_xyz_range),
-                    max_xyz_range=tuple(args.max_xyz_range)))
+        args.world_position_embedding_type or "avg-discrete-sin3d",
+        VoxelConfig(voxel_size=args.voxel_size or 0.1,
+                    min_xyz_range=tuple(args.min_xyz_range or (-15, -15, -5)),
+                    max_xyz_range=tuple(args.max_xyz_range or (15, 15, 5))))
     return ModelConfig(world_3d=w3d,
-                       ground_head=GroundHeadType(args.ground_head_type))
+                       ground_head=GroundHeadType(args.ground_head_type
+                                                  or "infonce"))
 
 
 def _add_model_args(p):
-    p.add_argument("--world-position-embedding-type", default="avg-discrete-sin3d",
+    p.add_argument("--world-position-embedding-type", default=None,
                    dest="world_position_embedding_type")
-    p.add_argument("--voxel-size", type=float, default=0.1)
-    p.add_argument("--min-xyz-range", type=float, nargs=3, default=[-15, -15, -5])
-    p.add_argument("--max-xyz-range", type=float, nargs=3, default=[15, 15, 5])
-    p.add_argument("--ground-head-type", default="infonce")
+    p.add_argument("--voxel-size", type=float, default=None)
+    p.add_argument("--min-xyz-range", type=float, nargs=3, default=None)
+    p.add_argument("--max-xyz-range", type=float, nargs=3, default=None)
+    p.add_argument("--ground-head-type", default=None)
     p.add_argument("--model-path", required=True,
                    help="HF-format checkpoint dir (safetensors) or orbax dir")
     p.add_argument("--tokenizer-path", default=None)
@@ -68,39 +86,57 @@ def _data_cfg(args):
                       frame_sampling=FrameSampling(args.frame_sampling_strategy))
 
 
-def _load_params(path: str, model_cfg):
-    """HF safetensors export or orbax dir -> model pytree (bf16)."""
+def _load_model(args):
+    """Checkpoint dir -> (params, ModelConfig), bf16.
+
+    HF-format dirs (config.json + safetensors) go through the builder so the
+    checkpoint's own architecture and persisted 3D knobs are used, with CLI
+    flags as explicit overrides; orbax dirs carry no config and take the
+    architecture entirely from flags.
+    """
     import jax.numpy as jnp
 
-    if any(f.endswith(".safetensors") for f in os.listdir(path)):
-        from video3d_tpu.models.weights import (convert_llava_checkpoint,
-                                                load_safetensors_dir)
+    pe = args.world_position_embedding_type
+    if pe is not None and not any(
+            t in pe for t in ("sin3d", "mlp", "mrope", "none")):
+        raise SystemExit(
+            f"--world-position-embedding-type {pe!r}: expected a reference-"
+            "style string containing one of sin3d/mlp/mrope/none "
+            "(e.g. 'avg-discrete-sin3d')")
 
-        state = load_safetensors_dir(path)
-        return convert_llava_checkpoint(state, model_cfg.llm, model_cfg.vision,
-                                        dtype=jnp.bfloat16,
-                                        ground_head="ground_head_obj.0.weight" in state)
+    path = args.model_path
+    if os.path.isfile(os.path.join(path, "config.json")):
+        from video3d_tpu.models.builder import load_pretrained_model
+
+        _, params, cfg, _ = load_pretrained_model(
+            path, overwrite_config=_overrides(args), dtype=jnp.bfloat16,
+            load_tokenizer=False)
+        return params, cfg
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    params = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    return params, _model_cfg(args)
 
 
 def cmd_train(args):
     from video3d_tpu.data.dataset import Collator, CollatorConfig, SupervisedDataset
+    from video3d_tpu.data.image_processor import SigLipImageProcessor
     from video3d_tpu.train.optim import OptimConfig
     from video3d_tpu.train.trainer import Trainer, TrainingConfig
 
-    model_cfg = _model_cfg(args)
+    params, model_cfg = _load_model(args)
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
     tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
 
-    dataset = SupervisedDataset(args.data_path, tokenizer, data_cfg)
+    dataset = SupervisedDataset(
+        args.data_path, tokenizer, data_cfg,
+        image_processor=SigLipImageProcessor(
+            size=(model_cfg.vision.image_size,) * 2))
     collator = Collator(model_cfg, CollatorConfig(
         max_len=args.max_len, frames_upbound=args.max_frame_num,
         coord_token_id=tokenizer.convert_tokens_to_ids("<coord>"),
         ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
-    params = _load_params(args.model_path, model_cfg)
     steps = len(dataset) * args.num_epochs // max(1, args.global_batch_size)
 
     # mm_tunable_parts -> pytree prefixes (train_3d.py:1758-1829; world-PE
@@ -134,11 +170,10 @@ def cmd_eval(args, task: str):
     from video3d_tpu.data.video_processor import VideoProcessor
     from video3d_tpu.eval import drivers
 
-    model_cfg = _model_cfg(args)
+    params, model_cfg = _load_model(args)
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
     tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
-    params = _load_params(args.model_path, model_cfg)
 
     with open(args.question_file) as f:
         questions = json.load(f) if args.question_file.endswith(".json") else \
@@ -148,6 +183,8 @@ def cmd_eval(args, task: str):
     engine = drivers.InferenceEngine(
         params, model_cfg, tokenizer, VideoProcessor(data_cfg),
         engine_cfg=drivers.EngineConfig(
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
             max_frames=args.max_frame_num,
             ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
     if task == "scan2cap":
@@ -201,6 +238,7 @@ def main(argv=None):
         pe.add_argument("--rank", type=int, default=0)
         pe.add_argument("--world", type=int, default=1)
         pe.add_argument("--batch-size", type=int, default=1)
+        pe.add_argument("--max-new-tokens", type=int, default=512)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

@@ -47,10 +47,18 @@ def tokenizer_image_token(prompt: str, tokenizer,
     return input_ids
 
 
+def _chatml_ids(tokenizer):
+    """(im_start, im_end) ids looked up by token text — robust to tokenizers
+    whose additional_special_tokens list other tokens first (the reference
+    unpacks additional_special_tokens_ids positionally, train_3d.py:614)."""
+    return (tokenizer.convert_tokens_to_ids("<|im_start|>"),
+            tokenizer.convert_tokens_to_ids("<|im_end|>"))
+
+
 def _chatml_turn_ids(tokenizer, role: str, content: str) -> List[int]:
     """ids of '<|im_start|>role\\ncontent<|im_end|>\\n' — what the reference's
     overridden chat template produces per message (train_3d.py:619)."""
-    im_start, im_end = tokenizer.additional_special_tokens_ids
+    im_start, im_end = _chatml_ids(tokenizer)
     return ([im_start] + tokenizer(f"{role}\n{content}").input_ids
             + [im_end] + tokenizer("\n").input_ids)
 
@@ -71,7 +79,7 @@ def preprocess_qwen(sources: Sequence[Sequence[Dict]], tokenizer,
       lists stacked only when lengths match; otherwise lists.
     """
     roles = {"human": "user", "gpt": "assistant"}
-    im_start, im_end = tokenizer.additional_special_tokens_ids
+    im_start, im_end = _chatml_ids(tokenizer)
     unmask = {NEWLINE_TOKEN_ID, im_start, im_end}
     if image_token_id is None:
         image_token_id = tokenizer.convert_tokens_to_ids(DEFAULT_IMAGE_TOKEN)
@@ -115,7 +123,7 @@ def preprocess_qwen_eval(source: Sequence[Dict], tokenizer,
     header (model_scanqa.py:29-80). '<image>' inside content becomes the
     IMAGE_TOKEN_INDEX sentinel."""
     roles = {"human": "user", "gpt": "assistant"}
-    im_start, im_end = tokenizer.additional_special_tokens_ids
+    im_start, im_end = _chatml_ids(tokenizer)
     nl = tokenizer("\n").input_ids
 
     ids: List[int] = []
