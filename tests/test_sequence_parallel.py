@@ -1,0 +1,91 @@
+"""Sequence (context) parallelism: with an sp>1 mesh the decoder's token dim
+shards over the sp axis (seeded by sequence_sharding_constraint at the stack
+entry, propagated by GSPMD, K/V all-gathered at attention) and results match
+the unsharded run exactly. TPU-native replacement for ring/Ulysses-style
+sequence parallelism in GPU stacks — no explicit collectives in model code."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import ModelConfig
+from video3d_tpu.models import qwen2
+from video3d_tpu.parallel.mesh import (create_mesh, sequence_sharding_constraint,
+                                       shard_batch, shard_params)
+
+CFG = ModelConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    params = qwen2.init_qwen2(jax.random.PRNGKey(0), CFG.llm)
+    ids = np.random.default_rng(0).integers(10, CFG.llm.vocab_size, (2, 16))
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.broadcast_to(jnp.arange(16)[None, :, None], (2, 16, 3))
+    return params, embeds, pos
+
+
+class TestSequenceParallel:
+    def test_forward_matches_unsharded(self, decoder):
+        params, embeds, pos = decoder
+        ref, _ = qwen2.qwen2_forward(params, CFG.llm, embeds, pos)
+
+        mesh = create_mesh(dp=1, fsdp=2, tp=2, sp=2, devices=jax.devices()[:8])
+        assert dict(mesh.shape)["sp"] == 2
+        p = shard_params(params, mesh)
+        with mesh:
+            got, _ = jax.jit(
+                lambda p, e: qwen2.qwen2_forward(p, CFG.llm, e, pos))(p, embeds)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_activation_sharding_applied(self, decoder):
+        """The constraint actually shards the token dim over sp."""
+        params, embeds, pos = decoder
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, sp=8, devices=jax.devices()[:8])
+        with mesh:
+            out = jax.jit(sequence_sharding_constraint)(embeds)
+        spec = out.sharding.spec
+        assert spec[1] == "sp", spec
+
+    def test_constraint_noop_without_sp(self, decoder):
+        params, embeds, pos = decoder
+        mesh = create_mesh(dp=2, fsdp=4, tp=1, sp=1, devices=jax.devices()[:8])
+        with mesh:
+            out = sequence_sharding_constraint(embeds)
+        assert out is embeds  # untouched: no sp axis in the mesh
+
+    def test_constraint_skips_indivisible(self, decoder):
+        params, embeds, pos = decoder
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, sp=8, devices=jax.devices()[:8])
+        odd = jnp.zeros((2, 15, 8))  # 15 % 8 != 0 -> decode-like, skip
+        with mesh:
+            out = sequence_sharding_constraint(odd)
+        assert out is odd
+
+    def test_train_step_under_sp_mesh(self):
+        """Full multimodal train step over (fsdp, tp, sp): loss matches the
+        single-device step (same batch, same init)."""
+        from __graft_entry__ import _make_batch
+        from video3d_tpu.models import llava_video3d as lv3d
+        from video3d_tpu.train.optim import OptimConfig, build_optimizer
+        from video3d_tpu.train.train_step import create_train_state, train_step
+
+        params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+        batch = _make_batch(CFG, B=2, V=2, L=128)
+        tx = build_optimizer(params, OptimConfig(total_steps=4))
+        _, ref_metrics = train_step(create_train_state(params, tx),
+                                    batch, CFG, tx)
+
+        mesh = create_mesh(dp=1, fsdp=2, tp=2, sp=2, devices=jax.devices()[:8])
+        p = shard_params(lv3d.init_model(jax.random.PRNGKey(0), CFG), mesh)
+        tx2 = build_optimizer(p, OptimConfig(total_steps=4))
+        with mesh:
+            state, metrics = train_step(create_train_state(p, tx2),
+                                        shard_batch(batch, mesh), CFG, tx2)
+            loss = float(metrics["lm_loss"])
+        assert np.isfinite(loss)
+        np.testing.assert_allclose(loss, float(ref_metrics["lm_loss"]),
+                                   rtol=1e-4)

@@ -101,6 +101,12 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         from video3d_tpu.kernels.flash_attention import flash_attention
 
         mesh = _active_mesh()
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            # sequence-parallel activations: let GSPMD partition the jnp path
+            # (all-gather K/V over sp); the shard_map wrapper below assumes
+            # the token dim is unsharded
+            return mha_reference(q, k, v, mask=mask, causal=causal,
+                                 q_positions=q_positions, kv_len=kv_len)
         if mesh is not None:
             batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
             n_batch = int(np.prod([mesh.shape[a] for a in batch_axes])) \
@@ -134,10 +140,6 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _active_mesh():
     """The ambient Mesh context (``with mesh:``), or None."""
-    try:
-        from jax.interpreters import pxla
+    from video3d_tpu.parallel.mesh import active_mesh
 
-        mesh = pxla.thread_resources.env.physical_mesh
-        return None if mesh.empty or mesh.size == 1 else mesh
-    except Exception:  # noqa: BLE001
-        return None
+    return active_mesh()

@@ -194,8 +194,12 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     Returns:
       (hidden_states (B, L, D), new KVCache or None)
     """
+    from video3d_tpu.parallel.mesh import sequence_sharding_constraint
+
     cos, sin = compute_mrope_cos_sin(position_ids, cfg)
-    x = inputs_embeds
+    # seed sequence parallelism: under an sp>1 mesh the token dim of every
+    # activation shards here and GSPMD propagates it through the stack
+    x = sequence_sharding_constraint(inputs_embeds)
 
     layer = decoder_layer
     if remat:

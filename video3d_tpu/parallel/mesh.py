@@ -6,11 +6,16 @@ Axes:
   fsdp  ZeRO-3-equivalent: params sharded over this axis, gathered on use by
         GSPMD (XLA emits all-gather on the forward, reduce-scatter on grads —
         exactly DeepSpeed stage-3 semantics, but compiler-scheduled over ICI)
+  ep    expert parallelism (MoE expert banks)
   tp    tensor parallelism over attention heads / MLP hidden dim
+  sp    sequence (context) parallelism: activations sharded over the token
+        dim; GSPMD all-gathers K/V for attention and keeps every elementwise
+        / MLP op local (long-context prefill and training)
 
 Batches shard over (dp, fsdp); parameters shard per the rules in
-:func:`param_spec`. Everything goes through ``jax.jit`` with NamedShardings —
-no explicit collectives in model code.
+:func:`param_spec`; activations pick up the sp axis through
+:func:`sequence_sharding_constraint`. Everything goes through ``jax.jit``
+with NamedShardings — no explicit collectives in model code.
 """
 
 from __future__ import annotations
@@ -25,20 +30,56 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
-                ep: int = 1, devices=None) -> Mesh:
-    """Build a (dp, fsdp, ep, tp) mesh over the available devices.
+                ep: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, fsdp, ep, tp, sp) mesh over the available devices.
 
-    fsdp defaults to n_devices // (dp * ep * tp) so the mesh always covers
-    every device (v5e-8 default: (1, 8, 1, 1)). ``ep`` shards MoE expert
-    banks; keep it 1 for dense models.
+    fsdp defaults to n_devices // (dp * ep * tp * sp) so the mesh always
+    covers every device (v5e-8 default: (1, 8, 1, 1, 1)). ``ep`` shards MoE
+    expert banks; ``sp`` shards the sequence dim of activations (keep both 1
+    for dense models / short contexts).
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp is None:
-        fsdp = n // (dp * tp * ep)
-    assert dp * fsdp * ep * tp == n, (dp, fsdp, ep, tp, n)
-    arr = np.asarray(devices).reshape(dp, fsdp, ep, tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "ep", "tp"))
+        fsdp = n // (dp * tp * ep * sp)
+    assert dp * fsdp * ep * tp * sp == n, (dp, fsdp, ep, tp, sp, n)
+    arr = np.asarray(devices).reshape(dp, fsdp, ep, tp, sp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "ep", "tp", "sp"))
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The ambient Mesh context (``with mesh:``), or None."""
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            # pxla.thread_resources is the only accessor that sees the legacy
+            # `with mesh:` context (jax.sharding.get_mesh tracks set_mesh only)
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            mesh = pxla.thread_resources.env.physical_mesh
+        return None if mesh.empty or mesh.size == 1 else mesh
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def sequence_sharding_constraint(x: jax.Array) -> jax.Array:
+    """Pin (B, L, ...) activations to P((dp, fsdp), sp) under an sp>1 mesh.
+
+    One constraint at the decoder entry is enough: GSPMD propagates the
+    sequence sharding through every elementwise op / matmul and inserts the
+    K/V all-gather at attention. No-op without an ambient sp mesh or when
+    the dims don't divide (e.g. decode with L=1).
+    """
+    mesh = active_mesh()
+    if mesh is None or mesh.shape.get("sp", 1) == 1 or x.ndim < 2:
+        return x
+    n_batch = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+    if x.shape[0] % n_batch or x.shape[1] % mesh.shape["sp"]:
+        return x
+    spec = P(("dp", "fsdp"), "sp", *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 # Path-pattern -> PartitionSpec rules. First match wins. Paths look like
