@@ -160,7 +160,7 @@ def cmd_train(args):
                        gradient_accumulation_steps=args.gradient_accumulation_steps,
                        save_steps=args.save_steps, group_by=args.group_by,
                        metrics_file=args.metrics_file,
-                       dp=args.dp, tp=args.tp))
+                       dp=args.dp, tp=args.tp, sp=args.sp))
     trainer.train(resume=not args.no_resume)
 
 
@@ -227,6 +227,7 @@ def main(argv=None):
     pt.add_argument("--max-len", type=int, default=8192)
     pt.add_argument("--dp", type=int, default=1)
     pt.add_argument("--tp", type=int, default=1)
+    pt.add_argument("--sp", type=int, default=1)
     pt.add_argument("--no-resume", action="store_true")
 
     for task in ("scanqa", "sqa3d", "scan2cap", "scanrefer", "multi3drefer"):

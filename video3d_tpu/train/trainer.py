@@ -50,6 +50,7 @@ class TrainingConfig:
     remat: bool = True
     dp: int = 1
     tp: int = 1
+    sp: int = 1
     grounding_loss_weight: float = 1.0
     # use_pos_skipping (llava_arch.py:823-829): during training, add random
     # offsets to position ids before/after a random split point to expose the
@@ -90,7 +91,7 @@ class Trainer:
         self.tcfg = train_cfg
         self.dataset = dataset
         self.collator = collator
-        self.mesh = mesh or create_mesh(dp=train_cfg.dp, tp=train_cfg.tp)
+        self.mesh = mesh or create_mesh(dp=train_cfg.dp, tp=train_cfg.tp, sp=train_cfg.sp)
         if train_cfg.bf16:
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
@@ -211,6 +212,13 @@ class Trainer:
         with self.mesh:
             for epoch in range(self.tcfg.num_epochs):
                 order = self._epoch_order(rng)
+                if not order:
+                    # grouped samplers drop the last megabatch per task
+                    # (reference parity, llava_trainer.py:263-265) — with a
+                    # dataset smaller than one megabatch that leaves nothing
+                    print(f"[trainer] WARNING: epoch {epoch} has no batches "
+                          f"(dataset of {len(self.dataset)} < one "
+                          f"'{self.tcfg.group_by}' megabatch after drop-last)")
                 # skip already-trained batches on resume
                 to_run = []
                 for batch_idx in order:
