@@ -16,6 +16,7 @@ Semantics:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -24,6 +25,22 @@ import numpy as np
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# set while tracing inside a shard_map body (parallel/pipeline.py): data is
+# already device-local there, so mha must not open a nested shard_map — it
+# may still call the pallas kernel directly
+_MANUAL_MODE = False
+
+
+@contextlib.contextmanager
+def manual_sharding():
+    """Mark the enclosed trace as inside a shard_map body."""
+    global _MANUAL_MODE
+    prev, _MANUAL_MODE = _MANUAL_MODE, True
+    try:
+        yield
+    finally:
+        _MANUAL_MODE = prev
 
 
 def _broadcast_kv(k: jax.Array, num_q_heads: int) -> jax.Array:
@@ -100,7 +117,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
         from video3d_tpu.kernels.flash_attention import flash_attention
 
-        mesh = _active_mesh()
+        mesh = None if _MANUAL_MODE else _active_mesh()
         if mesh is not None and mesh.shape.get("sp", 1) > 1:
             # sequence-parallel activations: let GSPMD partition the jnp path
             # (all-gather K/V over sp); the shard_map wrapper below assumes

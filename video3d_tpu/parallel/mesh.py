@@ -30,21 +30,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
-                ep: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, fsdp, ep, tp, sp) mesh over the available devices.
+                ep: int = 1, sp: int = 1, pp: int = 1, devices=None) -> Mesh:
+    """Build a (pp, dp, fsdp, ep, tp, sp) mesh over the available devices.
 
-    fsdp defaults to n_devices // (dp * ep * tp * sp) so the mesh always
-    covers every device (v5e-8 default: (1, 8, 1, 1, 1)). ``ep`` shards MoE
-    expert banks; ``sp`` shards the sequence dim of activations (keep both 1
-    for dense models / short contexts).
+    fsdp defaults to n_devices // (dp * ep * tp * sp * pp) so the mesh always
+    covers every device (v5e-8 default: (1, 1, 8, 1, 1, 1)). ``ep`` shards MoE
+    expert banks; ``sp`` shards the sequence dim of activations; ``pp`` is
+    the pipeline-stage axis (parallel/pipeline.py). ``pp`` is outermost —
+    on real pods pipeline hops ride the slowest links (DCN between slices),
+    so stages map to the coarsest device grouping.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp is None:
-        fsdp = n // (dp * tp * ep * sp)
-    assert dp * fsdp * ep * tp * sp == n, (dp, fsdp, ep, tp, sp, n)
-    arr = np.asarray(devices).reshape(dp, fsdp, ep, tp, sp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "ep", "tp", "sp"))
+        fsdp = n // (dp * tp * ep * sp * pp)
+    assert pp * dp * fsdp * ep * tp * sp == n, (pp, dp, fsdp, ep, tp, sp, n)
+    arr = np.asarray(devices).reshape(pp, dp, fsdp, ep, tp, sp)
+    return Mesh(arr, axis_names=("pp", "dp", "fsdp", "ep", "tp", "sp"))
 
 
 def active_mesh() -> Optional[Mesh]:
