@@ -186,7 +186,8 @@ def cmd_eval(args, task: str):
             max_new_tokens=args.max_new_tokens,
             eos_token_id=tokenizer.eos_token_id,
             max_frames=args.max_frame_num,
-            ground_token_id=tokenizer.convert_tokens_to_ids("<ground>")))
+            ground_token_id=tokenizer.convert_tokens_to_ids("<ground>"),
+            kv_cache_dtype=args.kv_cache_dtype))
     if task == "scan2cap":
         times = drivers.run_generative(
             engine, questions, args.answer_file, gt_from_annotations=True,
@@ -240,6 +241,8 @@ def main(argv=None):
         pe.add_argument("--world", type=int, default=1)
         pe.add_argument("--batch-size", type=int, default=1)
         pe.add_argument("--max-new-tokens", type=int, default=512)
+        pe.add_argument("--kv-cache-dtype", choices=("bfloat16", "int8"),
+                        default="bfloat16")
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

@@ -53,6 +53,9 @@ class EngineConfig:
     add_spatial_instruction: bool = True
     ground_token_id: Optional[int] = None
     max_objects: int = 150
+    # "bfloat16" (default) or "int8" — int8 stores a quantized KV cache
+    # (per-token scales, models/qwen2.py KVCache) halving decode HBM traffic
+    kv_cache_dtype: str = "bfloat16"
 
 
 SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
@@ -88,6 +91,9 @@ class InferenceEngine:
 
             device_geometry = jax.default_backend() not in ("cpu",)
         self.device_geometry = device_geometry
+
+    def _cache_dtype(self):
+        return jnp.int8 if self.ecfg.kv_cache_dtype == "int8" else jnp.bfloat16
 
     # ------------- shared assembly -------------
 
@@ -195,7 +201,8 @@ class InferenceEngine:
                                      coord_token_id)
         res = generate_greedy(self.params, self.cfg, batch,
                               max_new_tokens=self.ecfg.max_new_tokens,
-                              eos_token_id=self.ecfg.eos_token_id)
+                              eos_token_id=self.ecfg.eos_token_id,
+                              cache_dtype=self._cache_dtype())
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         if text.endswith(self.ecfg.stop_str):
@@ -250,7 +257,8 @@ class InferenceEngine:
                        if has_box else None))
         res = generate_greedy(self.params, self.cfg, batch,
                               max_new_tokens=self.ecfg.max_new_tokens,
-                              eos_token_id=self.ecfg.eos_token_id)
+                              eos_token_id=self.ecfg.eos_token_id,
+                              cache_dtype=self._cache_dtype())
         out = []
         for b in range(B):
             toks = np.asarray(res.tokens)[b][: int(res.lengths[b])]
