@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 class CoordPooling(str, enum.Enum):
@@ -211,6 +211,14 @@ class ModelConfig:
     ground_head: GroundHeadType = GroundHeadType.INFONCE
     ground_head_temperature: float = 0.07
     tokenizer_model_max_length: int = 32768
+    # 2D-image (non-video) path: anyres tiling knobs the reference persists
+    # into config.json (image_aspect_ratio / image_grid_pinpoints /
+    # mm_patch_merge_type). grid pinpoints: tuple of (w, h) pixel
+    # resolutions, or the reference's "(1x1),...,(6x6)" range string.
+    image_aspect_ratio: str = "anyres"
+    image_grid_pinpoints: Union[str, Tuple[Tuple[int, int], ...]] = (
+        (384, 768), (768, 384), (768, 768), (1152, 384), (384, 1152))
+    mm_patch_merge_type: str = "spatial_unpad"
 
     @property
     def tokens_per_frame(self) -> int:

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+from PIL import Image
 
 import jax.numpy as jnp
 
@@ -203,6 +204,67 @@ class InferenceEngine:
                               max_new_tokens=self.ecfg.max_new_tokens,
                               eos_token_id=self.ecfg.eos_token_id,
                               cache_dtype=self._cache_dtype())
+        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        if text.endswith(self.ecfg.stop_str):
+            text = text[: -len(self.ecfg.stop_str)].strip()
+        return text
+
+    def generate_answer_image(self, prompt: str, image,
+                              image_aspect_ratio: Optional[str] = None,
+                              grid_pinpoints=None,
+                              patch_merge_type: Optional[str] = None) -> str:
+        """2D-image (non-video) inference through the anyres path.
+
+        Equivalent of the reference's legacy image branch
+        (llava_arch.py:572-634 + mm_utils.process_anyres_image): tile the
+        image, encode per tile, spatial_unpad arrangement, splice, decode.
+
+        Args:
+          prompt: user text; an '<image>' placeholder marks the insertion
+            point (prepended if absent).
+          image: PIL image (or anything PIL can be built from via fromarray).
+        """
+        from video3d_tpu.data.anyres import process_anyres_image
+        from video3d_tpu.models.anyres import encode_image_2d
+
+        aspect = image_aspect_ratio or self.cfg.image_aspect_ratio
+        pin = grid_pinpoints if grid_pinpoints is not None else \
+            self.cfg.image_grid_pinpoints
+        merge = patch_merge_type or self.cfg.mm_patch_merge_type
+
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image).astype(np.uint8))
+        if "<image>" not in prompt:
+            prompt = "<image>\n" + prompt
+        ids = preprocess_qwen_eval(
+            [{"from": "human", "value": prompt},
+             {"from": "gpt", "value": None}], self.tokenizer)
+
+        tiles = process_anyres_image(image, self.ip, pin)
+        feat = encode_image_2d(self.params, self.cfg, jnp.asarray(tiles),
+                               image.size, pin, image_aspect_ratio=aspect,
+                               patch_merge_type=merge)      # (T, D)
+        T = int(feat.shape[0])
+        L = pick_bucket(len(ids) + T + self.ecfg.max_new_tokens,
+                        self.ecfg.buckets)
+        plan = build_splice_plan([ids], None, [1], tokens_per_frame=T,
+                                 max_len=L, grid_side=1,
+                                 truncate_to=self.cfg.tokenizer_model_max_length)
+        batch = lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask))
+        res = generate_greedy(self.params, self.cfg, batch,
+                              max_new_tokens=self.ecfg.max_new_tokens,
+                              eos_token_id=self.ecfg.eos_token_id,
+                              cache_dtype=self._cache_dtype(),
+                              vision_features=feat[None])
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         if text.endswith(self.ecfg.stop_str):

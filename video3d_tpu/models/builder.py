@@ -63,12 +63,20 @@ def model_config_from_hf(hf: Dict[str, Any]) -> ModelConfig:
                                        else ObjectFeatureType.PATCH14),
                   object_feature_use_pe="pe" in oft)
     ground = hf.get("ground_head_type") or "none"
+    # 2D anyres knobs (train.py persists these for the legacy image path)
+    pin = hf.get("image_grid_pinpoints",
+                 ModelConfig.image_grid_pinpoints)
+    if isinstance(pin, list):
+        pin = tuple(tuple(p) for p in pin)
     return ModelConfig(
         llm=llm_config_from_hf(hf),
         world_3d=w3d,
         ground_head=GroundHeadType(ground),
         ground_head_temperature=hf.get("ground_head_temperature", 0.07),
         tokenizer_model_max_length=hf.get("tokenizer_model_max_length", 32768),
+        image_aspect_ratio=hf.get("image_aspect_ratio", "anyres"),
+        image_grid_pinpoints=pin,
+        mm_patch_merge_type=hf.get("mm_patch_merge_type", "spatial_unpad"),
     )
 
 

@@ -65,12 +65,15 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
                     cache_dtype=jnp.bfloat16,
                     temperature: float = 0.0,
                     top_p: float = 1.0,
-                    rng_key: Optional[jax.Array] = None) -> GenerateResult:
+                    rng_key: Optional[jax.Array] = None,
+                    vision_features: Optional[jax.Array] = None) -> GenerateResult:
     """Greedy (temperature == 0, the eval default) or sampled decode.
 
     Args:
       batch: spliced prefill batch (images + plan). ``batch.seq_len`` gives
         per-sample true prefill length; right padding.
+      vision_features: optional precomputed (B, T, D) spliceable vision block
+        (the anyres 2D-image path, models/anyres.py); skips encode_video.
     Returns:
       GenerateResult with emitted token ids.
     """
@@ -81,8 +84,12 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
         max_cache_len = L + max_new_tokens
 
     # ---- vision + splice ----
-    vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
-    embeds = lv3d.assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
+    if vision_features is None:
+        vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
+        spliceable = vt.spliceable
+    else:
+        spliceable = vision_features
+    embeds = lv3d.assemble_embeds(params, cfg, spliceable, batch.text_ids,
                                   batch.kind, batch.vision_index,
                                   batch.coord_mask, batch.box_input)
 
