@@ -159,7 +159,8 @@ class MoEConfig:
     num_experts: int = 8
     num_experts_per_tok: int = 2
     moe_intermediate_size: int = 64
-    shared_expert_intermediate_size: int = 64
+    # None -> no shared expert (Mixtral); set -> Qwen2-MoE shared expert
+    shared_expert_intermediate_size: Optional[int] = 64
     norm_topk_prob: bool = False
 
 
@@ -180,6 +181,10 @@ class LLMConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = True   # Qwen2 has qkv bias; LLaMA-family does not
     moe: Optional[MoEConfig] = None   # sparse-MoE MLP when set
+    # family knobs (Gemma: "gelu_tanh" MLP, (1+w) RMSNorm, sqrt(D) embed scale)
+    hidden_act: str = "silu"
+    rms_norm_add_unit_offset: bool = False
+    embed_scale: bool = False
     # 3-axis mRoPE split of the 64 rotary freqs (modeling_qwen2.py:162)
     mrope_section: Tuple[int, int, int] = (32, 16, 16)
 

@@ -20,18 +20,41 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from video3d_tpu.config import (GroundHeadType, LLMConfig, ModelConfig,
-                                ObjectFeatureType, ProjectorConfig,
+                                MoEConfig, ObjectFeatureType, ProjectorConfig,
                                 VisionConfig, VoxelConfig, World3DConfig,
                                 replace)
 
 
 def llm_config_from_hf(hf: Dict[str, Any]) -> LLMConfig:
-    """HF config.json dict -> LLMConfig for qwen2/llama-family decoders."""
+    """HF config.json dict -> LLMConfig.
+
+    Families (matching the reference's llava_{qwen,llama,mistral,mixtral,
+    gemma}.py wrappers): qwen2 (qkv bias, theta 1e6), llama/mistral/mixtral
+    (no bias, theta 1e4; mixtral adds MoE via ``moe`` in the caller), gemma
+    (gelu_tanh MLP, (1+w) RMSNorm, sqrt(D) embed scale, tied head).
+    """
     model_type = hf.get("model_type", "qwen2")
-    is_llama = "llama" in model_type or "mistral" in model_type
+    is_llama = any(t in model_type for t in ("llama", "mistral", "mixtral"))
+    is_gemma = "gemma" in model_type
     heads = hf["num_attention_heads"]
     head_dim = hf.get("head_dim") or hf["hidden_size"] // heads
+    act = hf.get("hidden_activation") or hf.get("hidden_act", "silu")
+    moe = None
+    if "mixtral" in model_type:
+        moe = MoEConfig(num_experts=hf.get("num_local_experts", 8),
+                        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+                        moe_intermediate_size=hf["intermediate_size"],
+                        shared_expert_intermediate_size=None,
+                        norm_topk_prob=True)
+    elif "qwen2_moe" in model_type:
+        moe = MoEConfig(num_experts=hf.get("num_experts", 60),
+                        num_experts_per_tok=hf.get("num_experts_per_tok", 4),
+                        moe_intermediate_size=hf["moe_intermediate_size"],
+                        shared_expert_intermediate_size=hf.get(
+                            "shared_expert_intermediate_size", 0) or None,
+                        norm_topk_prob=hf.get("norm_topk_prob", False))
     return LLMConfig(
+        moe=moe,
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
         intermediate_size=hf["intermediate_size"],
@@ -40,11 +63,16 @@ def llm_config_from_hf(hf: Dict[str, Any]) -> LLMConfig:
         num_key_value_heads=hf.get("num_key_value_heads", heads),
         head_dim=head_dim,
         rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
-        rope_theta=hf.get("rope_theta", 1e6 if not is_llama else 1e4),
+        rope_theta=hf.get("rope_theta",
+                          1e6 if not (is_llama or is_gemma) else 1e4),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
-        tie_word_embeddings=hf.get("tie_word_embeddings", False),
-        attention_bias=hf.get("attention_bias", not is_llama),
+        tie_word_embeddings=hf.get("tie_word_embeddings", is_gemma),
+        attention_bias=hf.get("attention_bias",
+                              not (is_llama or is_gemma)),
         mrope_section=(head_dim // 4, head_dim // 8, head_dim // 8),
+        hidden_act="gelu_tanh" if "gelu" in act else "silu",
+        rms_norm_add_unit_offset=is_gemma,
+        embed_scale=is_gemma,
     )
 
 

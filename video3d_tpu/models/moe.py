@@ -58,10 +58,11 @@ def moe_block(p: Params, x: jax.Array, cfg: MoEConfig) -> jax.Array:
                             p["experts"]["w_down"])          # (T, E, D)
     routed = jnp.einsum("te,ted->td", weights, expert_out)
 
-    shared = _swiglu(xt, p["shared"]["w_gate"], p["shared"]["w_up"],
-                     p["shared"]["w_down"])
-    shared = shared * jax.nn.sigmoid(xt @ p["shared_gate"])
-    return (routed + shared).reshape(B, L, D)
+    if "shared" in p:          # Qwen2-MoE; Mixtral has no shared expert
+        shared = _swiglu(xt, p["shared"]["w_gate"], p["shared"]["w_up"],
+                         p["shared"]["w_down"])
+        routed = routed + shared * jax.nn.sigmoid(xt @ p["shared_gate"])
+    return routed.reshape(B, L, D)
 
 
 def init_moe_block(key: jax.Array, llm: LLMConfig, cfg: MoEConfig,
@@ -74,20 +75,22 @@ def init_moe_block(key: jax.Array, llm: LLMConfig, cfg: MoEConfig,
     def w(k, *shape):
         return 0.02 * jax.random.normal(k, shape, dtype)
 
-    return {
+    out = {
         "router": w(ks[0], D, E),
         "experts": {
             "w_gate": w(ks[1], E, D, I),
             "w_up": w(ks[2], E, D, I),
             "w_down": w(ks[3], E, I, D),
         },
-        "shared": {
+    }
+    if S is not None:          # Mixtral-style blocks have no shared expert
+        out["shared"] = {
             "w_gate": w(ks[4], D, S),
             "w_up": w(ks[5], D, S),
             "w_down": w(ks[6], S, D),
-        },
-        "shared_gate": w(ks[7], D, 1),
-    }
+        }
+        out["shared_gate"] = w(ks[7], D, 1)
+    return out
 
 
 def convert_moe_layer(state, layer_idx: int, cfg: MoEConfig,
@@ -118,4 +121,34 @@ def convert_moe_layer(state, layer_idx: int, cfg: MoEConfig,
             "w_down": jnp.asarray(g("shared_expert.down_proj.weight").T, dtype),
         },
         "shared_gate": jnp.asarray(g("shared_expert_gate.weight").T, dtype),
+    }
+
+
+def convert_mixtral_layer(state, layer_idx: int, cfg: MoEConfig,
+                          prefix: str = "", dtype=jnp.float32) -> Params:
+    """HF MixtralForCausalLM layer block_sparse_moe -> moe_block pytree.
+
+    Mixtral (reference llava_mixtral wrapper): w1=gate, w3=up, w2=down,
+    softmax-then-top-k routing renormalized over the selected experts
+    (norm_topk_prob=True in our MoEConfig), no shared expert.
+    """
+    import numpy as np
+
+    from video3d_tpu.models.weights import _to_np
+
+    p = f"{prefix}model.layers.{layer_idx}.block_sparse_moe."
+    g = lambda k: _to_np(state[p + k])
+
+    def stack(name):
+        return jnp.asarray(np.stack([
+            g(f"experts.{e}.{name}.weight").T for e in range(cfg.num_experts)
+        ]), dtype)
+
+    return {
+        "router": jnp.asarray(g("gate.weight").T, dtype),
+        "experts": {
+            "w_gate": stack("w1"),
+            "w_up": stack("w3"),
+            "w_down": stack("w2"),
+        },
     }

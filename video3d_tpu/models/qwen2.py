@@ -67,10 +67,16 @@ def _quantize_kv(x: jax.Array):
     return q, scale
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             add_unit_offset: bool = False) -> jax.Array:
     x32 = x.astype(jnp.float32)
     var = (x32 * x32).mean(axis=-1, keepdims=True)
-    return (weight * (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype))
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    if add_unit_offset:
+        # Gemma: (1 + w) applied in float32 before the cast
+        # (HF GemmaRMSNorm.forward)
+        return ((1.0 + weight.astype(jnp.float32)) * normed).astype(x.dtype)
+    return weight * normed.astype(x.dtype)
 
 
 def compute_mrope_cos_sin(position_ids: jax.Array, cfg: LLMConfig,
@@ -143,7 +149,8 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
 
     from video3d_tpu.models.quant import matmul as _mm
 
-    h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+    h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps,
+                 cfg.rms_norm_add_unit_offset)
     attn_p = p["attn"]
     q = _mm(h, attn_p["wq"])
     k = _mm(h, attn_p["wk"])
@@ -201,13 +208,16 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
 
     x = x + _mm(attn.reshape(B, L, D), p["attn"]["wo"])
 
-    h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
+    h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps,
+                 cfg.rms_norm_add_unit_offset)
     if "moe" in p:     # sparse-MoE layer (models/moe.py)
         from video3d_tpu.models.moe import moe_block
 
         x = x + moe_block(p["moe"], h, cfg.moe)
     else:
-        gate = jax.nn.silu(_mm(h, p["mlp"]["w_gate"]))
+        act = (jax.nn.silu if cfg.hidden_act == "silu"
+               else functools.partial(jax.nn.gelu, approximate=True))
+        gate = act(_mm(h, p["mlp"]["w_gate"]))
         up = _mm(h, p["mlp"]["w_up"])
         x = x + _mm(gate * up, p["mlp"]["w_down"])
     return x, new_kv
@@ -238,6 +248,11 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     from video3d_tpu.parallel.mesh import sequence_sharding_constraint
 
     cos, sin = compute_mrope_cos_sin(position_ids, cfg)
+    if cfg.embed_scale:
+        # Gemma scales whatever enters the stack (incl. spliced vision
+        # features) by sqrt(D) cast to the activation dtype (GemmaModel)
+        inputs_embeds = inputs_embeds * jnp.asarray(
+            cfg.hidden_size ** 0.5, inputs_embeds.dtype)
     # seed sequence parallelism: under an sp>1 mesh the token dim of every
     # activation shards here and GSPMD propagates it through the stack
     x = sequence_sharding_constraint(inputs_embeds)
@@ -264,7 +279,8 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
             for col, part in zip(new_cols, nkv):
                 col.append(part)
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps,
+                 cfg.rms_norm_add_unit_offset)
     new_cache = None
     if new_cols[0]:
         stacked = [jnp.stack(c) if c else None for c in new_cols]

@@ -82,18 +82,35 @@ def convert_qwen2(state: Mapping[str, Any], cfg: LLMConfig,
             attn.update({"bq": vec(p + "self_attn.q_proj.bias"),
                          "bk": vec(p + "self_attn.k_proj.bias"),
                          "bv": vec(p + "self_attn.v_proj.bias")})
-        layers.append({
+        layer = {
             "input_layernorm": vec(p + "input_layernorm.weight"),
             "attn": attn,
             "post_attention_layernorm": vec(p + "post_attention_layernorm.weight"),
-            "mlp": {
+        }
+        if prefix + p + "mlp.gate_proj.weight" in state:      # dense MLP
+            layer["mlp"] = {
                 "w_gate": lin(p + "mlp.gate_proj.weight"),
                 "w_up": lin(p + "mlp.up_proj.weight"),
                 "w_down": lin(p + "mlp.down_proj.weight"),
-            },
-        })
+            }
+        elif prefix + p + "mlp.gate.weight" in state:         # Qwen2-MoE
+            from video3d_tpu.models.moe import convert_moe_layer
 
-    embed = jnp.asarray(g("model.embed_tokens.weight"), dtype)
+            layer["moe"] = convert_moe_layer(state, i, cfg.moe, prefix=prefix,
+                                             dtype=dtype)
+        else:                                                 # Mixtral
+            from video3d_tpu.models.moe import convert_mixtral_layer
+
+            layer["moe"] = convert_mixtral_layer(state, i, cfg.moe,
+                                                 prefix=prefix, dtype=dtype)
+        layers.append(layer)
+
+    # tied-embedding checkpoints store only one of the pair (real Gemma
+    # shards keep embed_tokens; safetensors save_model may keep lm_head)
+    if prefix + "model.embed_tokens.weight" in state:
+        embed = jnp.asarray(g("model.embed_tokens.weight"), dtype)
+    else:
+        embed = jnp.asarray(g("lm_head.weight"), dtype)
     if prefix + "lm_head.weight" in state:
         head = lin("lm_head.weight")
     else:  # tied embeddings
@@ -334,14 +351,19 @@ def convert_llava_checkpoint(state: Mapping[str, Any], llm_cfg: LLMConfig,
     Key prefixes per the reference module tree: LLM at root, tower under
     ``model.vision_tower.vision_tower.``, projector ``model.mm_projector.``,
     newline ``model.image_newline``, ground head at root (llava_qwen.py:57).
+    Pure-LLM checkpoints (no tower keys — e.g. a base Qwen2/Gemma model) load
+    with only the ``llm`` subtree, matching the reference builder's non-llava
+    branch (builder.py:253-265).
     """
     out: Dict[str, Any] = {
         "llm": convert_qwen2(state, llm_cfg, dtype=dtype),
-        "vision": convert_siglip(
-            state, vision_cfg,
-            prefix="model.vision_tower.vision_tower.vision_model.", dtype=dtype),
-        "projector": convert_projector(state, dtype=dtype),
     }
+    tower_prefix = "model.vision_tower.vision_tower.vision_model."
+    if tower_prefix + "embeddings.patch_embedding.weight" in state:
+        out["vision"] = convert_siglip(state, vision_cfg,
+                                       prefix=tower_prefix, dtype=dtype)
+    if "model.mm_projector.0.weight" in state:
+        out["projector"] = convert_projector(state, dtype=dtype)
     if "model.image_newline" in state:
         out["image_newline"] = jnp.asarray(_to_np(state["model.image_newline"]), dtype)
     if ground_head:

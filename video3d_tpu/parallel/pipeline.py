@@ -174,9 +174,13 @@ def qwen2_forward_pp(params: Dict, cfg, inputs_embeds: jax.Array,
     from video3d_tpu.models.qwen2 import compute_mrope_cos_sin, rms_norm
 
     cos, sin = compute_mrope_cos_sin(position_ids, cfg)
+    if cfg.embed_scale:
+        inputs_embeds = inputs_embeds * jnp.asarray(
+            cfg.hidden_size ** 0.5, inputs_embeds.dtype)
     stacked = params["layers"] if not isinstance(params["layers"], list) \
         else stack_layer_params(params["layers"])
     x = pipeline_decoder(stacked, cfg, inputs_embeds, cos, sin,
                          kv_len=kv_len, n_microbatches=n_microbatches,
                          remat=remat, mesh=mesh)
-    return rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return rms_norm(x, params["norm"], cfg.rms_norm_eps,
+                    cfg.rms_norm_add_unit_offset)
