@@ -215,3 +215,43 @@ class TestMcSamplingEngine:
         frames = mc_engine.vp.select_frames(info["sample_idx"], True, 3)
         assert len(frames) <= 3 and frames == sorted(
             frames, key=lambda f: int(f.split("/")[-1].split(".")[0]))
+
+
+class TestBatchedGrounding:
+    def test_ground_batch_matches_single(self, env, tmp_path):
+        """ground_batch == per-sample ground (one prefill, B queries)."""
+        info, engine, tok, outdir = env
+        qs = []
+        for i, oid in enumerate((1, 2, 3)):
+            qs.append({
+                "id": f"g{i}", "video": info["sample_idx"],
+                "box": info["boxes"][oid].tolist(),
+                "conversations": [
+                    {"from": "human", "value": f"<image>\nfind object {oid}"},
+                    {"from": "gpt", "value": "<ground>"}],
+                "metadata": {"dataset": "scanrefer", "question_type": "unique",
+                             "object_id": oid,
+                             "gt_box": info["boxes"][oid].tolist()}})
+        singles = [engine.ground(q) for q in qs]
+        batched = engine.ground_batch(qs)
+        for (s1, o1), (s2, o2) in zip(singles, batched):
+            np.testing.assert_array_equal(o1, o2)
+            np.testing.assert_allclose(s2, s1, rtol=2e-5, atol=2e-5)
+
+    def test_run_scanrefer_batched(self, env, tmp_path):
+        from video3d_tpu.eval.drivers import run_scanrefer
+        info, engine, tok, outdir = env
+        q = {
+            "id": "g0", "video": info["sample_idx"],
+            "box": info["boxes"][1].tolist(),
+            "conversations": [
+                {"from": "human", "value": "<image>\nfind the chair"},
+                {"from": "gpt", "value": "<ground>"}],
+            "metadata": {"dataset": "scanrefer", "question_type": "unique",
+                         "object_id": 1, "gt_box": info["boxes"][1].tolist()}}
+        f1, f2 = str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")
+        run_scanrefer(engine, [q, q], f1, batch_size=1)
+        run_scanrefer(engine, [q, q], f2, batch_size=2)
+        r1 = [json.loads(l)["pred_response"] for l in open(f1)]
+        r2 = [json.loads(l)["pred_response"] for l in open(f2)]
+        assert r1 == r2

@@ -197,9 +197,11 @@ def cmd_eval(args, task: str):
         times = drivers.run_generative(engine, questions, args.answer_file,
                                        batch_size=args.batch_size)
     elif task == "scanrefer":
-        times = drivers.run_scanrefer(engine, questions, args.answer_file)
+        times = drivers.run_scanrefer(engine, questions, args.answer_file,
+                                      batch_size=args.batch_size)
     else:
-        times = drivers.run_multi3drefer(engine, questions, args.answer_file)
+        times = drivers.run_multi3drefer(engine, questions, args.answer_file,
+                                         batch_size=args.batch_size)
     print(f"mean inference time: {np.mean(times):.3f}s over {len(times)} samples")
 
 

@@ -364,6 +364,69 @@ class InferenceEngine:
         # compact: real objects then zero-target (reference scores layout)
         return np.concatenate([scores[:n], scores[-1:]]), objects[:n]
 
+    def ground_batch(self, records: Sequence[dict]
+                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Batched :meth:`ground`: one prefill scores B queries (the
+        reference grounds one at a time; queries per scene are plentiful in
+        ScanRefer/Multi3DRefer so the prefill amortizes)."""
+        assert self.ecfg.ground_token_id is not None
+        B = len(records)
+        mc = self.cfg
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        T = mc.tokens_per_frame
+        N = self.ecfg.max_objects
+
+        ids_list, labels_list, frames = [], [], []
+        images_l, patch_l, coords_l, objects_l = [], [], [], []
+        for record in records:
+            question = {"from": "human", "value": self._question_text(record)}
+            tok = preprocess_qwen([[question, record["conversations"][1]]],
+                                  self.tokenizer, has_image=True)
+            ids_list.append(tok["input_ids"][0].tolist())
+            labels_list.append(tok["labels"][0].tolist())
+            vd, V, images, coords_full, patch, _ = self._video_arrays(
+                record["video"], need_full_coords=True)
+            frames.append(V)
+            images_l.append(images[0])
+            patch_l.append(patch[0])
+            coords_l.append(coords_full[0])
+            objects_l.append(np.asarray(vd["objects"], np.float32).reshape(-1, 6))
+
+        total = max(len(i) + v * T for i, v in zip(ids_list, frames))
+        L = pick_bucket(total, self.ecfg.buckets)
+        plan = build_splice_plan(ids_list, labels_list, frames,
+                                 tokens_per_frame=T, max_len=L, grid_side=g,
+                                 truncate_to=mc.tokenizer_model_max_length)
+        batch = lv3d.Batch(
+            images=jnp.asarray(np.stack(images_l)),
+            patch_coords=jnp.asarray(np.stack(patch_l)),
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask))
+
+        obj = np.zeros((B, N, 6), np.float32)
+        valid = np.zeros((B, N), bool)
+        slots = np.zeros((B,), np.int32)
+        counts = []
+        for b, objects in enumerate(objects_l):
+            n = min(len(objects), N)
+            obj[b, :n] = objects[:n]
+            valid[b, :n] = True
+            counts.append(n)
+            hits = np.nonzero(plan.labels[b] == self.ecfg.ground_token_id)[0]
+            slots[b] = int(hits[0]) if len(hits) else int(plan.seq_len[b]) - 1
+
+        scores = np.asarray(lv3d.grounding_forward_batch(
+            self.params, self.cfg, batch,
+            jnp.asarray(np.stack(coords_l)), jnp.asarray(obj),
+            jnp.asarray(valid), jnp.asarray(slots)))
+        return [(np.concatenate([scores[b, :counts[b]], scores[b, -1:]]),
+                 objects_l[b][:counts[b]]) for b in range(B)]
+
 
 # ---------------------------------------------------------------------------
 # Drivers — each mirrors the corresponding model_*.py record format
@@ -427,28 +490,40 @@ def run_scan2cap(engine, questions, answer_file, coord_token_id):
 
 
 def run_scanrefer(engine: InferenceEngine, questions: Sequence[dict],
-                  answer_file: str) -> List[float]:
-    """Argmax grounding box (model_scanrefer.py:163-190)."""
+                  answer_file: str, batch_size: int = 1) -> List[float]:
+    """Argmax grounding box (model_scanrefer.py:163-190).
+
+    ``batch_size > 1`` scores several queries per prefill
+    (InferenceEngine.ground_batch).
+    """
     times = []
-    for line in questions:
+    for s0 in range(0, len(questions), batch_size):
+        chunk = list(questions[s0:s0 + batch_size])
         t0 = time.time()
-        scores, objects = engine.ground(line)
-        times.append(time.time() - t0)
-        if len(objects) and int(np.argmax(scores)) < len(objects):
-            pred_box = objects[int(np.argmax(scores))].tolist()
-        elif len(objects):
-            pred_box = objects[int(np.argmax(scores[:-1]))].tolist()
-        else:
-            pred_box = [0.0] * 6
-        _append_jsonl(answer_file, {
-            "dataset": line["metadata"]["dataset"],
-            "sample_id": line["id"],
-            "pred_response": pred_box,
-            "gt_response": line["metadata"]["gt_box"] if "gt_box" in line["metadata"]
-            else line.get("box"),
-            "question_type": line["metadata"].get("question_type"),
-        })
+        results = (engine.ground_batch(chunk) if batch_size > 1
+                   else [engine.ground(chunk[0])])
+        dt = (time.time() - t0) / len(chunk)
+        for line, (scores, objects) in zip(chunk, results):
+            times.append(dt)
+            _emit_scanrefer(answer_file, line, scores, objects)
     return times
+
+
+def _emit_scanrefer(answer_file, line, scores, objects):
+    if len(objects) and int(np.argmax(scores)) < len(objects):
+        pred_box = objects[int(np.argmax(scores))].tolist()
+    elif len(objects):
+        pred_box = objects[int(np.argmax(scores[:-1]))].tolist()
+    else:
+        pred_box = [0.0] * 6
+    _append_jsonl(answer_file, {
+        "dataset": line["metadata"]["dataset"],
+        "sample_id": line["id"],
+        "pred_response": pred_box,
+        "gt_response": line["metadata"]["gt_box"] if "gt_box" in line["metadata"]
+        else line.get("box"),
+        "question_type": line["metadata"].get("question_type"),
+    })
 
 
 def run_vqa(engine: InferenceEngine, questions: Sequence[dict],
@@ -471,19 +546,23 @@ def run_vqa(engine: InferenceEngine, questions: Sequence[dict],
 
 
 def run_multi3drefer(engine: InferenceEngine, questions: Sequence[dict],
-                     answer_file: str) -> List[float]:
+                     answer_file: str, batch_size: int = 1) -> List[float]:
     """Dump all scores + objects (model_multi3drefer.py:163-180)."""
     times = []
-    for line in questions:
+    for s0 in range(0, len(questions), batch_size):
+        chunk = list(questions[s0:s0 + batch_size])
         t0 = time.time()
-        scores, objects = engine.ground(line)
-        times.append(time.time() - t0)
-        _append_jsonl(answer_file, {
-            "dataset": line["metadata"]["dataset"],
-            "sample_id": line["id"],
-            "scores": scores.tolist(),
-            "objects": objects.tolist(),
-            "gt_response": line.get("box", []),
-            "question_type": line["metadata"].get("question_type"),
-        })
+        results = (engine.ground_batch(chunk) if batch_size > 1
+                   else [engine.ground(chunk[0])])
+        dt = (time.time() - t0) / len(chunk)
+        for line, (scores, objects) in zip(chunk, results):
+            times.append(dt)
+            _append_jsonl(answer_file, {
+                "dataset": line["metadata"]["dataset"],
+                "sample_id": line["id"],
+                "scores": scores.tolist(),
+                "objects": objects.tolist(),
+                "gt_response": line.get("box", []),
+                "question_type": line["metadata"].get("question_type"),
+            })
     return times

@@ -478,6 +478,48 @@ def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
     return ground_scores(params, query, obj_feats, object_valid, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+def grounding_forward_batch(params: Params, cfg: ModelConfig, batch: Batch,
+                            world_coords: jax.Array, object_boxes: jax.Array,
+                            object_valid: jax.Array, ground_slot: jax.Array,
+                            remat: bool = False) -> jax.Array:
+    """Batched :func:`grounding_forward`: B questions in one prefill.
+
+    The reference grounds one query at a time (model_scanrefer.py); batching
+    amortizes the prefill (HBM-bound weight reads) across queries — typically
+    many per scene in ScanRefer/Multi3DRefer.
+
+    Args:
+      world_coords: (B, V, H, W, 3); object_boxes: (B, N, 6);
+      object_valid: (B, N); ground_slot: (B,).
+    Returns:
+      (B, N+1) scores (infonce; (B, N) for mlp/score heads).
+    """
+    hidden, vt = forward_hidden(params, cfg, batch, remat=remat)
+    side = cfg.vision.num_patches_per_side
+    g = -(-side // cfg.spatial_pool_stride)
+    masks = jax.vmap(lambda wc, ob: object_patch_masks(
+        wc, ob, cfg.world_3d.object_feature_type, side=side,
+        patch_px=cfg.vision.patch_size, grid=g,
+        pool_px=cfg.vision.image_size // g))(world_coords, object_boxes)
+    feats = vt.raw if cfg.world_3d.object_feature_type == ObjectFeatureType.PATCH14 \
+        else vt.pooled                                        # (B, V, P, D)
+    obj_feats, _ = jax.vmap(object_features_from_masks)(feats, masks)
+    if cfg.world_3d.object_feature_use_pe and cfg.world_3d.pos_embed in (
+            PosEmbedType.SIN3D, PosEmbedType.MLP):
+        centers = object_boxes[..., :3]
+        vox = cfg.world_3d.voxel
+        if cfg.world_3d.discrete:
+            centers = geometry.discrete_coords(centers, vox.min_xyz_range,
+                                               vox.max_xyz_range, vox.voxel_size)
+        pe = world_position_embedding(params, centers, cfg)
+        obj_feats = obj_feats + pe.astype(obj_feats.dtype)
+    query = jnp.take_along_axis(hidden, ground_slot[:, None, None],
+                                axis=1)[:, 0]                 # (B, D)
+    return jax.vmap(lambda q, f, v: ground_scores(params, q, f, v, cfg))(
+        query, obj_feats, object_valid)
+
+
 def init_model(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     """Random init of the full assembly (tests / from-scratch training)."""
     ks = jax.random.split(key, 5)
