@@ -98,10 +98,10 @@ def _load_model(args):
 
     pe = args.world_position_embedding_type
     if pe is not None and not any(
-            t in pe for t in ("sin3d", "mlp", "mrope", "none")):
+            t in pe for t in ("sin3d", "mlp", "mrope", "llava3d", "none")):
         raise SystemExit(
             f"--world-position-embedding-type {pe!r}: expected a reference-"
-            "style string containing one of sin3d/mlp/mrope/none "
+            "style string containing one of sin3d/mlp/mrope/llava3d/none "
             "(e.g. 'avg-discrete-sin3d')")
 
     path = args.model_path

@@ -94,6 +94,13 @@ class VoxelConfig:
     min_xyz_range: Tuple[float, float, float] = (-15.0, -15.0, -5.0)
     max_xyz_range: Tuple[float, float, float] = (15.0, 15.0, 5.0)
 
+    @property
+    def grid_dims(self) -> Tuple[int, int, int]:
+        """Number of voxels per axis (ids in [0, dim], inclusive of the
+        clamped max — hence the +2)."""
+        return tuple(int((hi - lo) / self.voxel_size) + 2
+                     for lo, hi in zip(self.min_xyz_range, self.max_xyz_range))
+
 
 @dataclass(frozen=True)
 class World3DConfig:
@@ -107,6 +114,10 @@ class World3DConfig:
     # box-center PE added to object proposal features + <coord> input PE
     object_feature_type: ObjectFeatureType = ObjectFeatureType.PATCH14
     object_feature_use_pe: bool = True      # 'patch14-pe'
+    # 'llava3d' variant (llava_arch.py:731-746): replace the grid-token
+    # layout by voxel-deduplicated mean features sampled to a budget
+    llava3d: bool = False
+    llava3d_budget: int = 3096
 
     @classmethod
     def from_reference_string(cls, s: str, voxel: Optional[VoxelConfig] = None) -> "World3DConfig":
@@ -124,7 +135,7 @@ class World3DConfig:
         elif "mrope" in s:
             pe = PosEmbedType.MROPE
         return cls(pooling=pooling, discrete=("discrete" in s), pos_embed=pe,
-                   voxel=voxel or VoxelConfig())
+                   voxel=voxel or VoxelConfig(), llava3d=("llava3d" in s))
 
 
 @dataclass(frozen=True)

@@ -189,6 +189,32 @@ class InferenceEngine:
                        if box_input is not None else None))
         return batch, plan
 
+    def _build_llava3d_batch(self, ids, V, images, patch):
+        """'llava3d' variant: one flat block of voxel-dedup tokens replaces
+        the grid layout. Only the V real frames feed the dedup (padded zero
+        frames would alias into voxel 0)."""
+        import jax
+
+        feat, _ = lv3d.encode_video_llava3d(
+            self.params, self.cfg, jnp.asarray(images[:, :V]),
+            jnp.asarray(patch[0, :V]), key=jax.random.PRNGKey(0))
+        T = int(feat.shape[0])
+        L = pick_bucket(len(ids) + T + self.ecfg.max_new_tokens,
+                        self.ecfg.buckets)
+        plan = build_splice_plan([ids], None, [1], tokens_per_frame=T,
+                                 max_len=L, grid_side=1,
+                                 truncate_to=self.cfg.tokenizer_model_max_length)
+        batch = lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask))
+        return batch, feat
+
     # ------------- generative -------------
 
     def generate_answer(self, record, box_input=None,
@@ -198,6 +224,18 @@ class InferenceEngine:
             [question, {"from": "gpt", "value": None}], self.tokenizer)
         vd, V, images, _, patch, box_input = self._video_arrays(
             record["video"], box_input)
+        if self.cfg.world_3d.llava3d:
+            batch, feat = self._build_llava3d_batch(ids, V, images, patch)
+            res = generate_greedy(self.params, self.cfg, batch,
+                                  max_new_tokens=self.ecfg.max_new_tokens,
+                                  eos_token_id=self.ecfg.eos_token_id,
+                                  cache_dtype=self._cache_dtype(),
+                                  vision_features=feat[None])
+            toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+            text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+            if text.endswith(self.ecfg.stop_str):
+                text = text[: -len(self.ecfg.stop_str)].strip()
+            return text
         batch, _ = self._build_batch(ids, None, V, images, patch, box_input,
                                      coord_token_id)
         res = generate_greedy(self.params, self.cfg, batch,

@@ -164,6 +164,33 @@ def encode_video(params: Params, cfg: ModelConfig,
     return VisionTokens(spliceable=spliceable, pooled=pooled, raw=raw)
 
 
+def encode_video_llava3d(params: Params, cfg: ModelConfig,
+                         images: jax.Array, patch_coords: jax.Array,
+                         key: Optional[jax.Array] = None,
+                         remat: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """'llava3d' PE variant (llava_arch.py:731-746): pooled patch features
+    grouped by discrete voxel, meaned, and sampled to a fixed budget.
+
+    The reference strips the grid-newline columns then dedups with a python
+    defaultdict (B=1 only, dynamic output length); here the dedup is one
+    jit (ops/voxel_dedup.py) with a static (budget, D) output.
+
+    Args:
+      images: (1, V, 3, S, S); patch_coords: (V, g, g, 3) DISCRETE voxels.
+      key: PRNG key for the reference's random voxel subset (None ->
+        deterministic first-voxels order).
+    Returns:
+      ((budget, D) vision tokens, (budget,) genuine-voxel mask).
+    """
+    from video3d_tpu.ops.voxel_dedup import voxel_dedup_features
+
+    vt = encode_video(params, cfg, images, None, remat=remat)
+    feats = vt.pooled[0].reshape(-1, vt.pooled.shape[-1])     # (V*g*g, D)
+    coords = patch_coords.reshape(-1, 3)
+    return voxel_dedup_features(feats, coords, cfg.world_3d.voxel.grid_dims,
+                                budget=cfg.world_3d.llava3d_budget, key=key)
+
+
 # ---------------------------------------------------------------------------
 # Splice assembly (device side)
 # ---------------------------------------------------------------------------
