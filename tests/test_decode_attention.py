@@ -1,0 +1,58 @@
+"""Fused decode-attention kernel vs the jnp reference (interpret mode on
+CPU; the same kernel compiles on TPU via the mha dispatch)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.kernels.attention import mha_reference
+from video3d_tpu.kernels.decode_attention import decode_attention
+
+
+def make(B, S, H, KV, hd, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, hd)), dtype)
+    k = jnp.asarray(rng.normal(size=(B, S, KV, hd)), dtype)
+    v = jnp.asarray(rng.normal(size=(B, S, KV, hd)), dtype)
+    return q, k, v
+
+
+class TestDecodeAttention:
+    @pytest.mark.parametrize("B,S,H,KV,hd", [
+        (1, 256, 4, 2, 128),
+        (2, 384, 8, 2, 128),
+        (4, 128, 4, 4, 128),     # MHA (groups == 1)
+    ])
+    def test_matches_reference(self, B, S, H, KV, hd):
+        q, k, v = make(B, S, H, KV, hd)
+        kv_len = jnp.asarray(np.random.default_rng(1).integers(1, S + 1, B),
+                             jnp.int32)
+        # reference semantics: query at position kv_len - 1
+        ref = mha_reference(q, k, v, q_positions=(kv_len - 1)[:, None],
+                            kv_len=kv_len)
+        got = decode_attention(q, k, v, kv_len, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_io(self):
+        q, k, v = make(2, 256, 4, 2, 128, dtype=jnp.bfloat16)
+        kv_len = jnp.asarray([100, 256], jnp.int32)
+        ref = mha_reference(q, k, v, q_positions=(kv_len - 1)[:, None],
+                            kv_len=kv_len)
+        got = decode_attention(q, k, v, kv_len, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_length_one(self):
+        """First decode step after an empty prefill-like state."""
+        q, k, v = make(1, 128, 4, 2, 128, seed=3)
+        kv_len = jnp.asarray([1], jnp.int32)
+        ref = mha_reference(q, k, v, q_positions=jnp.asarray([[0]]),
+                            kv_len=kv_len)
+        got = decode_attention(q, k, v, kv_len, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

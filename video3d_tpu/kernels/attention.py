@@ -31,6 +31,9 @@ NEG_INF = -1e30
 # may still call the pallas kernel directly
 _MANUAL_MODE = False
 
+# benchmarking escape hatch: force the XLA decode path
+_DISABLE_DECODE_KERNEL = False
+
 
 @contextlib.contextmanager
 def manual_sharding():
@@ -113,6 +116,16 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         on_tpu = False
     B, L, H = q.shape[0], q.shape[1], q.shape[2]
     S, KV, hd = k.shape[1], k.shape[2], k.shape[3]
+    if (on_tpu and not _DISABLE_DECODE_KERNEL
+            and mask is None and q_positions is not None and L == 1
+            and kv_len is not None and hd % 128 == 0 and S % 128 == 0
+            and (_MANUAL_MODE or _active_mesh() is None)):
+        # single-token decode over the cache: one fused kernel instead of
+        # ~10 small HBM-bound XLA ops (kernels/decode_attention.py)
+        from video3d_tpu.kernels.decode_attention import decode_attention
+
+        eff_len = jnp.minimum(q_positions[:, 0] + 1, kv_len)
+        return decode_attention(q, k, v, eff_len)
     if (on_tpu and mask is None and q_positions is None and causal
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
         from video3d_tpu.kernels.flash_attention import flash_attention

@@ -1,0 +1,104 @@
+"""Fused single-token decode attention over the KV cache.
+
+Decode at small batch is op-count bound on TPU (BENCH_NOTES.md): each
+lax-level attention step lowers to ~10 small HBM-bound ops per layer
+(broadcast kv heads, score, mask, softmax, weight). This kernel fuses the
+whole read side into ONE pallas call per layer: for each (sample, kv head)
+it loads that head's (S, hd) cache slab once from HBM, computes the grouped
+q·K scores, masks by the per-sample cache length, softmaxes in f32, and
+accumulates the context — single pass (a 32k x 128 bf16 slab is ~8 MB and
+fits VMEM, so no online softmax is needed at decode sizes).
+
+Replaces the reference's HF eager/flash decode step
+(qwen2/modeling_qwen2.py:330-632 with a 1-token query). Inference-only: no
+backward pass.
+
+Mosaic notes (see .claude/skills/verify/SKILL.md): lengths live in SMEM as a
+full (B, 1) table indexed by a program-id derived row at kernel top level;
+all refs are rank-3 blocks with a unit leading dim, squeezed by indexing
+(never reshaped); dots request f32 accumulation explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, kv_heads: int):
+    i = pl.program_id(0)              # flattened (sample, kv head) index
+    b = i // kv_heads
+    kv_len = len_ref[b, 0]
+
+    q = q_ref[0].astype(jnp.float32)                      # (G, hd)
+    k = k_ref[0].astype(jnp.float32)                      # (S, hd)
+    v = v_ref[0].astype(jnp.float32)
+
+    # precision=HIGHEST: the MXU truncates f32 inputs to bf16 passes
+    # otherwise (same pitfall as kernels/fused_geometry.py)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (G, S)
+    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(slot < kv_len, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
+
+
+def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     kv_len: jax.Array, sm_scale: float | None = None,
+                     interpret: bool = False) -> jax.Array:
+    """Fused attention for one decode step.
+
+    Args:
+      q: (B, 1, H, hd) single-position queries;
+      k_cache, v_cache: (B, S, KV, hd) full cache (slot index == position);
+      kv_len: (B,) valid slot count (query position + 1); slots >= kv_len
+        are masked, which also implements causality (the new token occupies
+        slot kv_len - 1).
+    Returns:
+      (B, 1, H, hd) in q.dtype.
+    """
+    B, L, H, hd = q.shape
+    assert L == 1, "decode kernel is single-token"
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    G = H // KV
+    scale = sm_scale if sm_scale is not None else hd ** -0.5
+
+    qg = (q[:, 0] * jnp.asarray(scale, q.dtype)).reshape(B, KV, G, hd)
+    qg = qg.reshape(B * KV, G, hd)
+    kt = k_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    vt = v_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    lens = kv_len.astype(jnp.int32).reshape(B, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, kv_heads=KV),
+        grid=(B * KV,),
+        in_specs=[
+            _smem_spec(interpret),
+            pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+        interpret=interpret,
+    )(lens, qg, kt, vt)
+    return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
+
+
+def _smem_spec(interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
