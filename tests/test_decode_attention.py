@@ -56,3 +56,44 @@ class TestDecodeAttention:
         got = decode_attention(q, k, v, kv_len, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestInt8DecodeKernel:
+    def test_matches_dequantized_reference(self):
+        """int8-native kernel == dequantize-then-reference."""
+        from video3d_tpu.models.qwen2 import _quantize_kv
+
+        B, S, H, KV, hd = 2, 256, 4, 2, 128
+        q, k, v = make(B, S, H, KV, hd, seed=5)
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        kv_len = jnp.asarray([100, 256], jnp.int32)
+
+        deq_k = kq.astype(jnp.float32) * ks
+        deq_v = vq.astype(jnp.float32) * vs
+        ref = mha_reference(q, deq_k, deq_v,
+                            q_positions=(kv_len - 1)[:, None], kv_len=kv_len)
+        got = decode_attention(q, kq, vq, kv_len, k_scale=ks, v_scale=vs,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_int8_decode_through_model(self):
+        """decoder_layer int8 cache path on CPU (mha dequantizes inline)."""
+        from video3d_tpu.config import ModelConfig
+        from video3d_tpu.models import qwen2
+
+        cfg = ModelConfig.tiny().llm
+        params = qwen2.init_qwen2(jax.random.PRNGKey(0), cfg)
+        ids = np.random.default_rng(7).integers(10, cfg.vocab_size, (1, 8))
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+        pos = jnp.broadcast_to(jnp.arange(8)[None, :, None], (1, 8, 3))
+        cache = qwen2.KVCache.zeros(cfg, 1, 16, dtype=jnp.int8)
+        _, cache = qwen2.qwen2_forward(
+            params, cfg, embeds[:, :7], pos[:, :7], kv_cache=cache,
+            cache_positions=jnp.arange(7)[None], kv_len=jnp.asarray([7]),
+            prefill=True)
+        h, _ = qwen2.qwen2_forward(
+            params, cfg, embeds[:, 7:8], pos[:, 7:8], kv_cache=cache,
+            cache_positions=jnp.asarray([[7]]), kv_len=jnp.asarray([8]))
+        assert np.isfinite(np.asarray(h, np.float32)).all()

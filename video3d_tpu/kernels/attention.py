@@ -100,7 +100,9 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         mask: Optional[jax.Array] = None,
         causal: bool = True,
         q_positions: Optional[jax.Array] = None,
-        kv_len: Optional[jax.Array] = None) -> jax.Array:
+        kv_len: Optional[jax.Array] = None,
+        k_scale: Optional[jax.Array] = None,
+        v_scale: Optional[jax.Array] = None) -> jax.Array:
     """Backend-dispatching attention; see :func:`mha_reference` for args.
 
     The Pallas flash path handles the production prefill/training case:
@@ -121,11 +123,17 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
             and kv_len is not None and hd % 128 == 0 and S % 128 == 0
             and (_MANUAL_MODE or _active_mesh() is None)):
         # single-token decode over the cache: one fused kernel instead of
-        # ~10 small HBM-bound XLA ops (kernels/decode_attention.py)
+        # ~10 small HBM-bound XLA ops; int8 caches stream quantized
+        # (kernels/decode_attention.py)
         from video3d_tpu.kernels.decode_attention import decode_attention
 
         eff_len = jnp.minimum(q_positions[:, 0] + 1, kv_len)
-        return decode_attention(q, k, v, eff_len)
+        return decode_attention(q, k, v, eff_len,
+                                k_scale=k_scale, v_scale=v_scale)
+    if k_scale is not None:
+        # quantized cache on a non-kernel path: dequantize here
+        k = k.astype(q.dtype) * k_scale.astype(q.dtype)
+        v = v.astype(q.dtype) * v_scale.astype(q.dtype)
     if (on_tpu and mask is None and q_positions is None and causal
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
         from video3d_tpu.kernels.flash_attention import flash_attention

@@ -56,17 +56,53 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, kv_heads: int):
         precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
 
 
+def _decode_kernel_int8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                        *, kv_heads: int):
+    """int8 cache variant: HBM streams int8 slabs + (S,) f32 scales; the
+    per-position dequant folds into the score row-scale / the p·V weights
+    (scale_s factors out of the hd contraction), so nothing bf16-sized ever
+    touches HBM."""
+    i = pl.program_id(0)
+    b = i // kv_heads
+    kv_len = len_ref[b, 0]
+
+    q = q_ref[0].astype(jnp.float32)                      # (G, hd)
+    k = k_ref[0].astype(jnp.float32)                      # (S, hd) from int8
+    v = v_ref[0].astype(jnp.float32)
+    k_scale = ks_ref[0]                                   # (1, S) f32
+    v_scale = vs_ref[0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * k_scale    # (G, S)
+    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(slot < kv_len, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p * v_scale, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
+
+
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      kv_len: jax.Array, sm_scale: float | None = None,
+                     k_scale: jax.Array | None = None,
+                     v_scale: jax.Array | None = None,
                      interpret: bool = False) -> jax.Array:
     """Fused attention for one decode step.
 
     Args:
       q: (B, 1, H, hd) single-position queries;
       k_cache, v_cache: (B, S, KV, hd) full cache (slot index == position);
+        int8 when k_scale/v_scale are given (models/qwen2.py KVCache).
       kv_len: (B,) valid slot count (query position + 1); slots >= kv_len
         are masked, which also implements causality (the new token occupies
         slot kv_len - 1).
+      k_scale, v_scale: optional (B, S, KV, 1) f32 per-position dequant
+        scales — the int8-cache path; HBM then streams int8 + scales only.
     Returns:
       (B, 1, H, hd) in q.dtype.
     """
@@ -82,19 +118,34 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     vt = v_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
     lens = kv_len.astype(jnp.int32).reshape(B, 1)
 
-    out = pl.pallas_call(
-        functools.partial(_decode_kernel, kv_heads=KV),
-        grid=(B * KV,),
-        in_specs=[
-            _smem_spec(interpret),
-            pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
-        interpret=interpret,
-    )(lens, qg, kt, vt)
+    qkv_specs = [
+        pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
+    ]
+    if k_scale is not None:
+        ks = k_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
+        vs = v_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_int8, kv_heads=KV),
+            grid=(B * KV,),
+            in_specs=[_smem_spec(interpret)] + qkv_specs + [
+                pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+            interpret=interpret,
+        )(lens, qg, kt, vt, ks.astype(jnp.float32), vs.astype(jnp.float32))
+    else:
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel, kv_heads=KV),
+            grid=(B * KV,),
+            in_specs=[_smem_spec(interpret)] + qkv_specs,
+            out_specs=pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+            interpret=interpret,
+        )(lens, qg, kt, vt)
     return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
 

@@ -195,11 +195,12 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
             # precision here; quantization only affects later decode reads.)
             attn = mha(q, k, v, causal=True, kv_len=kv_len)
         elif k_cache.dtype == jnp.int8:
-            # dequant fuses into the attention matmuls: HBM streams int8
-            attn = mha(q,
-                       k_cache.astype(q.dtype) * k_scale.astype(q.dtype),
-                       v_cache.astype(q.dtype) * v_scale.astype(q.dtype),
-                       q_positions=cache_positions, kv_len=kv_len, causal=True)
+            # the quantized cache flows to attention as-is: on the TPU
+            # decode kernel HBM streams int8 + scales; other paths
+            # dequantize inside mha
+            attn = mha(q, k_cache, v_cache,
+                       q_positions=cache_positions, kv_len=kv_len,
+                       causal=True, k_scale=k_scale, v_scale=v_scale)
         else:
             attn = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
                        q_positions=cache_positions, kv_len=kv_len, causal=True)
