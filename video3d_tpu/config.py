@@ -235,6 +235,12 @@ class ModelConfig:
     image_grid_pinpoints: Union[str, Tuple[Tuple[int, int], ...]] = (
         (384, 768), (768, 384), (768, 768), (1152, 384), (384, 1152))
     mm_patch_merge_type: str = "spatial_unpad"
+    # mm_resampler_type (multimodal_resampler/builder.py:21-32): None ->
+    # identity. Like the reference (whose encode_images has the resampler
+    # call commented out, llava_arch.py:277), a configured resampler is
+    # built/loaded but not routed through the 3D video path; apply it via
+    # models.resampler.apply_resampler on 2D features.
+    resampler_type: Optional[str] = None
 
     @property
     def tokens_per_frame(self) -> int:

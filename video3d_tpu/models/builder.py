@@ -105,6 +105,7 @@ def model_config_from_hf(hf: Dict[str, Any]) -> ModelConfig:
         image_aspect_ratio=hf.get("image_aspect_ratio", "anyres"),
         image_grid_pinpoints=pin,
         mm_patch_merge_type=hf.get("mm_patch_merge_type", "spatial_unpad"),
+        resampler_type=hf.get("mm_resampler_type"),
     )
 
 
@@ -134,6 +135,12 @@ def load_pretrained_model(model_path: str,
     params = convert_llava_checkpoint(
         state, cfg.llm, cfg.vision, dtype=dtype,
         ground_head="ground_head_obj.0.weight" in state)
+    if cfg.resampler_type and any(
+            k.startswith("model.vision_resampler.") for k in state):
+        from video3d_tpu.models.weights import convert_resampler
+
+        params["resampler"] = convert_resampler(state, cfg.resampler_type,
+                                                dtype=dtype)
 
     tokenizer = None
     if load_tokenizer:

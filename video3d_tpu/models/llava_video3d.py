@@ -40,26 +40,92 @@ Params = Dict[str, Any]
 # Projector
 # ---------------------------------------------------------------------------
 
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale + bias
+
+
 def project_features(p: Params, x: jax.Array) -> jax.Array:
-    """mm projector variants (multimodal_projector/builder.py:32-65):
-    mlp2x_gelu (Linear -> erf GELU -> Linear) when w2 present, plain linear
-    when only w1, identity when empty."""
+    """mm projector variants (multimodal_projector/builder.py:32-65 +
+    pooler_projector.py):
+
+      * identity        — empty params
+      * linear          — {w1, b1}
+      * mlpNx_gelu      — {w1, b1, ..., wN, bN}; erf GELU between linears
+      * mlpNx_resNx_gelu — mlp keys + ``res``: list of SimpleResBlock params
+        {ln_s, ln_b, w1, b1, w2, b2}; out = ln(x) + Linear(GELU(Linear(ln(x))))
+        (NB the residual uses the *normalized* input, builder.py:27-29)
+      * pooler          — {conv_w (4*Cin, Cout), conv_b, w1, b1}: 2x2/s2 conv
+        over the patch grid (as one reshape+matmul — MXU-friendly, identical
+        to Conv2d k=2 s=2), GELU, Linear (pooler_projector.py:15-29)
+    """
     if not p:                      # identity (builder.py 'identity')
         return x
-    if "w2" not in p:              # linear (builder.py 'linear')
-        return x @ p["w1"] + p["b1"]
-    h = jax.nn.gelu(x @ p["w1"] + p["b1"], approximate=False)
-    return h @ p["w2"] + p["b2"]
+    h = x
+    if "conv_w" in p:              # pooler (pooler_projector.py)
+        B, N, C = h.shape
+        hw = int(round(N ** 0.5))
+        out_hw = hw // 2           # Conv2d floor rule; odd grids drop last row/col
+        h = h.reshape(B, hw, hw, C)[:, :2 * out_hw, :2 * out_hw]
+        h = h.reshape(B, out_hw, 2, out_hw, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        h = h.reshape(B, out_hw * out_hw, 4 * C)
+        h = h @ p["conv_w"] + p["conv_b"]
+        h = jax.nn.gelu(h, approximate=False)
+        return h @ p["w1"] + p["b1"]
+    i = 1
+    while f"w{i}" in p:            # linear / mlpNx_gelu chain
+        if i > 1:
+            h = jax.nn.gelu(h, approximate=False)
+        h = h @ p[f"w{i}"] + p[f"b{i}"]
+        i += 1
+    for blk in p.get("res", ()):   # mlpNx_resNx_gelu tail (SimpleResBlock)
+        hn = _layer_norm(h, blk["ln_s"], blk["ln_b"])
+        inner = jax.nn.gelu(hn @ blk["w1"] + blk["b1"], approximate=False)
+        h = hn + (inner @ blk["w2"] + blk["b2"])
+    return h
 
 
-def init_projector(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
-    k1, k2 = jax.random.split(key)
-    return {
-        "w1": 0.02 * jax.random.normal(k1, (in_dim, out_dim), dtype),
-        "b1": jnp.zeros((out_dim,), dtype),
-        "w2": 0.02 * jax.random.normal(k2, (out_dim, out_dim), dtype),
-        "b2": jnp.zeros((out_dim,), dtype),
-    }
+def init_projector(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32,
+                   projector_type: str = "mlp2x_gelu"):
+    """Random params for any reference projector type string."""
+    import re
+
+    if projector_type == "identity":
+        return {}
+    if projector_type == "pooler":
+        k1, k2 = jax.random.split(key)
+        return {
+            "conv_w": 0.02 * jax.random.normal(k1, (4 * in_dim, out_dim), dtype),
+            "conv_b": jnp.zeros((out_dim,), dtype),
+            "w1": 0.02 * jax.random.normal(k2, (out_dim, out_dim), dtype),
+            "b1": jnp.zeros((out_dim,), dtype),
+        }
+    if projector_type == "linear":
+        mlp_depth, res_depth = 1, 0
+    else:
+        m = re.match(r"^mlp(\d+)x(?:_res(\d+)x)?_gelu$", projector_type)
+        if not m:
+            raise ValueError(f"Unknown projector type: {projector_type}")
+        mlp_depth, res_depth = int(m.group(1)), int(m.group(2) or 0)
+    keys = jax.random.split(key, mlp_depth + 2 * res_depth)
+    p: Params = {}
+    for i in range(1, mlp_depth + 1):
+        d_in = in_dim if i == 1 else out_dim
+        p[f"w{i}"] = 0.02 * jax.random.normal(keys[i - 1], (d_in, out_dim), dtype)
+        p[f"b{i}"] = jnp.zeros((out_dim,), dtype)
+    if res_depth:
+        p["res"] = [
+            {"ln_s": jnp.ones((out_dim,), dtype), "ln_b": jnp.zeros((out_dim,), dtype),
+             "w1": 0.02 * jax.random.normal(keys[mlp_depth + 2 * r], (out_dim, out_dim), dtype),
+             "b1": jnp.zeros((out_dim,), dtype),
+             "w2": 0.02 * jax.random.normal(keys[mlp_depth + 2 * r + 1], (out_dim, out_dim), dtype),
+             "b2": jnp.zeros((out_dim,), dtype)}
+            for r in range(res_depth)
+        ]
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -553,7 +619,8 @@ def init_model(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     params: Params = {
         "vision": siglip.init_vision_tower(ks[0], cfg.vision, dtype),
         "projector": init_projector(ks[1], cfg.vision.hidden_size,
-                                    cfg.llm.hidden_size, dtype),
+                                    cfg.llm.hidden_size, dtype,
+                                    cfg.projector.projector_type),
         "image_newline": 0.02 * jax.random.normal(ks[2], (cfg.llm.hidden_size,), dtype),
         "llm": qwen2.init_qwen2(ks[3], cfg.llm, dtype),
     }

@@ -195,12 +195,141 @@ def vision_config_from_state(state: Mapping[str, Any],
 
 def convert_projector(state: Mapping[str, Any],
                       prefix: str = "model.mm_projector.", dtype=jnp.float32):
-    """mlp2x_gelu projector: 0.weight/bias, 2.weight/bias (builder.py:47-55)."""
+    """Any reference projector variant -> functional params
+    (multimodal_projector/builder.py:32-65, pooler_projector.py).
+
+    HF key layouts: ``linear`` is a bare nn.Linear (``weight``/``bias``);
+    ``mlpNx_gelu`` is a Sequential with Linears at even indices;
+    ``mlpNx_resNx_gelu`` appends SimpleResBlocks (``{i}.pre_norm.*``,
+    ``{i}.proj.{0,2}.*``); ``pooler`` has ``conv_pool.*`` + ``proj.1.*``."""
     g = lambda k: _to_np(state[prefix + k])
-    return {
-        "w1": jnp.asarray(g("0.weight").T, dtype), "b1": jnp.asarray(g("0.bias"), dtype),
-        "w2": jnp.asarray(g("2.weight").T, dtype), "b2": jnp.asarray(g("2.bias"), dtype),
-    }
+    if prefix + "conv_pool.weight" in state:       # pooler
+        cw = g("conv_pool.weight")                 # (Cout, Cin, 2, 2) torch conv
+        cw = cw.transpose(2, 3, 1, 0).reshape(-1, cw.shape[0])
+        return {
+            "conv_w": jnp.asarray(cw, dtype),
+            "conv_b": jnp.asarray(g("conv_pool.bias"), dtype),
+            "w1": jnp.asarray(g("proj.1.weight").T, dtype),
+            "b1": jnp.asarray(g("proj.1.bias"), dtype),
+        }
+    if prefix + "weight" in state:                 # bare nn.Linear ('linear')
+        return {"w1": jnp.asarray(g("weight").T, dtype),
+                "b1": jnp.asarray(g("bias"), dtype)}
+    # Sequential: Linears at even indices (GELUs between carry no params),
+    # SimpleResBlocks appended after. Find module indices from the key space.
+    indices = sorted({int(k[len(prefix):].split(".")[0]) for k in state
+                      if k.startswith(prefix)
+                      and k[len(prefix):].split(".")[0].isdigit()})
+    out: dict = {}
+    res = []
+    n_linear = 0
+    for i in indices:
+        if f"{prefix}{i}.pre_norm.weight" in state:     # SimpleResBlock
+            res.append({
+                "ln_s": jnp.asarray(g(f"{i}.pre_norm.weight"), dtype),
+                "ln_b": jnp.asarray(g(f"{i}.pre_norm.bias"), dtype),
+                "w1": jnp.asarray(g(f"{i}.proj.0.weight").T, dtype),
+                "b1": jnp.asarray(g(f"{i}.proj.0.bias"), dtype),
+                "w2": jnp.asarray(g(f"{i}.proj.2.weight").T, dtype),
+                "b2": jnp.asarray(g(f"{i}.proj.2.bias"), dtype),
+            })
+        else:                                           # Sequential Linear
+            n_linear += 1
+            out[f"w{n_linear}"] = jnp.asarray(g(f"{i}.weight").T, dtype)
+            out[f"b{n_linear}"] = jnp.asarray(g(f"{i}.bias"), dtype)
+    if res:
+        out["res"] = res
+    return out
+
+
+def convert_resampler(state: Mapping[str, Any], resampler_type: str,
+                      prefix: str = "model.vision_resampler.",
+                      dtype=jnp.float32) -> Dict[str, Any]:
+    """Reference resampler state dicts -> models/resampler.py pytrees
+    (multimodal_resampler/: spatial_pool.py, perceiver.py, qformer.py;
+    masked_drop has no parameters)."""
+    g = lambda k: _to_np(state[prefix + k])
+    A = lambda k: jnp.asarray(g(k), dtype)
+    T = lambda k: jnp.asarray(g(k).T, dtype)
+
+    if resampler_type == "masked_drop":
+        return {}
+    if resampler_type == "spatial_pool":
+        if prefix + "pool.weight" not in state:
+            return {}                       # average / max modes: no params
+        cw = g("pool.weight")               # (Cout, Cin, s, s) torch conv
+        cw = cw.transpose(2, 3, 1, 0).reshape(-1, cw.shape[0])
+        return {"conv_w": jnp.asarray(cw, dtype), "conv_b": A("pool.bias")}
+
+    if resampler_type == "perceiver":
+        layers = []
+        i = 0
+        while f"{prefix}perceiver.layers.{i}.0.to_q.weight" in state:
+            lp = f"perceiver.layers.{i}."
+            layers.append({
+                "attn": {
+                    "ln_media_s": A(lp + "0.norm_media.weight"),
+                    "ln_media_b": A(lp + "0.norm_media.bias"),
+                    "ln_latents_s": A(lp + "0.norm_latents.weight"),
+                    "ln_latents_b": A(lp + "0.norm_latents.bias"),
+                    "to_q": T(lp + "0.to_q.weight"),
+                    "to_kv": T(lp + "0.to_kv.weight"),
+                    "to_out": T(lp + "0.to_out.weight"),
+                },
+                # FeedForward = Sequential(LN, Linear, GELU, Linear)
+                "ff": {
+                    "ln_s": A(lp + "1.0.weight"), "ln_b": A(lp + "1.0.bias"),
+                    "w1": T(lp + "1.1.weight"), "w2": T(lp + "1.3.weight"),
+                },
+            })
+            i += 1
+        return {
+            "latents": A("perceiver.latents"),
+            "layers": layers,
+            "norm_s": A("perceiver.norm.weight"),
+            "norm_b": A("perceiver.norm.bias"),
+        }
+
+    if resampler_type == "qformer":
+        def attn(ap):
+            return {
+                "wq": T(ap + "self.query.weight"), "bq": A(ap + "self.query.bias"),
+                "wk": T(ap + "self.key.weight"), "bk": A(ap + "self.key.bias"),
+                "wv": T(ap + "self.value.weight"), "bv": A(ap + "self.value.bias"),
+                "wo": T(ap + "output.dense.weight"), "bo": A(ap + "output.dense.bias"),
+                "ln_s": A(ap + "output.LayerNorm.weight"),
+                "ln_b": A(ap + "output.LayerNorm.bias"),
+            }
+
+        layers = []
+        i = 0
+        while f"{prefix}Qformer.bert.encoder.layer.{i}.attention.self.query.weight" in state:
+            lp = f"Qformer.bert.encoder.layer.{i}."
+            layer = {
+                "self": attn(lp + "attention."),
+                "ffn": {
+                    "w1": T(lp + "intermediate_query.dense.weight"),
+                    "b1": A(lp + "intermediate_query.dense.bias"),
+                    "w2": T(lp + "output_query.dense.weight"),
+                    "b2": A(lp + "output_query.dense.bias"),
+                    "ln_s": A(lp + "output_query.LayerNorm.weight"),
+                    "ln_b": A(lp + "output_query.LayerNorm.bias"),
+                },
+            }
+            if f"{prefix}{lp}crossattention.self.query.weight" in state:
+                layer["cross"] = attn(lp + "crossattention.")
+            layers.append(layer)
+            i += 1
+        return {
+            "ln_vision_s": A("ln_vision.weight"),
+            "ln_vision_b": A("ln_vision.bias"),
+            "query_tokens": A("query_tokens")[0],   # (1, n, 768) -> (n, 768)
+            "emb_ln_s": A("Qformer.bert.embeddings.LayerNorm.weight"),
+            "emb_ln_b": A("Qformer.bert.embeddings.LayerNorm.bias"),
+            "layers": layers,
+        }
+
+    raise ValueError(f"Unknown resampler type: {resampler_type}")
 
 
 def export_llava_checkpoint(params: Mapping[str, Any], llm_cfg: LLMConfig,
@@ -278,10 +407,35 @@ def export_llava_checkpoint(params: Mapping[str, Any], llm_cfg: LLMConfig,
 
     if "projector" in params:
         pj = params["projector"]
-        state["model.mm_projector.0.weight"] = t(pj["w1"])
-        state["model.mm_projector.0.bias"] = v(pj["b1"])
-        state["model.mm_projector.2.weight"] = t(pj["w2"])
-        state["model.mm_projector.2.bias"] = v(pj["b2"])
+        pre = "model.mm_projector."
+        if "conv_w" in pj:                     # pooler (pooler_projector.py)
+            cw = v(pj["conv_w"])               # (4*Cin, Cout)
+            cout = cw.shape[1]
+            state[pre + "conv_pool.weight"] = np.ascontiguousarray(
+                cw.reshape(2, 2, -1, cout).transpose(3, 2, 0, 1))
+            state[pre + "conv_pool.bias"] = v(pj["conv_b"])
+            state[pre + "proj.1.weight"] = t(pj["w1"])
+            state[pre + "proj.1.bias"] = v(pj["b1"])
+        else:
+            n_linear = 0
+            while f"w{n_linear + 1}" in pj:
+                n_linear += 1
+            if n_linear == 1 and "res" not in pj:
+                # bare nn.Linear ('linear' type has no Sequential wrapper)
+                state[pre + "weight"] = t(pj["w1"])
+                state[pre + "bias"] = v(pj["b1"])
+            else:
+                for i in range(1, n_linear + 1):
+                    state[f"{pre}{2 * (i - 1)}.weight"] = t(pj[f"w{i}"])
+                    state[f"{pre}{2 * (i - 1)}.bias"] = v(pj[f"b{i}"])
+                for j, blk in enumerate(pj.get("res", ())):
+                    bp = f"{pre}{2 * n_linear - 1 + j}."
+                    state[bp + "pre_norm.weight"] = v(blk["ln_s"])
+                    state[bp + "pre_norm.bias"] = v(blk["ln_b"])
+                    state[bp + "proj.0.weight"] = t(blk["w1"])
+                    state[bp + "proj.0.bias"] = v(blk["b1"])
+                    state[bp + "proj.2.weight"] = t(blk["w2"])
+                    state[bp + "proj.2.bias"] = v(blk["b2"])
     if "image_newline" in params:
         state["model.image_newline"] = v(params["image_newline"])
     if "ground_head" in params and "zero_target" in params["ground_head"]:
@@ -362,7 +516,7 @@ def convert_llava_checkpoint(state: Mapping[str, Any], llm_cfg: LLMConfig,
     if tower_prefix + "embeddings.patch_embedding.weight" in state:
         out["vision"] = convert_siglip(state, vision_cfg,
                                        prefix=tower_prefix, dtype=dtype)
-    if "model.mm_projector.0.weight" in state:
+    if any(k.startswith("model.mm_projector.") for k in state):
         out["projector"] = convert_projector(state, dtype=dtype)
     if "model.image_newline" in state:
         out["image_newline"] = jnp.asarray(_to_np(state["model.image_newline"]), dtype)
