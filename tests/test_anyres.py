@@ -108,6 +108,65 @@ class TestTilingGolden:
         ref = ref_mm.process_anyres_image(img, TorchProcAdapter(), PINPOINTS)
         np.testing.assert_allclose(ours, ref.numpy(), atol=1e-6)
 
+    def test_resize_and_center_crop(self, ref_mm):
+        for seed, (w, h) in enumerate([(640, 480), (300, 900), (512, 512)]):
+            img = random_image(w, h, seed + 10)
+            ours = our.resize_and_center_crop(img, 384)
+            ref = ref_mm.resize_and_center_crop(img, 384)
+            np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+    def test_extract_patches(self, ref_mm):
+        for overlap in (0.0, 0.5):
+            img = random_image(900, 700, 7)
+            ours = our.extract_patches(img, 384, overlap)
+            ref = ref_mm.extract_patches(img, 384, overlap)
+            assert len(ours) == len(ref)
+            for a, b in zip(ours, ref):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_process_highres_image(self, ref_mm):
+        """highres mode (mm_utils.py:98-116) — identical tensors."""
+        proc = SigLipImageProcessor(size=(384, 384))
+
+        class TorchProcAdapter:
+            size = {"shortest_edge": 384}
+            crop_size = {"height": 384, "width": 384}
+            image_mean = (0.5, 0.5, 0.5)
+
+            def preprocess(self, image, return_tensors=None):
+                return {"pixel_values": torch.tensor(proc.preprocess(image))}
+
+        img = random_image(777, 481, 11)
+        ours = our.process_highres_image(img, proc, "384,768")
+        ref = ref_mm.process_highres_image(img, TorchProcAdapter(), "384,768")
+        np.testing.assert_allclose(ours, ref.numpy(), atol=1e-6)
+        via_dispatch = our.process_images_2d([img], proc, "highres",
+                                             "384,768")[0]
+        np.testing.assert_allclose(via_dispatch, ours, atol=0)
+
+    def test_process_highres_image_crop_split(self, ref_mm):
+        """crop_split mode (mm_utils.py:87-96) — identical tensors."""
+        import types
+
+        proc = SigLipImageProcessor(size=(384, 384))
+
+        class TorchProcAdapter:
+            size = {"shortest_edge": 384}
+            crop_size = {"height": 384, "width": 384}
+            image_mean = (0.5, 0.5, 0.5)
+
+            def preprocess(self, image, return_tensors=None):
+                return {"pixel_values": torch.tensor(proc.preprocess(image))}
+
+        data_args = types.SimpleNamespace(image_crop_resolution=768,
+                                          image_split_resolution=384)
+        img = random_image(1000, 600, 12)
+        ours = our.process_highres_image_crop_split(img, proc, 768, 384)
+        ref = ref_mm.process_highres_image_crop_split(img, data_args,
+                                                      TorchProcAdapter())
+        assert ours.shape[0] == 4       # 768/384 -> 2x2 tiles, no base view
+        np.testing.assert_allclose(ours, ref.numpy(), atol=1e-6)
+
     def test_process_images_2d_pad_mode(self, ref_mm):
         proc = SigLipImageProcessor(size=(384, 384))
         img = random_image(640, 480, 4)
@@ -206,6 +265,29 @@ class TestArrangeGolden:
             jnp.asarray(feats), image_size, pin, 56, self.hw,
             jnp.asarray(newline), patch_merge_type="spatial")
         np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-6)
+
+    def test_highres_fixed_2x2_grid(self):
+        """Non-anyres aspects view the tiles as a hardcoded 2x2
+        (llava_arch.py:596-597)."""
+        feats, newline = self._feats(4, seed=3)
+        image_size = (500, 500)
+        ref = torch_arrange(feats, image_size, 2, 2, self.hw, newline,
+                            merge="spatial_unpad")
+        got = our_model.arrange_anyres_features(
+            jnp.asarray(feats), image_size, None, 56, self.hw,
+            jnp.asarray(newline), image_aspect_ratio="highres")
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-6)
+
+    def test_flat_merge(self):
+        """'flat' flattens all tiles incl. the base (llava_arch.py:518-519)."""
+        feats, newline = self._feats(3, seed=4)
+        got = our_model.arrange_anyres_features(
+            jnp.asarray(feats), (100, 100), None, 56, self.hw,
+            jnp.asarray(newline), image_aspect_ratio="crop_split",
+            patch_merge_type="flat")
+        np.testing.assert_allclose(np.asarray(got),
+                                   feats.reshape(-1, feats.shape[-1]),
+                                   rtol=0, atol=0)
 
 
 class TestEncodeImage2D:

@@ -117,15 +117,89 @@ def process_anyres_image(image: Image.Image, processor,
     return processor.preprocess([base] + patches)
 
 
+def resize_and_center_crop(image: Image.Image, shortest_edge_length: int,
+                           mode=Image.LANCZOS) -> Image.Image:
+    """Resize so the short edge hits the target, center-crop square
+    (mm_utils.py:12-30; note the int() truncation of the long edge)."""
+    aspect_ratio = float(image.width) / float(image.height)
+    if aspect_ratio > 1:
+        new_width = int(shortest_edge_length * aspect_ratio)
+        new_height = shortest_edge_length
+    else:
+        new_width = shortest_edge_length
+        new_height = int(shortest_edge_length / aspect_ratio)
+    resized = image.resize((new_width, new_height), mode)
+    left = (new_width - shortest_edge_length) / 2
+    top = (new_height - shortest_edge_length) / 2
+    return resized.crop((left, top, left + shortest_edge_length,
+                         top + shortest_edge_length))
+
+
+def extract_patches(image: Image.Image, patch_size: int,
+                    overlap_ratio: float) -> List[Image.Image]:
+    """Centred sliding-window patches (mm_utils.py:63-84)."""
+    assert patch_size > 0 and 0 <= overlap_ratio < 1
+    W, H = image.size
+    stride = int(patch_size * (1 - overlap_ratio))
+    num_y = (H - patch_size) // stride + 1
+    num_x = (W - patch_size) // stride + 1
+    y_start = (H - (num_y - 1) * stride - patch_size) // 2
+    x_start = (W - (num_x - 1) * stride - patch_size) // 2
+    return [image.crop((x, y, x + patch_size, y + patch_size))
+            for y in range(y_start, y_start + num_y * stride, stride)
+            for x in range(x_start, x_start + num_x * stride, stride)]
+
+
+def process_highres_image(image: Image.Image, processor,
+                          grid_pinpoints: str) -> np.ndarray:
+    """-> (n_tiles + 1, 3, S, S) (mm_utils.py:98-116): square-pad to the
+    LARGEST grid size (the reference's FIXME always overrides the fit
+    selection, :107 — kept for parity), tile, prepend a plain base resize."""
+    grid_params = [int(x) for x in grid_pinpoints.split(",")]
+    # the fit-selection result is computed then unconditionally overridden
+    # (mm_utils.py:100-107); reproduce the effective behavior
+    select_size = max(grid_params)
+    bg = tuple(int(x * 255) for x in processor.image_mean)
+    size = processor.size
+    short_edge = (size["shortest_edge"] if isinstance(size, dict)
+                  else size[0] if isinstance(size, (tuple, list)) else size)
+    base = image.resize((short_edge, short_edge))
+    padded = expand2square(image, bg).resize((select_size, select_size))
+    patches = extract_patches(padded, patch_size=short_edge, overlap_ratio=0)
+    return processor.preprocess([base] + patches)
+
+
+def process_highres_image_crop_split(image: Image.Image, processor,
+                                     crop_resolution: int,
+                                     split_resolution: int) -> np.ndarray:
+    """-> (n_tiles, 3, S, S) (mm_utils.py:87-96): resize+center-crop to
+    ``crop_resolution`` then split into ``split_resolution`` tiles (no base
+    view)."""
+    image_crop = resize_and_center_crop(image, crop_resolution)
+    patches = extract_patches(image_crop, patch_size=split_resolution,
+                              overlap_ratio=0)
+    return processor.preprocess(patches)
+
+
 def process_images_2d(images: Sequence[Image.Image], processor,
                       image_aspect_ratio: str,
-                      grid_pinpoints: GridPinpoints = None):
-    """The reference's ``process_images`` dispatch (mm_utils.py:319-338) for
-    the modes this framework supports: anyres / anyres_max_* / pad / plain.
-    Returns a list of (n_tiles+1, 3, S, S) arrays for anyres modes, else a
-    stacked (N, 3, S, S) array."""
+                      grid_pinpoints: GridPinpoints = None,
+                      crop_resolution: int = 384,
+                      split_resolution: int = 384):
+    """The reference's ``process_images`` dispatch (mm_utils.py:303-338):
+    anyres / anyres_max_* / highres / crop_split / pad / plain. Returns a
+    list of (n_tiles(+1), 3, S, S) arrays for tiling modes, else a stacked
+    (N, 3, S, S) array."""
     if image_aspect_ratio == "anyres" or "anyres_max" in image_aspect_ratio:
         return [process_anyres_image(im, processor, grid_pinpoints)
+                for im in images]
+    if image_aspect_ratio == "highres":
+        return [process_highres_image(im, processor, grid_pinpoints)
+                for im in images]
+    if image_aspect_ratio == "crop_split":
+        return [process_highres_image_crop_split(im, processor,
+                                                 crop_resolution,
+                                                 split_resolution)
                 for im in images]
     if image_aspect_ratio == "pad":
         bg = tuple(int(x * 255) for x in processor.image_mean)

@@ -251,19 +251,28 @@ class InferenceEngine:
     def generate_answer_image(self, prompt: str, image,
                               image_aspect_ratio: Optional[str] = None,
                               grid_pinpoints=None,
-                              patch_merge_type: Optional[str] = None) -> str:
-        """2D-image (non-video) inference through the anyres path.
+                              patch_merge_type: Optional[str] = None,
+                              crop_resolution: int = 768,
+                              split_resolution: int = 384) -> str:
+        """2D-image (non-video) inference through the tiling paths.
 
         Equivalent of the reference's legacy image branch
-        (llava_arch.py:572-634 + mm_utils.process_anyres_image): tile the
-        image, encode per tile, spatial_unpad arrangement, splice, decode.
+        (llava_arch.py:518-634 + mm_utils aspect dispatch :303-338): tile the
+        image (anyres / anyres_max_N / highres / crop_split), encode per
+        tile, arrange (flat / spatial / spatial_unpad / nobase), splice,
+        decode.
 
         Args:
           prompt: user text; an '<image>' placeholder marks the insertion
             point (prepended if absent).
           image: PIL image (or anything PIL can be built from via fromarray).
+          crop_resolution, split_resolution: crop_split knobs
+            (train_3d.py:135-136; the reference leaves them None — pass
+            explicitly when using crop_split).
         """
-        from video3d_tpu.data.anyres import process_anyres_image
+        from video3d_tpu.data.anyres import (process_anyres_image,
+                                             process_highres_image,
+                                             process_highres_image_crop_split)
         from video3d_tpu.models.anyres import encode_image_2d
 
         aspect = image_aspect_ratio or self.cfg.image_aspect_ratio
@@ -279,7 +288,13 @@ class InferenceEngine:
             [{"from": "human", "value": prompt},
              {"from": "gpt", "value": None}], self.tokenizer)
 
-        tiles = process_anyres_image(image, self.ip, pin)
+        if aspect == "highres":
+            tiles = process_highres_image(image, self.ip, pin)
+        elif aspect == "crop_split":
+            tiles = process_highres_image_crop_split(
+                image, self.ip, crop_resolution, split_resolution)
+        else:
+            tiles = process_anyres_image(image, self.ip, pin)
         feat = encode_image_2d(self.params, self.cfg, jnp.asarray(tiles),
                                image.size, pin, image_aspect_ratio=aspect,
                                patch_merge_type=merge)      # (T, D)

@@ -57,6 +57,10 @@ def arrange_anyres_features(tile_features: jax.Array,
     newline per row + base prepended) and ``spatial`` (plain grid flatten),
     with the ``anyres_max_N`` bilinear shrink (llava_arch.py:603-614).
     """
+    if patch_merge_type == "flat":
+        # llava_arch.py:518-519: all tiles (incl. base) flattened in order
+        return tile_features.reshape(-1, tile_features.shape[-1])
+
     base = tile_features[0]
     tiles = tile_features[1:]
     hw = num_patches_per_side
@@ -67,8 +71,13 @@ def arrange_anyres_features(tile_features: jax.Array,
     if m:
         max_num_patches = int(m.group(1))
 
-    npw, nph = get_anyres_image_grid_shape(image_size, grid_pinpoints,
-                                           vision_image_size)
+    if image_aspect_ratio == "anyres" or "anyres_max" in image_aspect_ratio:
+        npw, nph = get_anyres_image_grid_shape(image_size, grid_pinpoints,
+                                               vision_image_size)
+    else:
+        # non-anyres multi-tile aspects (highres / crop_split) view the
+        # tiles as a fixed 2x2 grid (llava_arch.py:596-597)
+        npw = nph = 2
     D = tiles.shape[-1]
     feat = tiles.reshape(nph, npw, hw, hw, D)
 
