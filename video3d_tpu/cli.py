@@ -187,7 +187,10 @@ def cmd_eval(args, task: str):
             eos_token_id=tokenizer.eos_token_id,
             max_frames=args.max_frame_num,
             ground_token_id=tokenizer.convert_tokens_to_ids("<ground>"),
-            kv_cache_dtype=args.kv_cache_dtype))
+            kv_cache_dtype=args.kv_cache_dtype,
+            temperature=args.temperature, top_p=args.top_p,
+            top_k=args.top_k, num_beams=args.num_beams,
+            length_penalty=args.length_penalty))
     if task == "scan2cap":
         times = drivers.run_generative(
             engine, questions, args.answer_file, gt_from_annotations=True,
@@ -245,6 +248,12 @@ def main(argv=None):
         pe.add_argument("--max-new-tokens", type=int, default=512)
         pe.add_argument("--kv-cache-dtype", choices=("bfloat16", "int8"),
                         default="bfloat16")
+        # reference generate kwargs (model_scanqa.py:176-180, :228-230)
+        pe.add_argument("--temperature", type=float, default=0.0)
+        pe.add_argument("--top-p", type=float, default=1.0)
+        pe.add_argument("--top-k", type=int, default=0)
+        pe.add_argument("--num-beams", type=int, default=1)
+        pe.add_argument("--length-penalty", type=float, default=1.0)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

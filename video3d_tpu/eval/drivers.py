@@ -57,6 +57,15 @@ class EngineConfig:
     # "bfloat16" (default) or "int8" — int8 stores a quantized KV cache
     # (per-token scales, models/qwen2.py KVCache) halving decode HBM traffic
     kv_cache_dtype: str = "bfloat16"
+    # sampling (reference generate kwargs, model_scanqa.py:176-180:
+    # do_sample = temperature > 0); 0.0 -> greedy, the eval default
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = 0
+    # beam search (model_scanqa.py:230 --num_beams; 1 = greedy/sampled)
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    early_stopping: bool = False
 
 
 SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
@@ -95,6 +104,29 @@ class InferenceEngine:
 
     def _cache_dtype(self):
         return jnp.int8 if self.ecfg.kv_cache_dtype == "int8" else jnp.bfloat16
+
+
+    def _generate(self, batch, vision_features=None):
+        """generate_greedy / generate_beam dispatch by ecfg.num_beams."""
+        if self.ecfg.num_beams > 1:
+            from video3d_tpu.models.beam_search import generate_beam
+
+            return generate_beam(self.params, self.cfg, batch,
+                                 num_beams=self.ecfg.num_beams,
+                                 max_new_tokens=self.ecfg.max_new_tokens,
+                                 eos_token_id=self.ecfg.eos_token_id,
+                                 cache_dtype=self._cache_dtype(),
+                                 length_penalty=self.ecfg.length_penalty,
+                                 early_stopping=self.ecfg.early_stopping,
+                                 vision_features=vision_features)
+        return generate_greedy(self.params, self.cfg, batch,
+                               max_new_tokens=self.ecfg.max_new_tokens,
+                               eos_token_id=self.ecfg.eos_token_id,
+                               cache_dtype=self._cache_dtype(),
+                               temperature=self.ecfg.temperature,
+                               top_p=self.ecfg.top_p,
+                               top_k=self.ecfg.top_k,
+                               vision_features=vision_features)
 
     # ------------- shared assembly -------------
 
@@ -226,11 +258,7 @@ class InferenceEngine:
             record["video"], box_input)
         if self.cfg.world_3d.llava3d:
             batch, feat = self._build_llava3d_batch(ids, V, images, patch)
-            res = generate_greedy(self.params, self.cfg, batch,
-                                  max_new_tokens=self.ecfg.max_new_tokens,
-                                  eos_token_id=self.ecfg.eos_token_id,
-                                  cache_dtype=self._cache_dtype(),
-                                  vision_features=feat[None])
+            res = self._generate(batch, vision_features=feat[None])
             toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
             text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
             if text.endswith(self.ecfg.stop_str):
@@ -238,10 +266,7 @@ class InferenceEngine:
             return text
         batch, _ = self._build_batch(ids, None, V, images, patch, box_input,
                                      coord_token_id)
-        res = generate_greedy(self.params, self.cfg, batch,
-                              max_new_tokens=self.ecfg.max_new_tokens,
-                              eos_token_id=self.ecfg.eos_token_id,
-                              cache_dtype=self._cache_dtype())
+        res = self._generate(batch)
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         if text.endswith(self.ecfg.stop_str):
@@ -313,11 +338,7 @@ class InferenceEngine:
             mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
             seq_len=jnp.asarray(plan.seq_len),
             coord_mask=jnp.asarray(plan.coord_mask))
-        res = generate_greedy(self.params, self.cfg, batch,
-                              max_new_tokens=self.ecfg.max_new_tokens,
-                              eos_token_id=self.ecfg.eos_token_id,
-                              cache_dtype=self._cache_dtype(),
-                              vision_features=feat[None])
+        res = self._generate(batch, vision_features=feat[None])
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         if text.endswith(self.ecfg.stop_str):
@@ -370,10 +391,7 @@ class InferenceEngine:
             coord_mask=jnp.asarray(plan.coord_mask),
             box_input=(jnp.asarray(np.stack(boxes).astype(np.float32))
                        if has_box else None))
-        res = generate_greedy(self.params, self.cfg, batch,
-                              max_new_tokens=self.ecfg.max_new_tokens,
-                              eos_token_id=self.ecfg.eos_token_id,
-                              cache_dtype=self._cache_dtype())
+        res = self._generate(batch)
         out = []
         for b in range(B):
             toks = np.asarray(res.tokens)[b][: int(res.lengths[b])]

@@ -33,15 +33,19 @@ def _decode_position_ids(pos: jax.Array) -> jax.Array:
 
 
 def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
-                 top_p: float) -> jax.Array:
-    """Temperature + nucleus sampling; greedy when temperature == 0.
+                 top_p: float, top_k: int = 0) -> jax.Array:
+    """Temperature + top-k + nucleus sampling; greedy when temperature == 0.
 
     Mirrors the reference's generation kwargs (model_scanqa.py:176-180:
-    do_sample = temperature > 0, top_p).
+    do_sample = temperature > 0, top_p) with HF's warper order
+    (temperature -> top_k -> top_p); everything stays on device.
     """
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]        # (B, 1)
+        logits = jnp.where(logits >= kth, logits, -jnp.inf)
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -54,34 +58,13 @@ def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
-                                             "eos_token_id", "max_cache_len",
-                                             "cache_dtype", "temperature",
-                                             "top_p"))
-def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
-                    max_new_tokens: int = 512,
-                    eos_token_id: int = 151645,
-                    max_cache_len: Optional[int] = None,
-                    cache_dtype=jnp.bfloat16,
-                    temperature: float = 0.0,
-                    top_p: float = 1.0,
-                    rng_key: Optional[jax.Array] = None,
-                    vision_features: Optional[jax.Array] = None) -> GenerateResult:
-    """Greedy (temperature == 0, the eval default) or sampled decode.
-
-    Args:
-      batch: spliced prefill batch (images + plan). ``batch.seq_len`` gives
-        per-sample true prefill length; right padding.
-      vision_features: optional precomputed (B, T, D) spliceable vision block
-        (the anyres 2D-image path, models/anyres.py); skips encode_video.
-    Returns:
-      GenerateResult with emitted token ids.
-    """
-    if rng_key is None:
-        rng_key = jax.random.PRNGKey(0)
+def prefill_multimodal(params, cfg: ModelConfig, batch: lv3d.Batch,
+                       max_cache_len: int, cache_dtype=jnp.bfloat16,
+                       vision_features: Optional[jax.Array] = None):
+    """Vision encode + static splice + prefill-with-cache (the shared first
+    phase of greedy and beam decode). Returns (next_logits (B, vocab),
+    cache, start_pos (B,))."""
     B, L = batch.text_ids.shape
-    if max_cache_len is None:
-        max_cache_len = L + max_new_tokens
 
     # ---- vision + splice ----
     if vision_features is None:
@@ -101,16 +84,48 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
         cache_positions=cache_positions, kv_len=batch.seq_len, prefill=True)
     # logits of the last real token per sample
-    last = jnp.take_along_axis(hidden, (batch.seq_len - 1)[:, None, None], axis=1)
+    last = jnp.take_along_axis(hidden, (batch.seq_len - 1)[:, None, None],
+                               axis=1)
     next_logits = qwen2.lm_head(params["llm"], last)[:, 0]      # (B, vocab)
 
     # text position counter continues from the spliced stream length
-    if cfg.world_3d.pos_embed == PosEmbedType.MROPE:
-        # reference continues the running counter (llava_arch.py:711-729):
-        # after the spliced stream it equals seq_len in text-token units.
-        start_pos = batch.seq_len
-    else:
-        start_pos = batch.seq_len
+    # (reference keeps a running counter, llava_arch.py:711-729; for mrope
+    # text tokens it equals seq_len in text-token units)
+    return next_logits, cache, batch.seq_len
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
+                                             "eos_token_id", "max_cache_len",
+                                             "cache_dtype", "temperature",
+                                             "top_p", "top_k"))
+def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
+                    max_new_tokens: int = 512,
+                    eos_token_id: int = 151645,
+                    max_cache_len: Optional[int] = None,
+                    cache_dtype=jnp.bfloat16,
+                    temperature: float = 0.0,
+                    top_p: float = 1.0,
+                    top_k: int = 0,
+                    rng_key: Optional[jax.Array] = None,
+                    vision_features: Optional[jax.Array] = None) -> GenerateResult:
+    """Greedy (temperature == 0, the eval default) or sampled decode.
+
+    Args:
+      batch: spliced prefill batch (images + plan). ``batch.seq_len`` gives
+        per-sample true prefill length; right padding.
+      vision_features: optional precomputed (B, T, D) spliceable vision block
+        (the anyres 2D-image path, models/anyres.py); skips encode_video.
+    Returns:
+      GenerateResult with emitted token ids.
+    """
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    B, L = batch.text_ids.shape
+    if max_cache_len is None:
+        max_cache_len = L + max_new_tokens
+
+    next_logits, cache, start_pos = prefill_multimodal(
+        params, cfg, batch, max_cache_len, cache_dtype, vision_features)
 
     class State(NamedTuple):
         step: jax.Array
@@ -134,7 +149,8 @@ def generate_greedy(params, cfg: ModelConfig, batch: lv3d.Batch,
 
     def body(s: State):
         step_key = jax.random.fold_in(rng_key, s.step)
-        tok = sample_token(s.next_logits, step_key, temperature, top_p)  # (B,)
+        tok = sample_token(s.next_logits, step_key, temperature, top_p,
+                           top_k)                                        # (B,)
         tok = jnp.where(s.done, eos_token_id, tok)
         tokens = s.tokens.at[:, s.step].set(tok)
         now_done = s.done | (tok == eos_token_id)
