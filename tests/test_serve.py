@@ -84,6 +84,35 @@ class TestServe:
         assert isinstance(out["text"], str)
         assert out["inference_time"] > 0
 
+    def test_generate_stream(self, stack):
+        """/worker_generate_stream: \\0-separated cumulative-text JSON
+        chunks (the reference worker's wire protocol)."""
+        import urllib.request
+
+        info, caddr, waddr, controller = stack
+        req = urllib.request.Request(
+            waddr + "/worker_generate_stream",
+            data=json.dumps({
+                "video": info["sample_idx"],
+                "prompt": "<image>\nwhat is in the room",
+                "stream_chunk": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            raw = resp.read()
+        chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+        assert chunks, "no stream chunks received"
+        assert all(c["error_code"] == 0 for c in chunks)
+        # cumulative text: each chunk extends (or equals) the previous
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["text"].startswith(a["text"][: len(b["text"])]) or \
+                a["text"] == ""
+        # final chunk agrees with the non-streaming answer path
+        final = _post_json(waddr + "/worker_generate", {
+            "video": info["sample_idx"],
+            "prompt": "<image>\nwhat is in the room"}, timeout=300)
+        assert chunks[-1]["text"] == final["text"]
+
     def test_heartbeat_and_expiry(self, stack):
         info, caddr, waddr, controller = stack
         assert _post_json(caddr + "/receive_heart_beat", {

@@ -196,6 +196,11 @@ class LLMConfig:
     hidden_act: str = "silu"
     rms_norm_add_unit_offset: bool = False
     embed_scale: bool = False
+    # MPT family (HF modeling_mpt): ALiBi key-position bias instead of RoPE,
+    # mean-subtracting LayerNorm instead of RMSNorm, ungated GELU MLP
+    position_embedding: str = "rope"    # "rope" | "alibi"
+    norm_type: str = "rmsnorm"          # "rmsnorm" | "layernorm"
+    alibi_bias_max: float = 8.0
     # 3-axis mRoPE split of the 64 rotary freqs (modeling_qwen2.py:162)
     mrope_section: Tuple[int, int, int] = (32, 16, 16)
 

@@ -273,6 +273,56 @@ class InferenceEngine:
             text = text[: -len(self.ecfg.stop_str)].strip()
         return text
 
+    def generate_answer_stream(self, record, box_input=None,
+                               coord_token_id=None, chunk: int = 16):
+        """Streaming variant of generate_answer: yields the cumulative
+        generated text after every ``chunk`` decoded tokens (the engine-side
+        equivalent of the reference's TextIteratorStreamer loop,
+        serve/model_worker.py:108-166). Decode state carries across jitted
+        chunk calls — the prefill runs once."""
+        from video3d_tpu.models.generate import decode_chunk, start_decode
+
+        question = {"from": "human", "value": self._question_text(record)}
+        ids = preprocess_qwen_eval(
+            [question, {"from": "gpt", "value": None}], self.tokenizer)
+        vd, V, images, _, patch, box_input = self._video_arrays(
+            record["video"], box_input)
+        if self.cfg.world_3d.llava3d:
+            batch, feat = self._build_llava3d_batch(ids, V, images, patch)
+            vision_features = feat[None]
+        else:
+            batch, _ = self._build_batch(ids, None, V, images, patch,
+                                         box_input, coord_token_id)
+            vision_features = None
+        L = batch.text_ids.shape[1]
+        state = start_decode(
+            self.params, self.cfg, batch,
+            max_cache_len=L + self.ecfg.max_new_tokens,
+            cache_dtype=self._cache_dtype(), vision_features=vision_features)
+
+        emitted: list = []
+        remaining = self.ecfg.max_new_tokens
+        while remaining > 0:
+            state, toks = decode_chunk(
+                self.params, self.cfg, state, chunk=chunk,
+                eos_token_id=self.ecfg.eos_token_id,
+                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+                top_k=self.ecfg.top_k)
+            row = np.asarray(toks)[0].tolist()
+            for t in row:
+                if t == self.ecfg.eos_token_id:
+                    remaining = 0
+                    break
+                emitted.append(t)
+                remaining -= 1
+            text = self.tokenizer.decode(emitted,
+                                         skip_special_tokens=True).strip()
+            if text.endswith(self.ecfg.stop_str):
+                text = text[: -len(self.ecfg.stop_str)].strip()
+            yield text
+            if bool(np.asarray(state.done).all()):
+                break
+
     def generate_answer_image(self, prompt: str, image,
                               image_aspect_ratio: Optional[str] = None,
                               grid_pinpoints=None,

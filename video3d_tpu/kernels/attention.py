@@ -59,7 +59,8 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   mask: Optional[jax.Array] = None,
                   causal: bool = True,
                   q_positions: Optional[jax.Array] = None,
-                  kv_len: Optional[jax.Array] = None) -> jax.Array:
+                  kv_len: Optional[jax.Array] = None,
+                  score_bias: Optional[jax.Array] = None) -> jax.Array:
     """Plain-jnp attention (ground truth; used on CPU).
 
     Args:
@@ -69,6 +70,8 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
       q_positions: optional (B, L) absolute positions of the queries (KV-cache
         path, where S is the cache capacity and slot index == position).
       kv_len: optional (B,) count of valid cache slots.
+      score_bias: optional (H, S) per-head key-position bias added to the
+        pre-softmax scores (ALiBi, qwen2.py alibi_bias).
     Returns:
       (B, L, H, hd) in q.dtype.
     """
@@ -78,6 +81,8 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     v = _broadcast_kv(v, H)
 
     scores = jnp.einsum("blhd,bshd->bhls", q, k).astype(jnp.float32) * (hd ** -0.5)
+    if score_bias is not None:
+        scores = scores + score_bias.astype(jnp.float32)[None, :, None, :]
 
     allow = jnp.ones((B, L, S), bool)
     slots = jnp.arange(S)[None, None, :]
@@ -102,7 +107,8 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         q_positions: Optional[jax.Array] = None,
         kv_len: Optional[jax.Array] = None,
         k_scale: Optional[jax.Array] = None,
-        v_scale: Optional[jax.Array] = None) -> jax.Array:
+        v_scale: Optional[jax.Array] = None,
+        score_bias: Optional[jax.Array] = None) -> jax.Array:
     """Backend-dispatching attention; see :func:`mha_reference` for args.
 
     The Pallas flash path handles the production prefill/training case:
@@ -118,7 +124,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         on_tpu = False
     B, L, H = q.shape[0], q.shape[1], q.shape[2]
     S, KV, hd = k.shape[1], k.shape[2], k.shape[3]
-    if (on_tpu and not _DISABLE_DECODE_KERNEL
+    if (on_tpu and not _DISABLE_DECODE_KERNEL and score_bias is None
             and mask is None and q_positions is not None and L == 1
             and kv_len is not None and hd % 128 == 0 and S % 128 == 0
             and (_MANUAL_MODE or _active_mesh() is None)):
@@ -135,6 +141,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         k = k.astype(q.dtype) * k_scale.astype(q.dtype)
         v = v.astype(q.dtype) * v_scale.astype(q.dtype)
     if (on_tpu and mask is None and q_positions is None and causal
+            and score_bias is None
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
         from video3d_tpu.kernels.flash_attention import flash_attention
 
@@ -144,7 +151,8 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
             # (all-gather K/V over sp); the shard_map wrapper below assumes
             # the token dim is unsharded
             return mha_reference(q, k, v, mask=mask, causal=causal,
-                                 q_positions=q_positions, kv_len=kv_len)
+                                 q_positions=q_positions, kv_len=kv_len,
+                                 score_bias=score_bias)
         if mesh is not None:
             batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
             n_batch = int(np.prod([mesh.shape[a] for a in batch_axes])) \
@@ -173,7 +181,8 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
                                  check_vma=False)(q, k, v, kv_len_arr)
         return flash_attention(q, k, v, lengths=kv_len, causal=True)
     return mha_reference(q, k, v, mask=mask, causal=causal,
-                         q_positions=q_positions, kv_len=kv_len)
+                         q_positions=q_positions, kv_len=kv_len,
+                         score_bias=score_bias)
 
 
 def _active_mesh():

@@ -34,6 +34,10 @@ def llm_config_from_hf(hf: Dict[str, Any]) -> LLMConfig:
     (gelu_tanh MLP, (1+w) RMSNorm, sqrt(D) embed scale, tied head).
     """
     model_type = hf.get("model_type", "qwen2")
+    if model_type == "mpt":
+        from video3d_tpu.models.weights import mpt_config_from_hf
+
+        return mpt_config_from_hf(hf)
     is_llama = any(t in model_type for t in ("llama", "mistral", "mixtral"))
     is_gemma = "gemma" in model_type
     heads = hf["num_attention_heads"]

@@ -94,6 +94,69 @@ def prefill_multimodal(params, cfg: ModelConfig, batch: lv3d.Batch,
     return next_logits, cache, batch.seq_len
 
 
+class DecodeState(NamedTuple):
+    """Carried decode state for chunked/streaming generation."""
+
+    next_logits: jax.Array   # (B, vocab) logits for the next position
+    cache: qwen2.KVCache
+    pos: jax.Array           # (B,) next absolute position
+    done: jax.Array          # (B,)
+    step: jax.Array          # () total steps emitted so far
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_cache_len",
+                                             "cache_dtype"))
+def start_decode(params, cfg: ModelConfig, batch: lv3d.Batch,
+                 max_cache_len: int, cache_dtype=jnp.bfloat16,
+                 vision_features: Optional[jax.Array] = None) -> DecodeState:
+    """Prefill and return the initial streaming state."""
+    next_logits, cache, start_pos = prefill_multimodal(
+        params, cfg, batch, max_cache_len, cache_dtype, vision_features)
+    B = next_logits.shape[0]
+    return DecodeState(next_logits=next_logits, cache=cache, pos=start_pos,
+                       done=jnp.zeros((B,), bool),
+                       step=jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
+                                             "temperature", "top_p", "top_k"))
+def decode_chunk(params, cfg: ModelConfig, state: DecodeState,
+                 chunk: int = 16, eos_token_id: int = 151645,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 top_k: int = 0,
+                 rng_key: Optional[jax.Array] = None
+                 ) -> Tuple[DecodeState, jax.Array]:
+    """Emit up to ``chunk`` tokens from a carried DecodeState.
+
+    The streaming equivalent of the reference's threaded
+    TextIteratorStreamer (serve/model_worker.py generate_stream): the host
+    loop calls this repeatedly, decoding incrementally without re-running
+    the prefill. Returns (new_state, tokens (B, chunk) — EOS-padded once a
+    sample finishes)."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def body(carry, i):
+        s = carry
+        step_key = jax.random.fold_in(rng_key, s.step)
+        tok = sample_token(s.next_logits, step_key, temperature, top_p, top_k)
+        tok = jnp.where(s.done, eos_token_id, tok)
+        now_done = s.done | (tok == eos_token_id)
+        step_embeds = qwen2.embed_tokens(params["llm"], tok[:, None])
+        hidden, cache = qwen2.qwen2_forward(
+            params["llm"], cfg.llm, step_embeds,
+            _decode_position_ids(s.pos[:, None]),
+            kv_cache=s.cache, cache_positions=s.pos[:, None],
+            kv_len=s.pos + 1)
+        logits = qwen2.lm_head(params["llm"], hidden)[:, 0]
+        new = DecodeState(next_logits=logits, cache=cache, pos=s.pos + 1,
+                          done=now_done, step=s.step + 1)
+        return new, tok
+
+    new_state, toks = jax.lax.scan(body, state, jnp.arange(chunk))
+    return new_state, toks.T                      # (B, chunk)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "eos_token_id", "max_cache_len",
                                              "cache_dtype", "temperature",

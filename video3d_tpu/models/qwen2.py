@@ -79,6 +79,43 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
     return weight * normed.astype(x.dtype)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """Mean-subtracting LayerNorm, scale only (MPT no_bias=True default;
+    HF modeling_mpt MptBlock norm_1/norm_2)."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return weight * ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _norm(x: jax.Array, weight: jax.Array, cfg: LLMConfig) -> jax.Array:
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, weight, cfg.rms_norm_eps)
+    return rms_norm(x, weight, cfg.rms_norm_eps, cfg.rms_norm_add_unit_offset)
+
+
+def alibi_slopes(num_heads: int, alibi_bias_max: float = 8.0) -> jax.Array:
+    """Per-head ALiBi slopes (HF build_mpt_alibi_tensor; the MPT variant's
+    odd/even re-interleave for non-power-of-2 head counts)."""
+    import math
+
+    n_pow2 = 2 ** math.ceil(math.log2(num_heads))
+    base = jnp.arange(1, n_pow2 + 1, dtype=jnp.float32) * (alibi_bias_max / n_pow2)
+    slopes = 1.0 / (2.0 ** base)
+    if n_pow2 != num_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[::2]])[:num_heads]
+    return slopes
+
+
+def alibi_bias(cfg: LLMConfig, key_len: int) -> jax.Array:
+    """(H, S) key-position bias: slope_h * j. HF anchors at
+    slope * (j - (K-1)); the per-row constant shift is softmax-invariant, so
+    the unanchored form works for any valid-length prefix of a preallocated
+    cache."""
+    slopes = alibi_slopes(cfg.num_attention_heads, cfg.alibi_bias_max)
+    return slopes[:, None] * jnp.arange(key_len, dtype=jnp.float32)[None, :]
+
+
 def compute_mrope_cos_sin(position_ids: jax.Array, cfg: LLMConfig,
                           dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
     """(B, L, 3) position ids -> (cos, sin) each (B, L, head_dim), with the
@@ -149,8 +186,7 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
 
     from video3d_tpu.models.quant import matmul as _mm
 
-    h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps,
-                 cfg.rms_norm_add_unit_offset)
+    h = _norm(x, p["input_layernorm"], cfg)
     attn_p = p["attn"]
     q = _mm(h, attn_p["wq"])
     k = _mm(h, attn_p["wk"])
@@ -162,7 +198,12 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
     q = q.reshape(B, L, H, hd)
     k = k.reshape(B, L, KV, hd)
     v = v.reshape(B, L, KV, hd)
-    q, k = apply_rotary(q, k, cos, sin)
+    score_bias = None
+    if cfg.position_embedding == "alibi":     # MPT: no rotary, key-pos bias
+        kv_size = kv[0].shape[1] if kv is not None else k.shape[1]
+        score_bias = alibi_bias(cfg, kv_size)
+    else:
+        q, k = apply_rotary(q, k, cos, sin)
 
     new_kv = None
     if kv is not None:
@@ -193,28 +234,36 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
             # plain causal + length masking is identical to reading the cache
             # back — and flash-eligible. (int8 caches still prefill at full
             # precision here; quantization only affects later decode reads.)
-            attn = mha(q, k, v, causal=True, kv_len=kv_len)
+            attn = mha(q, k, v, causal=True, kv_len=kv_len,
+                       score_bias=(score_bias[:, :k.shape[1]]
+                                   if score_bias is not None else None))
         elif k_cache.dtype == jnp.int8:
             # the quantized cache flows to attention as-is: on the TPU
             # decode kernel HBM streams int8 + scales; other paths
             # dequantize inside mha
             attn = mha(q, k_cache, v_cache,
                        q_positions=cache_positions, kv_len=kv_len,
-                       causal=True, k_scale=k_scale, v_scale=v_scale)
+                       causal=True, k_scale=k_scale, v_scale=v_scale,
+                       score_bias=score_bias)
         else:
             attn = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                       q_positions=cache_positions, kv_len=kv_len, causal=True)
+                       q_positions=cache_positions, kv_len=kv_len,
+                       causal=True, score_bias=score_bias)
     else:
-        attn = mha(q, k, v, mask=attn_mask, causal=True, kv_len=kv_len)
+        attn = mha(q, k, v, mask=attn_mask, causal=True, kv_len=kv_len,
+                   score_bias=score_bias)
 
     x = x + _mm(attn.reshape(B, L, D), p["attn"]["wo"])
 
-    h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps,
-                 cfg.rms_norm_add_unit_offset)
+    h = _norm(x, p["post_attention_layernorm"], cfg)
     if "moe" in p:     # sparse-MoE layer (models/moe.py)
         from video3d_tpu.models.moe import moe_block
 
         x = x + moe_block(p["moe"], h, cfg.moe)
+    elif "w_gate" not in p["mlp"]:
+        # ungated MLP (MPT ffn: up_proj -> exact GELU -> down_proj)
+        up = jax.nn.gelu(_mm(h, p["mlp"]["w_up"]), approximate=False)
+        x = x + _mm(up, p["mlp"]["w_down"])
     else:
         act = (jax.nn.silu if cfg.hidden_act == "silu"
                else functools.partial(jax.nn.gelu, approximate=True))
@@ -248,7 +297,10 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     """
     from video3d_tpu.parallel.mesh import sequence_sharding_constraint
 
-    cos, sin = compute_mrope_cos_sin(position_ids, cfg)
+    if cfg.position_embedding == "alibi":      # MPT: no rotary tables
+        cos = sin = None
+    else:
+        cos, sin = compute_mrope_cos_sin(position_ids, cfg)
     if cfg.embed_scale:
         # Gemma scales whatever enters the stack (incl. spliced vision
         # features) by sqrt(D) cast to the activation dtype (GemmaModel)
@@ -280,8 +332,7 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
             for col, part in zip(new_cols, nkv):
                 col.append(part)
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps,
-                 cfg.rms_norm_add_unit_offset)
+    x = _norm(x, params["norm"], cfg)
     new_cache = None
     if new_cols[0]:
         stacked = [jnp.stack(c) if c else None for c in new_cols]
@@ -321,15 +372,19 @@ def init_qwen2(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
             attn.update({"bq": jnp.zeros((H * hd,), dtype),
                          "bk": jnp.zeros((KV * hd,), dtype),
                          "bv": jnp.zeros((KV * hd,), dtype)})
+        if cfg.position_embedding == "alibi":     # MPT: ungated GELU MLP
+            mlp = {"w_up": linear(ks[5], D, I), "w_down": linear(ks[6], I, D)}
+        else:
+            mlp = {
+                "w_gate": linear(ks[4], D, I),
+                "w_up": linear(ks[5], D, I),
+                "w_down": linear(ks[6], I, D),
+            }
         return {
             "input_layernorm": jnp.ones((D,), dtype),
             "attn": attn,
             "post_attention_layernorm": jnp.ones((D,), dtype),
-            "mlp": {
-                "w_gate": linear(ks[4], D, I),
-                "w_up": linear(ks[5], D, I),
-                "w_down": linear(ks[6], I, D),
-            },
+            "mlp": mlp,
         }
 
     return {

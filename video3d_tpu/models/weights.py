@@ -123,6 +123,71 @@ def convert_qwen2(state: Mapping[str, Any], cfg: LLMConfig,
     }
 
 
+def convert_mpt(state: Mapping[str, Any], cfg: LLMConfig,
+                prefix: str = "", dtype=jnp.float32) -> Dict[str, Any]:
+    """HF MptForCausalLM state dict -> qwen2.py pytree (ALiBi family,
+    reference wrapper llava/model/language_model/llava_mpt.py).
+
+    MPT keys: ``transformer.wte`` (tied lm_head), per block ``norm_1``,
+    fused ``attn.Wqkv`` (split into q/k/v), ``attn.out_proj``, ``norm_2``,
+    ungated ``ffn.up_proj``/``ffn.down_proj``, final ``norm_f``."""
+    g = lambda k: _to_np(state[prefix + k])
+    vec = lambda k: jnp.asarray(g(k), dtype)
+
+    D = cfg.hidden_size
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.blocks.{i}."
+        wqkv = g(p + "attn.Wqkv.weight")          # (3D, D) torch layout
+        layers.append({
+            "input_layernorm": vec(p + "norm_1.weight"),
+            "attn": {
+                "wq": jnp.asarray(wqkv[:D].T, dtype),
+                "wk": jnp.asarray(wqkv[D:2 * D].T, dtype),
+                "wv": jnp.asarray(wqkv[2 * D:].T, dtype),
+                "wo": jnp.asarray(g(p + "attn.out_proj.weight").T, dtype),
+            },
+            "post_attention_layernorm": vec(p + "norm_2.weight"),
+            "mlp": {
+                "w_up": jnp.asarray(g(p + "ffn.up_proj.weight").T, dtype),
+                "w_down": jnp.asarray(g(p + "ffn.down_proj.weight").T, dtype),
+            },
+        })
+    embed = vec("transformer.wte.weight")
+    return {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": vec("transformer.norm_f.weight"),
+        "lm_head": embed.T,                       # MPT ties word embeddings
+    }
+
+
+def mpt_config_from_hf(hf: Mapping[str, Any]) -> LLMConfig:
+    """HF MptConfig dict -> LLMConfig (alibi / layernorm / ungated knobs)."""
+    d = hf["d_model"]
+    heads = hf["n_heads"]
+    attn_cfg = hf.get("attn_config", {}) or {}
+    return LLMConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=d,
+        intermediate_size=int(hf.get("expansion_ratio", 4)) * d,
+        num_hidden_layers=hf["n_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=heads,                # MPT is full MHA
+        head_dim=d // heads,
+        rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        max_position_embeddings=hf.get("max_seq_len", 2048),
+        tie_word_embeddings=True,
+        attention_bias=False,
+        hidden_act="gelu",
+        position_embedding="alibi",
+        norm_type="layernorm",
+        alibi_bias_max=attn_cfg.get("alibi_bias_max", 8.0),
+        # unused under alibi; keep consistent with head_dim for asserts
+        mrope_section=(d // heads // 4, d // heads // 8, d // heads // 8),
+    )
+
+
 def convert_siglip(state: Mapping[str, Any], cfg: VisionConfig,
                    prefix: str = "vision_model.", dtype=jnp.float32) -> Dict[str, Any]:
     """HF SiglipVisionModel state dict -> siglip.py pytree.
@@ -509,9 +574,14 @@ def convert_llava_checkpoint(state: Mapping[str, Any], llm_cfg: LLMConfig,
     with only the ``llm`` subtree, matching the reference builder's non-llava
     branch (builder.py:253-265).
     """
-    out: Dict[str, Any] = {
-        "llm": convert_qwen2(state, llm_cfg, dtype=dtype),
-    }
+    if "transformer.wte.weight" in state:          # MPT key layout
+        out: Dict[str, Any] = {
+            "llm": convert_mpt(state, llm_cfg, dtype=dtype),
+        }
+    else:
+        out = {
+            "llm": convert_qwen2(state, llm_cfg, dtype=dtype),
+        }
     tower_prefix = "model.vision_tower.vision_tower.vision_model."
     if tower_prefix + "embeddings.patch_embedding.weight" in state:
         out["vision"] = convert_siglip(state, vision_cfg,

@@ -89,6 +89,30 @@ class ModelWorker:
             with self.lock:
                 self.queue_length -= 1
 
+    def generate_stream(self, request: dict):
+        """Yield cumulative-text chunks (the reference worker's
+        generate_stream contract, serve/model_worker.py:108-166: one JSON
+        object per chunk, ``\\0``-separated on the wire)."""
+        with self.lock:
+            self.queue_length += 1
+        try:
+            record = {
+                "video": request["video"],
+                "conversations": [
+                    {"from": "human", "value": request["prompt"]},
+                    {"from": "gpt", "value": None},
+                ],
+            }
+            chunk = int(request.get("stream_chunk", 16))
+            for text in self.engine.generate_answer_stream(record,
+                                                           chunk=chunk):
+                yield {"text": text, "error_code": 0}
+        except Exception as e:  # noqa: BLE001
+            yield {"text": "", "error": str(e), "error_code": 1}
+        finally:
+            with self.lock:
+                self.queue_length -= 1
+
 
 class _WorkerHandler(BaseHTTPRequestHandler):
     worker: ModelWorker = None
@@ -111,6 +135,15 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             self._reply(self.worker.status())
         elif self.path == "/worker_generate":
             self._reply(self.worker.generate(data))
+        elif self.path == "/worker_generate_stream":
+            # reference wire format: json chunks separated by b"\0"
+            # (serve/model_worker.py generate_stream_gate)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.end_headers()
+            for payload in self.worker.generate_stream(data):
+                self.wfile.write(json.dumps(payload).encode() + b"\0")
+                self.wfile.flush()
         else:
             self._reply({"error": f"unknown path {self.path}"}, 404)
 
