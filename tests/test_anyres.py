@@ -289,6 +289,81 @@ class TestArrangeGolden:
                                    feats.reshape(-1, feats.shape[-1]),
                                    rtol=0, atol=0)
 
+    @pytest.mark.parametrize("image_size,aspect,merge", [
+        ((640, 480), "anyres", "spatial_unpad"),
+        ((100, 900), "anyres", "spatial_unpad"),
+        ((600, 300), "anyres", "spatial"),
+        ((640, 480), "anyres", "spatial_unpad_nobase"),
+        ((500, 500), "highres", "spatial_unpad"),
+        ((256, 256), "crop_split", "flat"),
+    ])
+    def test_gather_plan_matches_dynamic_arrange(self, image_size, aspect,
+                                                 merge):
+        """The static gather plan reproduces arrange_anyres_features (which
+        is golden vs the torch re-derivation) token for token."""
+        pin = [[112, 56], [56, 112], [112, 112]]
+        if aspect == "anyres":
+            npw, nph = our.get_anyres_image_grid_shape(image_size, pin, 56)
+        else:
+            npw = nph = 2
+        feats, newline = self._feats(npw * nph, seed=5)
+        want = np.asarray(our_model.arrange_anyres_features(
+            jnp.asarray(feats), image_size, pin, 56, self.hw,
+            jnp.asarray(newline), image_aspect_ratio=aspect,
+            patch_merge_type=merge))
+
+        gather, nl_mask = our_model.build_anyres_gather_plan(
+            image_size, pin, 56, self.hw, image_aspect_ratio=aspect,
+            patch_merge_type=merge)
+        assert gather.shape[0] == want.shape[0]
+        flat = feats.reshape(-1, feats.shape[-1])
+        got = np.where(nl_mask[:, None], newline[None, :], flat[gather])
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    def test_encode_image_2d_batch_matches_per_sample(self):
+        """Batched gather-plan encoder == per-sample dynamic encode_image_2d
+        (zero-padded tiles + plan padding)."""
+        import jax
+
+        from video3d_tpu.config import ModelConfig
+
+        cfg = ModelConfig.tiny()
+        import video3d_tpu.models.llava_video3d as lv3d
+        params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+        pin = [[112, 56], [56, 112], [112, 112]]
+        from video3d_tpu.data.image_processor import SigLipImageProcessor
+        proc = SigLipImageProcessor(size=(56, 56))
+        sizes = [(300, 200), (120, 500)]
+        tiles_list = [our.process_anyres_image(random_image(*sz, seed=i), proc,
+                                               pin)
+                      for i, sz in enumerate(sizes)]
+        plans = [our_model.build_anyres_gather_plan(sz, pin, 56, 4)
+                 for sz in sizes]
+
+        maxT = max(t.shape[0] for t in tiles_list)
+        Tv = max(p[0].shape[0] for p in plans)
+        B = len(sizes)
+        tiles = np.zeros((B, maxT, 3, 56, 56), np.float32)
+        gather = np.zeros((B, Tv), np.int32)
+        nl = np.zeros((B, Tv), bool)
+        valid = np.zeros((B, Tv), bool)
+        for b, (t, (g, m)) in enumerate(zip(tiles_list, plans)):
+            tiles[b, :t.shape[0]] = t
+            gather[b, :g.shape[0]] = g
+            nl[b, :m.shape[0]] = m
+            valid[b, :g.shape[0]] = True
+
+        batched = np.asarray(our_model.encode_image_2d_batch(
+            params, cfg, jnp.asarray(tiles), jnp.asarray(gather),
+            jnp.asarray(nl), jnp.asarray(valid)))
+        for b, (t, sz, (g, m)) in enumerate(zip(tiles_list, sizes, plans)):
+            want = np.asarray(our_model.encode_image_2d(
+                params, cfg, jnp.asarray(t), sz, pin))
+            n = want.shape[0]
+            np.testing.assert_allclose(batched[b, :n], want, rtol=2e-5,
+                                       atol=2e-5)
+            assert not batched[b, n:].any()   # padding rows zeroed
+
 
 class TestEncodeImage2D:
     def test_end_to_end(self):

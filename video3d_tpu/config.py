@@ -294,6 +294,12 @@ class DataConfig:
     # directory of packed per-scene depth/pose bundles (tools/pack_scenes.py);
     # None -> per-frame PNG/txt reads like the reference
     packed_dir: Optional[str] = None
+    # 2D-image training samples (train_3d.py:1130-1160 image branch /
+    # DataArguments image_folder + aspect knobs)
+    image_folder: Optional[str] = None
+    image_aspect_ratio: str = "anyres"
+    image_grid_pinpoints: Union[str, Tuple[Tuple[int, int], ...]] = (
+        (384, 768), (768, 384), (768, 768), (1152, 384), (384, 1152))
 
 
 def replace(cfg, **kwargs):

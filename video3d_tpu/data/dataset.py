@@ -147,6 +147,27 @@ class SupervisedDataset:
                 conversations[0]["value"] = (
                     f"{DEFAULT_IMAGE_TOKEN}\n{SPATIAL_INSTRUCTION}\n{first}")
 
+        elif "image" in rec:
+            # 2D-image sample (train_3d.py:1130-1171 process_image + the
+            # image branch of _get_item): tile by the configured aspect mode
+            from PIL import Image
+
+            from video3d_tpu.data.anyres import process_images_2d
+
+            path = rec["image"]
+            if self.cfg.image_folder:
+                import os
+
+                path = os.path.join(self.cfg.image_folder, path)
+            img = Image.open(path).convert("RGB")
+            tiles = np.asarray(process_images_2d(
+                [img], self.image_processor, self.cfg.image_aspect_ratio,
+                self.cfg.image_grid_pinpoints)[0], np.float32)
+            if tiles.ndim == 3:            # plain/pad single-view modes
+                tiles = tiles[None]
+            out["image_tiles"] = tiles
+            out["image_size"] = img.size
+
         tok = preprocess_qwen([conversations], self.tokenizer,
                               has_image="video" in rec or "image" in rec)
         out["input_ids"] = tok["input_ids"][0]
@@ -196,6 +217,11 @@ class Collator:
 
         mc = self.model_cfg
         B = len(samples)
+        if any("image_tiles" in s for s in samples):
+            assert all("image_tiles" in s for s in samples), \
+                ("mixed image/video batches are not supported — use "
+                 "group_by=modality_length (llava_trainer.py:122-173)")
+            return self._collate_images(samples)
         V = self.cfg.frames_upbound
         S = mc.vision.image_size
         g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
@@ -269,7 +295,72 @@ class Collator:
             "box_input": box_inputs if has_box_input else np.zeros((B, 3), np.float32),
         }
 
+        return self._collate_grounding(samples, out, coords, plan)
+
+    def _collate_images(self, samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        """2D-image batch: per-sample anyres gather plans (static shapes)
+        + per-sample splice plans stacked at a common padded length."""
+        from video3d_tpu.models.anyres import build_anyres_gather_plan
+
+        mc = self.model_cfg
+        B = len(samples)
+        S = mc.vision.image_size
+        hw = mc.vision.num_patches_per_side
+        merge = mc.mm_patch_merge_type
+        aspect = mc.image_aspect_ratio
+        pin = mc.image_grid_pinpoints
+
+        plans = []
+        for s in samples:
+            n_tiles = s["image_tiles"].shape[0]
+            if n_tiles == 1:
+                # single-view (plain/pad): base features (+ newline when the
+                # merge unpads — llava_arch.py:631-634)
+                g = np.arange(hw * hw, dtype=np.int32)
+                m = np.zeros((hw * hw,), bool)
+                if "unpad" in merge:
+                    g = np.concatenate([g, np.zeros((1,), np.int32)])
+                    m = np.concatenate([m, np.ones((1,), bool)])
+                plans.append((g, m))
+            else:
+                plans.append(build_anyres_gather_plan(
+                    s["image_size"], pin, S, hw, image_aspect_ratio=aspect,
+                    patch_merge_type=merge))
+
+        maxT = max(s["image_tiles"].shape[0] for s in samples)
+        Tv = max(p[0].shape[0] for p in plans)
+        tiles = np.zeros((B, maxT, 3, S, S), np.float32)
+        gather = np.zeros((B, Tv), np.int32)
+        nl_mask = np.zeros((B, Tv), bool)
+        valid = np.zeros((B, Tv), bool)
+        rows = []
+        for b, (s, (g, m)) in enumerate(zip(samples, plans)):
+            tiles[b, :s["image_tiles"].shape[0]] = s["image_tiles"]
+            gather[b, :len(g)] = g
+            nl_mask[b, :len(m)] = m
+            valid[b, :len(g)] = True
+            # per-sample splice plan: one "frame" of T_b vision tokens
+            rows.append(build_splice_plan(
+                [s["input_ids"]], [s["labels"]], [1],
+                tokens_per_frame=len(g), max_len=self.cfg.max_len,
+                grid_side=hw, truncate_to=mc.tokenizer_model_max_length))
+
+        stack = lambda attr: np.concatenate(
+            [getattr(r, attr) for r in rows], axis=0)
+        return {
+            "images": None, "patch_coords": None,
+            "image_tiles": tiles, "vision_gather": gather,
+            "vision_newline": nl_mask, "vision_valid": valid,
+            "text_ids": stack("text_ids"), "kind": stack("kind"),
+            "vision_index": stack("vision_index"), "labels": stack("labels"),
+            "position_ids": stack("position_ids"),
+            "mrope_position_ids": stack("mrope_position_ids"),
+            "seq_len": stack("seq_len"), "coord_mask": stack("coord_mask"),
+        }
+
+    def _collate_grounding(self, samples, out, coords, plan):
         # grounding extras (ScanRefer / Multi3DRefer)
+        B = len(samples)
         if any("box_label" in s for s in samples):
             N = self.cfg.max_objects
             obj = np.zeros((B, N, 6), np.float32)

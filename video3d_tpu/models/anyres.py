@@ -107,6 +107,122 @@ def arrange_anyres_features(tile_features: jax.Array,
     return feat
 
 
+def build_anyres_gather_plan(image_size: Tuple[int, int],
+                             grid_pinpoints,
+                             vision_image_size: int,
+                             num_patches_per_side: int,
+                             image_aspect_ratio: str = "anyres",
+                             patch_merge_type: str = "spatial_unpad"):
+    """Host-side integer plan equivalent of :func:`arrange_anyres_features`.
+
+    The arrangement (base-prepend, grid layout, unpad crop, newline
+    insertion) is pure index arithmetic on the (tile, row, col) feature
+    grid, so it can be precomputed as a gather over the flattened
+    ``(n_tiles+1) * hw*hw`` projected features plus a newline mask — which
+    makes the 2D-image path STATIC-SHAPE batchable under jit (training,
+    batched inference), unlike the reference's per-sample dynamic reshapes
+    (llava_arch.py:574-629).
+
+    Not expressible as a gather: the ``anyres_max_N`` bilinear shrink
+    (llava_arch.py:603-614) — use the dynamic path for that.
+
+    Returns:
+      (gather (T,) int32 indices into the flat feature rows,
+       newline (T,) bool — True rows read ``image_newline`` instead).
+    """
+    import numpy as np
+
+    hw = num_patches_per_side
+    if "anyres_max" in image_aspect_ratio:
+        raise NotImplementedError("anyres_max interpolates; no gather plan")
+    if patch_merge_type == "flat":
+        n_tiles = 1 + _n_grid_tiles(image_size, grid_pinpoints,
+                                    vision_image_size, image_aspect_ratio)
+        return (np.arange(n_tiles * hw * hw, dtype=np.int32),
+                np.zeros((n_tiles * hw * hw,), bool))
+
+    if image_aspect_ratio == "anyres":
+        npw, nph = get_anyres_image_grid_shape(image_size, grid_pinpoints,
+                                               vision_image_size)
+    else:                              # highres / crop_split: fixed 2x2 view
+        npw = nph = 2
+
+    def flat_idx(tile, r, c):
+        return (1 + tile) * hw * hw + r * hw + c   # tiles follow the base
+
+    gather: list = []
+    newline: list = []
+    if "unpad" in patch_merge_type:
+        # pixel-row-major grid (nph*hw, npw*hw), then the unpad crop
+        ch, cw = nph * hw, npw * hw
+        ow, oh = image_size
+        if ow / oh > cw / ch:
+            pad = (ch - int(oh * (cw / ow))) // 2
+            r0, r1, c0, c1 = pad, ch - pad, 0, cw
+        else:
+            pad = (cw - int(ow * (ch / oh))) // 2
+            r0, r1, c0, c1 = 0, ch, pad, cw - pad
+        for R in range(r0, r1):
+            t_row, r = divmod(R, hw)
+            for C in range(c0, c1):
+                t_col, c = divmod(C, hw)
+                gather.append(flat_idx(t_row * npw + t_col, r, c))
+                newline.append(False)
+            gather.append(0)
+            newline.append(True)       # image_newline terminates each row
+    else:                              # 'spatial': tile-major, no newline
+        for t_row in range(nph):
+            for r in range(hw):
+                for t_col in range(npw):
+                    for c in range(hw):
+                        gather.append(flat_idx(t_row * npw + t_col, r, c))
+                        newline.append(False)
+
+    if "nobase" not in patch_merge_type:
+        gather = list(range(hw * hw)) + gather     # base view first (tile 0)
+        newline = [False] * (hw * hw) + newline
+    return (np.asarray(gather, np.int32), np.asarray(newline, bool))
+
+
+def _n_grid_tiles(image_size, grid_pinpoints, vision_image_size,
+                  image_aspect_ratio):
+    if image_aspect_ratio == "anyres":
+        npw, nph = get_anyres_image_grid_shape(image_size, grid_pinpoints,
+                                               vision_image_size)
+        return npw * nph
+    return 4
+
+
+def encode_image_2d_batch(params, cfg, tiles: jax.Array,
+                          gather: jax.Array, newline: jax.Array,
+                          valid: jax.Array, remat: bool = False) -> jax.Array:
+    """Batched static-shape 2D-image encoder (training / batched serving).
+
+    Args:
+      tiles: (B, maxT, 3, S, S) pixel tiles, zero-padded past each sample's
+        tile count (padded tiles are never gathered).
+      gather: (B, Tv) int32 plan rows (build_anyres_gather_plan, padded 0).
+      newline: (B, Tv) bool — read ``image_newline`` instead.
+      valid: (B, Tv) bool — False rows zero out (padding).
+    Returns:
+      (B, Tv, D) spliceable vision block.
+    """
+    from video3d_tpu.models import siglip
+    from video3d_tpu.models.llava_video3d import project_features
+
+    B, maxT = tiles.shape[:2]
+    flat = tiles.reshape(B * maxT, *tiles.shape[2:])
+    feats = siglip.vision_tower_forward(params["vision"], flat, cfg.vision,
+                                        remat=remat)
+    feats = project_features(params["projector"], feats)
+    D = feats.shape[-1]
+    feats = feats.reshape(B, -1, D)                      # (B, maxT*hw*hw, D)
+    block = jnp.take_along_axis(feats, gather[:, :, None], axis=1)
+    nl = params["image_newline"].astype(block.dtype)
+    block = jnp.where(newline[:, :, None], nl[None, None, :], block)
+    return jnp.where(valid[:, :, None], block, 0)
+
+
 def encode_image_2d(params, cfg, tiles: jax.Array,
                     image_size: Tuple[int, int],
                     grid_pinpoints,

@@ -485,6 +485,12 @@ class Batch(NamedTuple):
     seq_len: jax.Array                 # (B,)
     coord_mask: Optional[jax.Array] = None   # (B, L)
     box_input: Optional[jax.Array] = None    # (B, 3) discretized centers
+    # 2D-image modality (train_3d.py:1146-1160 image branch): anyres tiles +
+    # the static gather plan (models/anyres.py build_anyres_gather_plan)
+    image_tiles: Optional[jax.Array] = None     # (B, maxT, 3, S, S)
+    vision_gather: Optional[jax.Array] = None   # (B, Tv) int32
+    vision_newline: Optional[jax.Array] = None  # (B, Tv) bool
+    vision_valid: Optional[jax.Array] = None    # (B, Tv) bool
 
 
 def _position_ids_3d(batch: Batch, cfg: ModelConfig) -> jax.Array:
@@ -507,10 +513,21 @@ def forward(params: Params, cfg: ModelConfig, batch: Batch,
 
 
 def forward_hidden(params: Params, cfg: ModelConfig, batch: Batch,
-                   remat: bool = False) -> Tuple[jax.Array, VisionTokens]:
+                   remat: bool = False) -> Tuple[jax.Array, Optional[VisionTokens]]:
     """Forward returning final hidden states (for the grounding head)."""
-    vt = encode_video(params, cfg, batch.images, batch.patch_coords, remat=remat)
-    embeds = assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
+    if batch.image_tiles is not None:
+        # 2D-image modality: batched anyres gather-plan encoder
+        from video3d_tpu.models.anyres import encode_image_2d_batch
+
+        spliceable = encode_image_2d_batch(
+            params, cfg, batch.image_tiles, batch.vision_gather,
+            batch.vision_newline, batch.vision_valid, remat=remat)
+        vt = None
+    else:
+        vt = encode_video(params, cfg, batch.images, batch.patch_coords,
+                          remat=remat)
+        spliceable = vt.spliceable
+    embeds = assemble_embeds(params, cfg, spliceable, batch.text_ids,
                              batch.kind, batch.vision_index,
                              batch.coord_mask, batch.box_input)
     hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds,

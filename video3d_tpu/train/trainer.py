@@ -166,7 +166,8 @@ class Trainer:
         return batches_from_order(order, bs)
 
     def _to_batch(self, arrays: Dict[str, np.ndarray]) -> lv3d.Batch:
-        model_fields = {k: jnp.asarray(v) for k, v in arrays.items()
+        model_fields = {k: (jnp.asarray(v) if v is not None else None)
+                        for k, v in arrays.items()
                         if k in lv3d.Batch._fields}
         batch = lv3d.Batch(**model_fields)
         return shard_batch(batch, self.mesh)
