@@ -189,8 +189,8 @@ class TestBuilderDispatch:
                                      TINY).family == "open_clip"
         with pytest.raises(NotImplementedError):
             hv.build_vision_tower("imagebind_huge", TINY)
-        with pytest.raises(NotImplementedError):
-            hv.build_vision_tower("openai/clip-vit", TINY, use_s2=True)
+        assert hv.build_vision_tower("openai/clip-vit", TINY,
+                                     use_s2=True).family == "clip_s2"
         with pytest.raises(ValueError):
             hv.build_vision_tower("mystery-tower", TINY)
 

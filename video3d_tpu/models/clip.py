@@ -6,6 +6,9 @@ LLaVA semantics: run the CLIP ViT, take ``hidden_states[select_layer]``
 token ('patch' feature select). Architecture vs SigLIP: prepended class
 embedding, pre-layernorm after embeddings, quick-GELU MLP activation, and a
 learned position embedding of length num_patches + 1.
+
+Also hosts ``clip_s2_forward``, the native CLIPVisionTowerS2 multi-scale
+forward (clip_encoder.py:125-176 / s2wrapper ``multiscale_forward``).
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import jax.numpy as jnp
 
 from video3d_tpu.config import VisionConfig
 from video3d_tpu.models.siglip import _layer_norm, attention, patchify
+from video3d_tpu.ops.resize import area_downsample, bicubic_resize
 
 Params = Dict[str, Any]
 
@@ -53,6 +57,48 @@ def clip_tower_forward(params: Params, pixel_values: jax.Array,
     for lp in params["layers"][:n_layers]:
         x = clip_encoder_layer(lp, x, cfg)
     return x[:, 1:, :]                           # drop CLS
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scales", "select_layer"))
+def clip_s2_forward(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
+                    scales: tuple = (336, 672, 1008),
+                    select_layer: int = -2) -> jax.Array:
+    """CLIPVisionTowerS2.forward (clip_encoder.py:125-176): s2wrapper's
+    ``multiscale_forward`` with split_forward=True.
+
+    Input is preprocessed at the largest scale (B, 3, S_max, S_max). Per
+    scale s: bicubic-resize to (s, s) in f32, split into an n x n
+    chessboard of base-size tiles (n = ceil(s / scales[0])), run the CLIP
+    tower on all tiles ('patch' feature select), merge tile feature maps
+    back into one (B, D, n*g, n*g) grid, area-downsample to the scale-0
+    grid, and concatenate scales along channels -> (B, g*g, D * len(scales)).
+    """
+    B = pixel_values.shape[0]
+    split = scales[0]
+    if split != cfg.image_size:
+        raise ValueError("s2 base scale must equal the tower image size")
+    x32 = pixel_values.astype(jnp.float32)
+    merged = []
+    for s in scales:
+        n = -(-s // split)                      # ceil, s2wrapper num_splits
+        xs = bicubic_resize(x32, s, s).astype(pixel_values.dtype)
+        h = s // n                              # == split for the ref scales
+        tiles = xs.reshape(B, 3, n, h, n, h)
+        # split_chessboard tile-major batch order: out[(i*n+j)*B + b]
+        tiles = tiles.transpose(2, 4, 0, 1, 3, 5).reshape(n * n * B, 3, h, h)
+        feats = clip_tower_forward(params, tiles, cfg, select_layer)
+        feats = feats.astype(pixel_values.dtype)
+        g = int(round(feats.shape[1] ** 0.5))
+        d = feats.shape[-1]
+        # 'b (h w) c -> b c h w' then merge_chessboard
+        f = feats.reshape(n, n, B, g, g, d)
+        f = f.transpose(2, 5, 0, 3, 1, 4).reshape(B, d, n * g, n * g)
+        merged.append(f)
+    out_size = merged[0].shape[-1]
+    merged = [area_downsample(f.astype(jnp.float32), out_size).astype(f.dtype)
+              for f in merged]
+    out = jnp.concatenate(merged, axis=1)        # channel concat
+    return out.reshape(B, out.shape[1], -1).transpose(0, 2, 1)
 
 
 def convert_clip(state, cfg: VisionConfig, prefix: str = "vision_model.",

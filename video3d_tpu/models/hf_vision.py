@@ -236,6 +236,7 @@ def build_vision_tower(vision_tower: str, cfg: Optional[VisionConfig] = None,
                        select_layer: int = -2,
                        select_feature: str = "patch",
                        use_s2: bool = False,
+                       s2_scales: str = "",
                        dtype=jnp.float32) -> VisionTower:
     """Name-based dispatch mirroring the reference builder
     (multimodal_encoder/builder.py:13-38): path-or-openai/laion/ShareGPT4V
@@ -288,12 +289,18 @@ def build_vision_tower(vision_tower: str, cfg: Optional[VisionConfig] = None,
             "in this environment (nor in the reference's).")
     if os.path.exists(name) or name.startswith("openai") \
             or name.startswith("laion") or "ShareGPT4V" in name:
-        if use_s2:
-            raise NotImplementedError(
-                "CLIPVisionTowerS2 multi-scale needs the external 's2wrapper' "
-                "package (clip_encoder.py:129-133), not installed here (nor "
-                "in the reference's environment).")
         c = cfg or VisionConfig()
+        if use_s2:
+            # CLIPVisionTowerS2 (clip_encoder.py:125-176): native
+            # multi-scale forward, s2wrapper semantics. Images must be
+            # preprocessed at scales[-1]; hidden size is D * len(scales).
+            scales = tuple(sorted(
+                int(v) for v in (s2_scales or "336,672,1008").split(",")))
+            return VisionTower(
+                "clip_s2",
+                lambda p, x: clip_mod.clip_s2_forward(
+                    p, x, c, scales=scales, select_layer=select_layer),
+                lambda s: clip_mod.convert_clip(s, c, dtype=dtype), c)
         return VisionTower(
             "clip",
             lambda p, x: clip_mod.clip_tower_forward(p, x, c,
