@@ -255,3 +255,23 @@ class TestBatchedGrounding:
         r1 = [json.loads(l)["pred_response"] for l in open(f1)]
         r2 = [json.loads(l)["pred_response"] for l in open(f2)]
         assert r1 == r2
+
+
+class TestSpeculativeEngine:
+    def test_spec_engine_matches_vanilla(self, env):
+        """Engine dispatch: speculative_draft_layers > 0 routes through
+        generate_speculative and yields identical answers (greedy exactness,
+        models/speculative.py)."""
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok, outdir = env
+        q = scanqa_question(info, 0)
+        vanilla = engine.generate_answer(q)
+
+        spec_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, speculative_draft_layers=1,
+                       speculative_k=3),
+            device_geometry=engine.device_geometry)
+        spec = spec_engine.generate_answer(q)
+        assert spec == vanilla

@@ -1,0 +1,106 @@
+"""Speculative decoding must be BIT-IDENTICAL to vanilla greedy decoding
+(models/generate.py::generate_greedy) — greedy verification accepts exactly
+the tokens the target itself would emit. Covers a perfect draft (the target
+itself; every draft accepted) and a deliberately bad early-exit draft
+(first layer only; rejections exercise the rollback path), at several
+lookahead depths, with a B=2 batch of unequal prompt lengths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import ModelConfig
+from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models.generate import generate_greedy
+from video3d_tpu.models.speculative import (generate_speculative,
+                                            self_draft_config,
+                                            self_draft_params)
+from video3d_tpu.models.splice import build_splice_plan
+
+CFG = ModelConfig.tiny()
+EOS = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    B, V, S = 2, 2, CFG.vision.image_size
+    images = rng.normal(size=(B, V, 3, S, S)).astype(np.float32)
+    g = -(-CFG.vision.num_patches_per_side // CFG.spatial_pool_stride)
+    coords = rng.uniform(0, 50, size=(B, V, g, g, 3)).astype(np.float32)
+    T = CFG.tokens_per_frame
+    ids = [[3, 4, IMAGE_TOKEN_INDEX, 5, 6],
+           [9, IMAGE_TOKEN_INDEX, 11, 12, 13, 14, 15]]
+    plan = build_splice_plan(ids, None, [V, V], tokens_per_frame=T,
+                             max_len=8 + V * T + 6, grid_side=g)
+    batch = lv3d.Batch(
+        images=jnp.asarray(images), patch_coords=jnp.asarray(coords),
+        text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+        vision_index=jnp.asarray(plan.vision_index),
+        labels=jnp.asarray(plan.labels),
+        position_ids=jnp.asarray(plan.position_ids),
+        mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+        seq_len=jnp.asarray(plan.seq_len))
+    return params, batch
+
+
+N_NEW = 12
+
+
+def _vanilla(params, batch):
+    return generate_greedy(params, CFG, batch, max_new_tokens=N_NEW,
+                           eos_token_id=EOS, cache_dtype=jnp.float32)
+
+
+class TestSpeculative:
+    @pytest.mark.parametrize("k_draft", [1, 3, 5])
+    def test_perfect_draft_matches_vanilla(self, setup, k_draft):
+        """Draft == target: every draft accepted, output identical."""
+        params, batch = setup
+        ref = _vanilla(params, batch)
+        n_layers = CFG.llm.num_hidden_layers
+        res = generate_speculative(
+            params, self_draft_params(params, n_layers),
+            CFG, self_draft_config(CFG.llm, n_layers), batch,
+            num_draft_tokens=k_draft, max_new_tokens=N_NEW,
+            eos_token_id=EOS, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(res.lengths),
+                                      np.asarray(ref.lengths))
+        # a perfect draft means every verify pass advances K+1 tokens
+        assert int(res.target_forwards) <= 1 + -(-N_NEW // (k_draft + 1)) + 1
+
+    @pytest.mark.parametrize("k_draft", [2, 4])
+    def test_bad_draft_still_exact(self, setup, k_draft):
+        """1-layer early-exit draft: mostly rejected, output still exact."""
+        params, batch = setup
+        ref = _vanilla(params, batch)
+        res = generate_speculative(
+            params, self_draft_params(params, 1),
+            CFG, self_draft_config(CFG.llm, 1), batch,
+            num_draft_tokens=k_draft, max_new_tokens=N_NEW,
+            eos_token_id=EOS, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(res.lengths),
+                                      np.asarray(ref.lengths))
+        # even with zero accepts it can't need more than one forward/token
+        assert int(res.target_forwards) <= N_NEW + 1
+
+    def test_separate_draft_model(self, setup):
+        """A standalone draft (different weights, same vocab/width) — exact
+        output regardless of how wrong the draft is."""
+        params, batch = setup
+        draft_full = lv3d.init_model(jax.random.PRNGKey(1), CFG)
+        ref = _vanilla(params, batch)
+        res = generate_speculative(
+            params, draft_full["llm"], CFG, CFG.llm, batch,
+            num_draft_tokens=3, max_new_tokens=N_NEW,
+            eos_token_id=EOS, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))

@@ -190,7 +190,9 @@ def cmd_eval(args, task: str):
             kv_cache_dtype=args.kv_cache_dtype,
             temperature=args.temperature, top_p=args.top_p,
             top_k=args.top_k, num_beams=args.num_beams,
-            length_penalty=args.length_penalty))
+            length_penalty=args.length_penalty,
+            speculative_draft_layers=args.spec_draft_layers,
+            speculative_k=args.spec_k))
     if task == "scan2cap":
         times = drivers.run_generative(
             engine, questions, args.answer_file, gt_from_annotations=True,
@@ -254,6 +256,10 @@ def main(argv=None):
         pe.add_argument("--top-k", type=int, default=0)
         pe.add_argument("--num-beams", type=int, default=1)
         pe.add_argument("--length-penalty", type=float, default=1.0)
+        # speculative decoding (beyond-reference): early-exit self-draft of
+        # N target layers verifying --spec-k tokens per target forward
+        pe.add_argument("--spec-draft-layers", type=int, default=0)
+        pe.add_argument("--spec-k", type=int, default=4)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

@@ -66,6 +66,12 @@ class EngineConfig:
     num_beams: int = 1
     length_penalty: float = 1.0
     early_stopping: bool = False
+    # speculative decoding (beyond-reference; models/speculative.py):
+    # draft-layers > 0 enables an early-exit self-draft of that many target
+    # layers (or call engine.set_draft_model for standalone draft weights);
+    # greedy only — output is bit-identical to vanilla greedy
+    speculative_draft_layers: int = 0
+    speculative_k: int = 4
 
 
 SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
@@ -101,13 +107,43 @@ class InferenceEngine:
 
             device_geometry = jax.default_backend() not in ("cpu",)
         self.device_geometry = device_geometry
+        self.draft_params = None
+        self.draft_cfg = None
+
+    def set_draft_model(self, draft_params, draft_cfg):
+        """Attach standalone draft weights (same vocab + hidden size) for
+        speculative decoding, e.g. a pruned/distilled checkpoint."""
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
 
     def _cache_dtype(self):
         return jnp.int8 if self.ecfg.kv_cache_dtype == "int8" else jnp.bfloat16
 
 
     def _generate(self, batch, vision_features=None):
-        """generate_greedy / generate_beam dispatch by ecfg.num_beams."""
+        """generate_greedy / generate_beam / generate_speculative dispatch."""
+        speculative = (self.draft_params is not None
+                       or self.ecfg.speculative_draft_layers > 0)
+        if speculative and self.ecfg.num_beams == 1 \
+                and self.ecfg.temperature <= 0.0:
+            from video3d_tpu.models import speculative as spec
+
+            if self.draft_params is not None:
+                dp, dc = self.draft_params, self.draft_cfg
+            else:
+                k = self.ecfg.speculative_draft_layers
+                dp = spec.self_draft_params(self.params, k)
+                dc = spec.self_draft_config(self.cfg.llm, k)
+            res = spec.generate_speculative(
+                self.params, dp, self.cfg, dc, batch,
+                num_draft_tokens=self.ecfg.speculative_k,
+                max_new_tokens=self.ecfg.max_new_tokens,
+                eos_token_id=self.ecfg.eos_token_id,
+                cache_dtype=self._cache_dtype(),
+                vision_features=vision_features)
+            from video3d_tpu.models.generate import GenerateResult
+
+            return GenerateResult(tokens=res.tokens, lengths=res.lengths)
         if self.ecfg.num_beams > 1:
             from video3d_tpu.models.beam_search import generate_beam
 

@@ -1,0 +1,204 @@
+"""Speculative decoding: draft-model lookahead with single-pass target
+verification.
+
+Beyond-reference capability (the reference decodes strictly one token per
+forward, HF greedy loop — llava_qwen.py:207-226): a cheap draft model
+proposes ``K`` tokens autoregressively, then the target model scores the
+whole block in ONE forward; the longest prefix the target agrees with is
+accepted, plus the target's own next token. Greedy verification makes the
+output **bit-identical to vanilla greedy decoding** (tests assert exact
+equality), so speed is the only trade-off: each target forward now yields
+1..K+1 tokens, and decode on TPU is HBM-bound on target weights, so wall
+time scales with target forwards, not tokens.
+
+Static-shape design (everything jits, no dynamic control flow):
+  * The cache rollback after a partial accept is FREE: ``pos`` simply
+    advances by the accepted count, and stale slots beyond it are masked by
+    ``kv_len`` and overwritten by later writes (the KV cache scatters at
+    per-sample absolute positions, models/qwen2.py decoder_layer).
+  * Per-sample accept counts differ, so emitted tokens scatter into the
+    output buffer at per-sample offsets with ``mode='drop'`` for the tail.
+
+The draft is any decoder with the same hidden size + vocab as the target
+(it shares the spliced multimodal embeds for its own prefill): a pruned /
+distilled checkpoint, or ``self_draft_params`` — the first ``k`` layers of
+the target itself (zero extra weights; LayerSkip-style early exit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import LLMConfig, ModelConfig, replace
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models import qwen2
+from video3d_tpu.models.generate import _decode_position_ids
+
+
+def self_draft_params(params, k: int):
+    """Early-exit draft from the target's own weights: first ``k`` decoder
+    layers + the target's final norm / lm_head / embeddings."""
+    llm = params["llm"]
+    return {"embed_tokens": llm["embed_tokens"], "layers": llm["layers"][:k],
+            "norm": llm["norm"], "lm_head": llm["lm_head"]}
+
+
+def self_draft_config(cfg: LLMConfig, k: int) -> LLMConfig:
+    return replace(cfg, num_hidden_layers=k)
+
+
+class SpecResult(NamedTuple):
+    tokens: jax.Array        # (B, max_new_tokens) eos-padded emitted ids
+    lengths: jax.Array       # (B,) tokens before EOS
+    target_forwards: jax.Array  # () verify passes run (≈ latency proxy)
+    accepted_drafts: jax.Array  # () total draft tokens accepted
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "num_draft_tokens", "max_new_tokens", "eos_token_id",
+    "max_cache_len", "cache_dtype"))
+def generate_speculative(params, draft_params, cfg: ModelConfig,
+                         draft_cfg: LLMConfig, batch: lv3d.Batch,
+                         num_draft_tokens: int = 4,
+                         max_new_tokens: int = 512,
+                         eos_token_id: int = 151645,
+                         max_cache_len: Optional[int] = None,
+                         cache_dtype=jnp.bfloat16,
+                         vision_features: Optional[jax.Array] = None
+                         ) -> SpecResult:
+    """Greedy speculative decode; emissions exactly equal generate_greedy.
+
+    Each iteration: draft ``K`` tokens (plus one extra draft step that only
+    writes the last token's KV so the draft cache always covers the accepted
+    stream), verify with one (K+1)-token target forward over
+    ``[cur, d_1..d_K]``. Accepted drafts equal the target's own argmaxes, so
+    the emitted block is simply ``t[:, :a+1]`` where ``a`` counts leading
+    ``d_i == t_{i-1}`` matches.
+    """
+    K = num_draft_tokens
+    B, L = batch.text_ids.shape
+    if max_cache_len is None:
+        # +K+2 slack: the verify block may write past the accepted position
+        max_cache_len = L + max_new_tokens + K + 2
+
+    # ---- shared vision encode + splice (one pass, both models use it) ----
+    if vision_features is None:
+        vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
+        spliceable = vt.spliceable
+    else:
+        spliceable = vision_features
+    embeds = lv3d.assemble_embeds(params, cfg, spliceable, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+    pos3 = lv3d._position_ids_3d(batch, cfg)
+    fill_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+
+    def _prefill(p, c: LLMConfig):
+        cache = qwen2.KVCache.zeros(c, B, max_cache_len, dtype=cache_dtype)
+        hidden, cache = qwen2.qwen2_forward(
+            p, c, embeds, pos3, kv_cache=cache,
+            cache_positions=fill_positions, kv_len=batch.seq_len,
+            prefill=True)
+        last = jnp.take_along_axis(hidden,
+                                   (batch.seq_len - 1)[:, None, None], axis=1)
+        return qwen2.lm_head(p, last)[:, 0], cache
+
+    next_logits, t_cache = _prefill(params["llm"], cfg.llm)
+    _, d_cache = _prefill(draft_params, draft_cfg)
+
+    class State(NamedTuple):
+        cur: jax.Array          # (B,) last emitted token, not yet in caches
+        pos: jax.Array          # (B,) absolute position of ``cur``
+        out_len: jax.Array      # (B,) tokens written to the buffer
+        lengths: jax.Array      # (B,) tokens before EOS
+        done: jax.Array         # (B,)
+        tokens: jax.Array       # (B, max_new_tokens)
+        t_cache: qwen2.KVCache
+        d_cache: qwen2.KVCache
+        n_fwd: jax.Array
+        n_acc: jax.Array
+
+    cur0 = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+    eos0 = cur0 == eos_token_id
+    init = State(
+        cur=cur0, pos=batch.seq_len,
+        out_len=jnp.ones((B,), jnp.int32),
+        lengths=jnp.where(eos0, 0, 1).astype(jnp.int32),
+        done=eos0,
+        tokens=jnp.full((B, max_new_tokens), eos_token_id,
+                        jnp.int32).at[:, 0].set(cur0),
+        t_cache=t_cache, d_cache=d_cache,
+        n_fwd=jnp.ones((), jnp.int32), n_acc=jnp.zeros((), jnp.int32))
+
+    def cond(s: State):
+        return ~jnp.all(s.done | (s.out_len >= max_new_tokens))
+
+    def body(s: State):
+        # ---- draft K+1 autoregressive steps (last one only fills KV) ----
+        def draft_step(carry, i):
+            tok, dc = carry
+            emb = qwen2.embed_tokens(draft_params, tok[:, None])
+            p = (s.pos + i)[:, None]                         # (B, 1)
+            h, dc = qwen2.qwen2_forward(
+                draft_params, draft_cfg, emb, _decode_position_ids(p),
+                kv_cache=dc, cache_positions=p, kv_len=p[:, 0] + 1)
+            nxt = jnp.argmax(qwen2.lm_head(draft_params, h)[:, 0],
+                             axis=-1).astype(jnp.int32)
+            return (nxt, dc), nxt
+
+        (_, d_cache), drafts = jax.lax.scan(draft_step, (s.cur, s.d_cache),
+                                            jnp.arange(K + 1))
+        d = drafts.T[:, :K]                                   # (B, K)
+
+        # ---- one target forward over [cur, d_1..d_K] ----
+        block = jnp.concatenate([s.cur[:, None], d], axis=1)  # (B, K+1)
+        bpos = s.pos[:, None] + jnp.arange(K + 1)[None]
+        emb = qwen2.embed_tokens(params["llm"], block)
+        h, t_cache = qwen2.qwen2_forward(
+            params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
+            kv_cache=s.t_cache, cache_positions=bpos, kv_len=s.pos + K + 1)
+        t = jnp.argmax(qwen2.lm_head(params["llm"], h),
+                       axis=-1).astype(jnp.int32)              # (B, K+1)
+
+        # ---- accept the longest matching prefix ----
+        match = d == t[:, :K]                                  # (B, K)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        idx = jnp.arange(K + 1)[None]                          # (B, K+1) iota
+        valid = idx <= a[:, None]
+        is_eos = t == eos_token_id
+        # keep a prefix up to (and including) the first EOS among the valid
+        eos_before = jnp.cumsum(jnp.where(valid & is_eos, 1, 0), axis=1) \
+            - jnp.where(valid & is_eos, 1, 0)                  # exclusive
+        keep = valid & (eos_before == 0) & ~s.done[:, None] \
+            & (s.out_len[:, None] + idx < max_new_tokens)
+        n_keep = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+        # ---- scatter emissions into the output buffer ----
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
+        cols = jnp.where(keep, s.out_len[:, None] + idx, max_new_tokens)
+        tokens = s.tokens.at[rows, cols].set(t, mode="drop")
+
+        new_done = s.done | jnp.any(keep & is_eos, axis=1)
+        lengths = s.lengths + jnp.sum(keep & ~is_eos, axis=1).astype(jnp.int32)
+        out_len = s.out_len + n_keep
+        # ``cur`` = last kept emission (the target's correction/bonus token);
+        # for freshly-done samples it is EOS and never used again.
+        last_idx = jnp.maximum(n_keep - 1, 0)
+        cur = jnp.where(new_done | (n_keep == 0), eos_token_id,
+                        jnp.take_along_axis(t, last_idx[:, None], axis=1)[:, 0])
+        pos = jnp.where(s.done, s.pos, s.pos + n_keep)
+        done = new_done | (out_len >= max_new_tokens)
+        return State(cur=cur, pos=pos, out_len=out_len, lengths=lengths,
+                     done=done, tokens=tokens, t_cache=t_cache,
+                     d_cache=d_cache, n_fwd=s.n_fwd + 1,
+                     n_acc=s.n_acc + jnp.sum(jnp.where(s.done, 0, a)))
+
+    final = jax.lax.while_loop(cond, body, init)
+    return SpecResult(tokens=final.tokens,
+                      lengths=jnp.minimum(final.lengths, max_new_tokens),
+                      target_forwards=final.n_fwd,
+                      accepted_drafts=final.n_acc)
