@@ -590,9 +590,19 @@ class InferenceEngine:
 # ---------------------------------------------------------------------------
 
 def _append_jsonl(path: str, record: dict) -> None:
+    """Locked append: several --rank/--world driver processes share one
+    answer file, like the reference's Ray workers guarded by
+    fasteners.InterProcessLock (model_scanqa.py:117,194)."""
+    import fcntl
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "a") as f:
-        f.write(json.dumps(record) + "\n")
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def run_generative(engine: InferenceEngine, questions: Sequence[dict],
