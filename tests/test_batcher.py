@@ -1,0 +1,97 @@
+"""Continuous batching (serve/batcher.py): a persistent S-slot decode loop
+must produce exactly what the sequential engine produces, across admission,
+slot reuse, streaming, and request-level failures."""
+
+import os
+
+import pytest
+
+import jax
+
+from video3d_tpu.config import DataConfig, ModelConfig
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.video_processor import VideoProcessor
+from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.serve.batcher import ContinuousBatcher
+
+from fixtures import FakeTokenizer, make_fake_scene
+
+CFG = ModelConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    info = make_fake_scene(root, n_frames=3)
+    data_cfg = DataConfig(video_folder=root,
+                          annotation_dir=os.path.join(root, "embodiedscan"),
+                          metadata_dir=os.path.join(root, "metadata"),
+                          frames_upbound=3)
+    tok = FakeTokenizer()
+    params = lv3d.init_model(jax.random.PRNGKey(0), CFG)
+    engine = InferenceEngine(
+        params, CFG, tok, VideoProcessor(data_cfg),
+        SigLipImageProcessor(size=(CFG.vision.image_size,) * 2),
+        EngineConfig(max_new_tokens=6, eos_token_id=tok.eos_token_id,
+                     max_frames=3, buckets=(256,), stop_str="",
+                     ground_token_id=tok.vocab["<ground>"], max_objects=8))
+    return info, engine, tok
+
+
+def _record(info, question):
+    return {
+        "video": info["sample_idx"],
+        "conversations": [{"from": "human", "value": f"<image>\n{question}"},
+                          {"from": "gpt", "value": None}],
+    }
+
+
+class TestContinuousBatcher:
+    def test_matches_sequential_with_slot_reuse(self, env):
+        """3 requests through 2 slots (one must wait for a free slot) ==
+        the engine's one-at-a-time answers."""
+        info, engine, tok = env
+        records = [_record(info, q) for q in
+                   ("what color is the chair", "how many tables",
+                    "where is the lamp")]
+        want = [engine.generate_answer(r) for r in records]
+
+        batcher = ContinuousBatcher(engine, num_slots=2, chunk=2)
+        try:
+            handles = [batcher.submit(r) for r in records]
+            got = [h.result(engine._decode_text, timeout=300)
+                   for h in handles]
+        finally:
+            batcher.shutdown()
+        assert got == want
+
+    def test_streaming_is_progressive_and_final(self, env):
+        info, engine, tok = env
+        record = _record(info, "describe the scene")
+        want = engine.generate_answer(record)
+        batcher = ContinuousBatcher(engine, num_slots=1, chunk=2)
+        try:
+            chunks = list(batcher.generate_stream(record))
+        finally:
+            batcher.shutdown()
+        assert chunks, "stream yielded nothing"
+        assert chunks[-1] == want
+        # cumulative: each yield extends (or equals) the previous text
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.startswith(a)
+
+    def test_bad_request_fails_without_poisoning_slots(self, env):
+        info, engine, tok = env
+        batcher = ContinuousBatcher(engine, num_slots=1, chunk=2)
+        try:
+            bad = batcher.submit(_record({"sample_idx": "scannet/missing"},
+                                         "hi") | {"video": "scannet/missing"})
+            with pytest.raises(Exception):
+                bad.result(engine._decode_text, timeout=120)
+            ok = batcher.submit(_record(info, "what color is the chair"))
+            assert ok.result(engine._decode_text, timeout=300) \
+                == engine.generate_answer(_record(info,
+                                                  "what color is the chair"))
+        finally:
+            batcher.shutdown()

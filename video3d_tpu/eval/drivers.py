@@ -285,8 +285,10 @@ class InferenceEngine:
 
     # ------------- generative -------------
 
-    def generate_answer(self, record, box_input=None,
-                        coord_token_id=None) -> str:
+    def _prepare_generation(self, record, box_input=None,
+                            coord_token_id=None):
+        """record -> (batch, vision_features): the shared question/video
+        assembly in front of every generate path (incl. the batcher)."""
         question = {"from": "human", "value": self._question_text(record)}
         ids = preprocess_qwen_eval(
             [question, {"from": "gpt", "value": None}], self.tokenizer)
@@ -294,20 +296,24 @@ class InferenceEngine:
             record["video"], box_input)
         if self.cfg.world_3d.llava3d:
             batch, feat = self._build_llava3d_batch(ids, V, images, patch)
-            res = self._generate(batch, vision_features=feat[None])
-            toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
-            text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
-            if text.endswith(self.ecfg.stop_str):
-                text = text[: -len(self.ecfg.stop_str)].strip()
-            return text
+            return batch, feat[None]
         batch, _ = self._build_batch(ids, None, V, images, patch, box_input,
                                      coord_token_id)
-        res = self._generate(batch)
-        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        return batch, None
+
+    def _decode_text(self, toks) -> str:
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
-        if text.endswith(self.ecfg.stop_str):
+        if self.ecfg.stop_str and text.endswith(self.ecfg.stop_str):
             text = text[: -len(self.ecfg.stop_str)].strip()
         return text
+
+    def generate_answer(self, record, box_input=None,
+                        coord_token_id=None) -> str:
+        batch, vision_features = self._prepare_generation(
+            record, box_input, coord_token_id)
+        res = self._generate(batch, vision_features=vision_features)
+        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        return self._decode_text(toks)
 
     def generate_answer_stream(self, record, box_input=None,
                                coord_token_id=None, chunk: int = 16):
@@ -318,18 +324,8 @@ class InferenceEngine:
         chunk calls — the prefill runs once."""
         from video3d_tpu.models.generate import decode_chunk, start_decode
 
-        question = {"from": "human", "value": self._question_text(record)}
-        ids = preprocess_qwen_eval(
-            [question, {"from": "gpt", "value": None}], self.tokenizer)
-        vd, V, images, _, patch, box_input = self._video_arrays(
-            record["video"], box_input)
-        if self.cfg.world_3d.llava3d:
-            batch, feat = self._build_llava3d_batch(ids, V, images, patch)
-            vision_features = feat[None]
-        else:
-            batch, _ = self._build_batch(ids, None, V, images, patch,
-                                         box_input, coord_token_id)
-            vision_features = None
+        batch, vision_features = self._prepare_generation(
+            record, box_input, coord_token_id)
         L = batch.text_ids.shape[1]
         state = start_decode(
             self.params, self.cfg, batch,
@@ -346,16 +342,12 @@ class InferenceEngine:
                 top_k=self.ecfg.top_k)
             row = np.asarray(toks)[0].tolist()
             for t in row:
-                if t == self.ecfg.eos_token_id:
+                if t == self.ecfg.eos_token_id or remaining <= 0:
                     remaining = 0
                     break
                 emitted.append(t)
                 remaining -= 1
-            text = self.tokenizer.decode(emitted,
-                                         skip_special_tokens=True).strip()
-            if text.endswith(self.ecfg.stop_str):
-                text = text[: -len(self.ecfg.stop_str)].strip()
-            yield text
+            yield self._decode_text(emitted)
             if bool(np.asarray(state.done).all()):
                 break
 
@@ -426,10 +418,7 @@ class InferenceEngine:
             coord_mask=jnp.asarray(plan.coord_mask))
         res = self._generate(batch, vision_features=feat[None])
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
-        text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
-        if text.endswith(self.ecfg.stop_str):
-            text = text[: -len(self.ecfg.stop_str)].strip()
-        return text
+        return self._decode_text(toks)
 
     def generate_answers_batch(self, records: Sequence[dict],
                                box_inputs: Optional[Sequence] = None,
@@ -481,10 +470,7 @@ class InferenceEngine:
         out = []
         for b in range(B):
             toks = np.asarray(res.tokens)[b][: int(res.lengths[b])]
-            text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
-            if text.endswith(self.ecfg.stop_str):
-                text = text[: -len(self.ecfg.stop_str)].strip()
-            out.append(text)
+            out.append(self._decode_text(toks))
         return out
 
     # ------------- discriminative (grounding) -------------

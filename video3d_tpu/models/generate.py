@@ -118,6 +118,45 @@ def start_decode(params, cfg: ModelConfig, batch: lv3d.Batch,
                        step=jnp.zeros((), jnp.int32))
 
 
+def empty_decode_state(cfg: ModelConfig, num_slots: int, max_cache_len: int,
+                       cache_dtype=jnp.bfloat16,
+                       logits_dtype=jnp.float32) -> DecodeState:
+    """All-done S-slot DecodeState: the persistent state of a continuous
+    batcher (serve/batcher.py). Slots are rows; admission = insert_decode_slot
+    with a B=1 start_decode result."""
+    cache = qwen2.KVCache.zeros(cfg.llm, num_slots, max_cache_len,
+                                dtype=cache_dtype)
+    return DecodeState(
+        next_logits=jnp.zeros((num_slots, cfg.llm.vocab_size), logits_dtype),
+        cache=cache,
+        pos=jnp.zeros((num_slots,), jnp.int32),
+        done=jnp.ones((num_slots,), bool),
+        step=jnp.zeros((), jnp.int32))
+
+
+@jax.jit
+def insert_decode_slot(state: DecodeState, slot: jax.Array,
+                       sub: DecodeState) -> DecodeState:
+    """Graft a freshly-prefilled B=1 DecodeState into row ``slot``. One jit
+    for any slot index (traced scalar); caches must share max_cache_len."""
+    cache = jax.tree.map(lambda big, small: big.at[:, slot].set(small[:, 0]),
+                         state.cache, sub.cache)
+    return DecodeState(
+        next_logits=state.next_logits.at[slot].set(
+            sub.next_logits[0].astype(state.next_logits.dtype)),
+        cache=cache,
+        pos=state.pos.at[slot].set(sub.pos[0]),
+        done=state.done.at[slot].set(sub.done[0]),
+        step=state.step)
+
+
+@jax.jit
+def release_decode_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
+    """Force a slot done (request finished / budget exhausted / cancelled);
+    decode_chunk then emits EOS padding for it until it is reused."""
+    return state._replace(done=state.done.at[slot].set(True))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                              "temperature", "top_p", "top_k"))
 def decode_chunk(params, cfg: ModelConfig, state: DecodeState,

@@ -1,0 +1,198 @@
+"""Continuous batching for the serve layer (beyond-reference).
+
+The reference worker decodes one request at a time (serve/model_worker.py
+generate_stream: a single HF generate loop per request). Decode on TPU is
+HBM-bound on weights, so a second concurrent request is almost free until
+the batch saturates bandwidth — measured 3.5x total throughput at B=8
+(BENCH_NOTES). This module keeps a persistent S-slot ``DecodeState`` and
+runs ONE jitted decode loop for all in-flight requests:
+
+  * slots are rows of the state (static shapes — the TPU-native answer to
+    vLLM-style continuous batching: no paging needed when every slot owns a
+    fixed-size cache row);
+  * admission = a B=1 prefill (``start_decode``) grafted into a free row
+    (``insert_decode_slot`` — pure row surgery, one jit for any slot);
+  * completion/cancellation = ``release_decode_slot`` (flips ``done``;
+    decode emits EOS padding for that row until it is reused);
+  * the scheduler thread alternates: admit pending requests into free
+    slots, then ``decode_chunk`` once for everyone, streaming each row's
+    new tokens to its request queue.
+
+Requests stream incrementally (``BatchedRequest.text_stream``) or block
+for the final text (``result``). Output is identical to the sequential
+engine path: prefill is per-request B=1, and batched decode rows are
+sample-independent.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from video3d_tpu.models.generate import (decode_chunk, empty_decode_state,
+                                         insert_decode_slot,
+                                         release_decode_slot, start_decode)
+
+
+class BatchedRequest:
+    """Handle returned by ContinuousBatcher.submit."""
+
+    _DONE = object()
+
+    def __init__(self, record, box_input, coord_token_id, max_new_tokens):
+        self.record = record
+        self.box_input = box_input
+        self.coord_token_id = coord_token_id
+        self.max_new_tokens = max_new_tokens
+        self._q: "queue.Queue" = queue.Queue()
+        self.tokens: list = []
+        self.error: Optional[Exception] = None
+
+    def text_stream(self, decode_fn):
+        """Yield cumulative text after every delivered token batch."""
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield decode_fn(self.tokens)
+
+    def result(self, decode_fn, timeout: Optional[float] = None) -> str:
+        while True:
+            item = self._q.get(timeout=timeout)
+            if item is self._DONE:
+                if self.error is not None:
+                    raise self.error
+                return decode_fn(self.tokens)
+
+
+class ContinuousBatcher:
+    """S-slot continuous batching scheduler over one InferenceEngine.
+
+    Args:
+      engine: the InferenceEngine whose params/config/preprocessing to use.
+      num_slots: concurrent requests decoded per step (HBM: one cache row
+        each of ``max_cache_len``).
+      chunk: decode steps per scheduler iteration — the streaming
+        granularity and the admission latency bound.
+      max_cache_len: shared cache row length; defaults to the engine's
+        largest prefill bucket + max_new_tokens.
+    """
+
+    def __init__(self, engine, num_slots: int = 4, chunk: int = 8,
+                 max_cache_len: Optional[int] = None):
+        self.engine = engine
+        self.num_slots = num_slots
+        self.chunk = chunk
+        ecfg = engine.ecfg
+        self.max_cache_len = max_cache_len or (max(ecfg.buckets)
+                                               + ecfg.max_new_tokens)
+        self.state = empty_decode_state(engine.cfg, num_slots,
+                                        self.max_cache_len,
+                                        cache_dtype=engine._cache_dtype())
+        self.slots: list = [None] * num_slots          # BatchedRequest or None
+        self.emitted = [0] * num_slots
+        self._pending: "queue.Queue" = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------- public API -------------
+
+    def submit(self, record, box_input=None, coord_token_id=None,
+               max_new_tokens: Optional[int] = None) -> BatchedRequest:
+        req = BatchedRequest(record, box_input, coord_token_id,
+                             max_new_tokens or self.engine.ecfg.max_new_tokens)
+        self._pending.put(req)
+        self._wake.set()
+        return req
+
+    def generate(self, record, **kw) -> str:
+        return self.submit(record, **kw).result(self.engine._decode_text)
+
+    def generate_stream(self, record, **kw):
+        return self.submit(record, **kw).text_stream(self.engine._decode_text)
+
+    def shutdown(self):
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # ------------- scheduler -------------
+
+    def _admit(self, slot: int, req: BatchedRequest) -> bool:
+        """Prefill one request and graft it into ``slot``."""
+        import jax.numpy as jnp
+
+        eng = self.engine
+        try:
+            batch, vision_features = eng._prepare_generation(
+                req.record, req.box_input, req.coord_token_id)
+            sub = start_decode(eng.params, eng.cfg, batch,
+                               max_cache_len=self.max_cache_len,
+                               cache_dtype=eng._cache_dtype(),
+                               vision_features=vision_features)
+            self.state = insert_decode_slot(self.state,
+                                            jnp.asarray(slot, jnp.int32), sub)
+            self.slots[slot] = req
+            self.emitted[slot] = 0
+            return True
+        except Exception as e:  # noqa: BLE001 — request-level failure
+            req.error = e
+            req._q.put(BatchedRequest._DONE)
+            return False
+
+    def _finish(self, slot: int):
+        import jax.numpy as jnp
+
+        self.state = release_decode_slot(self.state,
+                                         jnp.asarray(slot, jnp.int32))
+        req = self.slots[slot]
+        self.slots[slot] = None
+        if req is not None:
+            req._q.put(BatchedRequest._DONE)
+
+    def _loop(self):
+        eng = self.engine
+        eos = eng.ecfg.eos_token_id
+        while not self._stop.is_set():
+            # ---- admit into free slots ----
+            for s in range(self.num_slots):
+                if self.slots[s] is None:
+                    try:
+                        req = self._pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(s, req)
+            if all(r is None for r in self.slots):
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                continue
+            # ---- one decode chunk for every in-flight request ----
+            self.state, toks = decode_chunk(
+                eng.params, eng.cfg, self.state, chunk=self.chunk,
+                eos_token_id=eos, temperature=eng.ecfg.temperature,
+                top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
+            rows = np.asarray(toks)
+            for s in range(self.num_slots):
+                req = self.slots[s]
+                if req is None:
+                    continue
+                finished = False
+                new = []
+                for t in rows[s].tolist():
+                    if t == eos or self.emitted[s] >= req.max_new_tokens:
+                        finished = True
+                        break
+                    new.append(int(t))
+                    self.emitted[s] += 1
+                if new:
+                    req.tokens.extend(new)
+                    req._q.put(len(new))
+                if finished or self.emitted[s] >= req.max_new_tokens:
+                    self._finish(s)

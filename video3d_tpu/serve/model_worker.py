@@ -30,8 +30,10 @@ class ModelWorker:
     def __init__(self, engine, model_name: str,
                  controller_addr: Optional[str] = None,
                  worker_addr: Optional[str] = None,
-                 heartbeat: bool = True):
+                 heartbeat: bool = True,
+                 batcher=None):
         self.engine = engine
+        self.batcher = batcher     # ContinuousBatcher: concurrent requests
         self.model_name = model_name
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -80,7 +82,10 @@ class ModelWorker:
                 ],
             }
             t0 = time.time()
-            text = self.engine.generate_answer(record)
+            if self.batcher is not None:
+                text = self.batcher.generate(record)
+            else:
+                text = self.engine.generate_answer(record)
             return {"text": text, "inference_time": time.time() - t0,
                     "error_code": 0}
         except Exception as e:  # noqa: BLE001
@@ -104,8 +109,12 @@ class ModelWorker:
                 ],
             }
             chunk = int(request.get("stream_chunk", 16))
-            for text in self.engine.generate_answer_stream(record,
-                                                           chunk=chunk):
+            if self.batcher is not None:
+                stream = self.batcher.generate_stream(record)
+            else:
+                stream = self.engine.generate_answer_stream(record,
+                                                            chunk=chunk)
+            for text in stream:
                 yield {"text": text, "error_code": 0}
         except Exception as e:  # noqa: BLE001
             yield {"text": "", "error": str(e), "error_code": 1}
@@ -150,10 +159,19 @@ class _WorkerHandler(BaseHTTPRequestHandler):
 
 def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
                  port: int = 21002, controller_addr: Optional[str] = None,
-                 background: bool = False, heartbeat: bool = True):
+                 background: bool = False, heartbeat: bool = True,
+                 num_slots: int = 0):
+    """``num_slots > 0`` enables continuous batching: concurrent requests
+    share one S-slot decode loop (serve/batcher.py) instead of serializing
+    through the engine."""
+    batcher = None
+    if num_slots > 0:
+        from video3d_tpu.serve.batcher import ContinuousBatcher
+
+        batcher = ContinuousBatcher(engine, num_slots=num_slots)
     worker_addr = f"http://{host}:{port}"
     worker = ModelWorker(engine, model_name, controller_addr, worker_addr,
-                         heartbeat=heartbeat)
+                         heartbeat=heartbeat, batcher=batcher)
     handler = type("Handler", (_WorkerHandler,), {"worker": worker})
     server = ThreadingHTTPServer((host, port), handler)
     if background:
