@@ -104,3 +104,70 @@ class TestSpeculative:
             eos_token_id=EOS, cache_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(res.tokens),
                                       np.asarray(ref.tokens))
+
+
+class TestRejectionSampling:
+    def test_block_marginals_match_target(self):
+        """Monte-Carlo over 200k keys: the first emission's marginal equals
+        t_probs[0] exactly (the speculative-sampling theorem), and the
+        second emission, conditioned on the first draft being accepted,
+        equals t_probs[1] (valid here because the test dists are
+        prefix-independent)."""
+        from video3d_tpu.models.speculative import rejection_sample_block
+
+        V, K, N = 5, 2, 200_000
+        rng = np.random.default_rng(0)
+        q = rng.dirichlet(np.ones(V), size=(1, K)).astype(np.float32)
+        t = rng.dirichlet(np.ones(V), size=(1, K + 1)).astype(np.float32)
+        qj, tj = jnp.asarray(q), jnp.asarray(t)
+
+        def one(key):
+            dkey, bkey = jax.random.split(key)
+            d = jax.vmap(lambda i: jax.random.categorical(
+                jax.random.fold_in(dkey, i), jnp.log(qj[0, i])))(
+                    jnp.arange(K)).astype(jnp.int32)[None]      # (1, K)
+            emit, a = rejection_sample_block(bkey, d, qj, tj)
+            return emit[0], a[0]
+
+        keys = jax.random.split(jax.random.PRNGKey(1), N)
+        emits, accs = jax.vmap(one)(keys)
+        emits, accs = np.asarray(emits), np.asarray(accs)
+
+        hist0 = np.bincount(emits[:, 0], minlength=V) / N
+        np.testing.assert_allclose(hist0, t[0, 0], atol=0.01)
+
+        sel = accs >= 1            # first draft accepted -> emit[:,1] valid
+        hist1 = np.bincount(emits[sel, 1], minlength=V) / sel.sum()
+        np.testing.assert_allclose(hist1, t[0, 1], atol=0.01)
+
+    def test_topk1_sampling_equals_greedy(self, setup):
+        """top_k=1 collapses the warped distributions to the argmax, so
+        sampled speculative must reproduce vanilla greedy exactly."""
+        params, batch = setup
+        ref = _vanilla(params, batch)
+        res = generate_speculative(
+            params, self_draft_params(params, 1),
+            CFG, self_draft_config(CFG.llm, 1), batch,
+            num_draft_tokens=3, max_new_tokens=N_NEW, eos_token_id=EOS,
+            cache_dtype=jnp.float32, temperature=0.7, top_k=1,
+            rng_key=jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(res.lengths),
+                                      np.asarray(ref.lengths))
+
+    def test_sampled_spec_runs_and_respects_budget(self, setup):
+        params, batch = setup
+        res = generate_speculative(
+            params, self_draft_params(params, CFG.llm.num_hidden_layers),
+            CFG, CFG.llm, batch, num_draft_tokens=4, max_new_tokens=N_NEW,
+            eos_token_id=EOS, cache_dtype=jnp.float32, temperature=1.0,
+            top_p=0.9, rng_key=jax.random.PRNGKey(3))
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        assert toks.shape == (2, N_NEW)
+        assert (lens <= N_NEW).all()
+        for b in range(2):
+            # eos-padded beyond the emitted region
+            if lens[b] < N_NEW:
+                assert (toks[b, lens[b]:] == EOS).any()

@@ -124,8 +124,7 @@ class InferenceEngine:
         """generate_greedy / generate_beam / generate_speculative dispatch."""
         speculative = (self.draft_params is not None
                        or self.ecfg.speculative_draft_layers > 0)
-        if speculative and self.ecfg.num_beams == 1 \
-                and self.ecfg.temperature <= 0.0:
+        if speculative and self.ecfg.num_beams == 1:
             from video3d_tpu.models import speculative as spec
 
             if self.draft_params is not None:
@@ -140,6 +139,8 @@ class InferenceEngine:
                 max_new_tokens=self.ecfg.max_new_tokens,
                 eos_token_id=self.ecfg.eos_token_id,
                 cache_dtype=self._cache_dtype(),
+                temperature=self.ecfg.temperature,
+                top_p=self.ecfg.top_p, top_k=self.ecfg.top_k,
                 vision_features=vision_features)
             from video3d_tpu.models.generate import GenerateResult
 

@@ -32,16 +32,11 @@ def _decode_position_ids(pos: jax.Array) -> jax.Array:
     return jnp.broadcast_to(pos[..., None], (*pos.shape, 3))
 
 
-def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
-                 top_p: float, top_k: int = 0) -> jax.Array:
-    """Temperature + top-k + nucleus sampling; greedy when temperature == 0.
-
-    Mirrors the reference's generation kwargs (model_scanqa.py:176-180:
-    do_sample = temperature > 0, top_p) with HF's warper order
-    (temperature -> top_k -> top_p); everything stays on device.
-    """
-    if temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def warp_logits(logits: jax.Array, temperature: float, top_p: float,
+                top_k: int = 0) -> jax.Array:
+    """HF warper chain (temperature -> top_k -> top_p) on (B, V) logits;
+    masked-out entries become -inf. ``softmax`` of the result is the exact
+    sampling distribution (used by speculative rejection sampling)."""
     logits = logits.astype(jnp.float32) / temperature
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][:, -1:]        # (B, 1)
@@ -55,6 +50,20 @@ def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None],
                                      axis=-1)                 # (B, 1)
         logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
+    return logits
+
+
+def sample_token(logits: jax.Array, key: jax.Array, temperature: float,
+                 top_p: float, top_k: int = 0) -> jax.Array:
+    """Temperature + top-k + nucleus sampling; greedy when temperature == 0.
+
+    Mirrors the reference's generation kwargs (model_scanqa.py:176-180:
+    do_sample = temperature > 0, top_p) with HF's warper order
+    (temperature -> top_k -> top_p); everything stays on device.
+    """
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = warp_logits(logits, temperature, top_p, top_k)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

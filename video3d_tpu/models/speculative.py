@@ -36,7 +36,49 @@ import jax.numpy as jnp
 from video3d_tpu.config import LLMConfig, ModelConfig, replace
 from video3d_tpu.models import llava_video3d as lv3d
 from video3d_tpu.models import qwen2
-from video3d_tpu.models.generate import _decode_position_ids
+from video3d_tpu.models.generate import (_decode_position_ids, sample_token,
+                                         warp_logits)
+
+
+def rejection_sample_block(key: jax.Array, d: jax.Array, q_probs: jax.Array,
+                           t_probs: jax.Array):
+    """Chain speculative rejection sampling (Leviathan et al. 2023; Chen et
+    al. 2023) for one drafted block.
+
+    Args:
+      key: PRNG key for the acceptance draws + the correction sample.
+      d: (B, K) draft tokens, each d_i ~ q_i.
+      q_probs: (B, K, V) draft proposal distributions.
+      t_probs: (B, K+1, V) target distributions (position i conditions on
+        the accepted prefix + d_1..d_i).
+    Returns:
+      (emit (B, K+1), a (B,)): ``emit[:, j]`` is the j-th emission, valid
+      for j <= a. emit[:, j] = d_j for j < a; emit[:, a] is the correction
+      (residual) sample on rejection, or the bonus sample from t_K when all
+      K drafts are accepted. The marginal law of the emitted prefix equals
+      autoregressive sampling from ``t_probs`` exactly.
+    """
+    B, K, V = q_probs.shape
+    u_key, y_key = jax.random.split(key)
+    qd = jnp.take_along_axis(q_probs, d[..., None], axis=-1)[..., 0]
+    pd = jnp.take_along_axis(t_probs[:, :K], d[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(u_key, (B, K))
+    accept = u * qd < pd                     # P = min(1, p/q), no division
+    a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+    # correction/bonus distribution at the stop position: relu(p - q)
+    # normalized on rejection; q row K is zero so a == K yields p itself
+    q_pad = jnp.concatenate([q_probs, jnp.zeros((B, 1, V), q_probs.dtype)],
+                            axis=1)
+    p_sel = jnp.take_along_axis(t_probs, a[:, None, None], axis=1)[:, 0]
+    q_sel = jnp.take_along_axis(q_pad, a[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_sel - q_sel, 0.0)
+    z = resid.sum(-1, keepdims=True)
+    resid = jnp.where(z > 0, resid / z, p_sel)   # p == q: accept prob was 1
+    y = jax.random.categorical(y_key, jnp.log(resid), axis=-1)
+    d_pad = jnp.concatenate([d, d[:, :1]], axis=1)
+    idx = jnp.arange(K + 1)[None]
+    emit = jnp.where(idx < a[:, None], d_pad, y[:, None]).astype(jnp.int32)
+    return emit, a
 
 
 def self_draft_params(params, k: int):
@@ -60,7 +102,7 @@ class SpecResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "num_draft_tokens", "max_new_tokens", "eos_token_id",
-    "max_cache_len", "cache_dtype"))
+    "max_cache_len", "cache_dtype", "temperature", "top_p", "top_k"))
 def generate_speculative(params, draft_params, cfg: ModelConfig,
                          draft_cfg: LLMConfig, batch: lv3d.Batch,
                          num_draft_tokens: int = 4,
@@ -68,18 +110,30 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
                          eos_token_id: int = 151645,
                          max_cache_len: Optional[int] = None,
                          cache_dtype=jnp.bfloat16,
+                         temperature: float = 0.0,
+                         top_p: float = 1.0,
+                         top_k: int = 0,
+                         rng_key: Optional[jax.Array] = None,
                          vision_features: Optional[jax.Array] = None
                          ) -> SpecResult:
-    """Greedy speculative decode; emissions exactly equal generate_greedy.
+    """Speculative decode. Greedy (temperature == 0): emissions exactly
+    equal generate_greedy. Sampled (temperature > 0): chain rejection
+    sampling — the emitted sequence follows the SAME warped target
+    distribution as vanilla sampling (rejection_sample_block), the draft
+    only changes speed.
 
     Each iteration: draft ``K`` tokens (plus one extra draft step that only
     writes the last token's KV so the draft cache always covers the accepted
     stream), verify with one (K+1)-token target forward over
-    ``[cur, d_1..d_K]``. Accepted drafts equal the target's own argmaxes, so
-    the emitted block is simply ``t[:, :a+1]`` where ``a`` counts leading
-    ``d_i == t_{i-1}`` matches.
+    ``[cur, d_1..d_K]``. In greedy mode accepted drafts equal the target's
+    own argmaxes, so the emitted block is simply ``t[:, :a+1]`` where ``a``
+    counts leading ``d_i == t_{i-1}`` matches.
     """
     K = num_draft_tokens
+    sampled = temperature > 0.0
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    rng_key, init_key = jax.random.split(rng_key)
     B, L = batch.text_ids.shape
     if max_cache_len is None:
         # +K+2 slack: the verify block may write past the accepted position
@@ -122,7 +176,7 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         n_fwd: jax.Array
         n_acc: jax.Array
 
-    cur0 = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+    cur0 = sample_token(next_logits, init_key, temperature, top_p, top_k)
     eos0 = cur0 == eos_token_id
     init = State(
         cur=cur0, pos=batch.seq_len,
@@ -138,6 +192,8 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         return ~jnp.all(s.done | (s.out_len >= max_new_tokens))
 
     def body(s: State):
+        base_key = jax.random.fold_in(rng_key, s.n_fwd)
+
         # ---- draft K+1 autoregressive steps (last one only fills KV) ----
         def draft_step(carry, i):
             tok, dc = carry
@@ -146,12 +202,18 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
             h, dc = qwen2.qwen2_forward(
                 draft_params, draft_cfg, emb, _decode_position_ids(p),
                 kv_cache=dc, cache_positions=p, kv_len=p[:, 0] + 1)
-            nxt = jnp.argmax(qwen2.lm_head(draft_params, h)[:, 0],
-                             axis=-1).astype(jnp.int32)
-            return (nxt, dc), nxt
+            logits = qwen2.lm_head(draft_params, h)[:, 0]
+            if sampled:
+                warped = warp_logits(logits, temperature, top_p, top_k)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(base_key, i), warped,
+                    axis=-1).astype(jnp.int32)
+                return (nxt, dc), (nxt, jax.nn.softmax(warped, axis=-1))
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, dc), (nxt, jnp.zeros((logits.shape[0], 0)))
 
-        (_, d_cache), drafts = jax.lax.scan(draft_step, (s.cur, s.d_cache),
-                                            jnp.arange(K + 1))
+        (_, d_cache), (drafts, q_probs) = jax.lax.scan(
+            draft_step, (s.cur, s.d_cache), jnp.arange(K + 1))
         d = drafts.T[:, :K]                                   # (B, K)
 
         # ---- one target forward over [cur, d_1..d_K] ----
@@ -161,15 +223,26 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         h, t_cache = qwen2.qwen2_forward(
             params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
             kv_cache=s.t_cache, cache_positions=bpos, kv_len=s.pos + K + 1)
-        t = jnp.argmax(qwen2.lm_head(params["llm"], h),
-                       axis=-1).astype(jnp.int32)              # (B, K+1)
+        t_logits = qwen2.lm_head(params["llm"], h)             # (B, K+1, V)
 
-        # ---- accept the longest matching prefix ----
-        match = d == t[:, :K]                                  # (B, K)
-        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        if sampled:
+            # ---- rejection-sample against the warped target dists ----
+            B_, Kp1, V = t_logits.shape
+            t_probs = jax.nn.softmax(
+                warp_logits(t_logits.reshape(B_ * Kp1, V), temperature,
+                            top_p, top_k), axis=-1).reshape(B_, Kp1, V)
+            emit, a = rejection_sample_block(
+                jax.random.fold_in(base_key, K + 1),
+                d, q_probs.transpose(1, 0, 2)[:, :K], t_probs)
+        else:
+            # ---- greedy: accept the longest matching prefix ----
+            t = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+            match = d == t[:, :K]                              # (B, K)
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            emit = t
         idx = jnp.arange(K + 1)[None]                          # (B, K+1) iota
         valid = idx <= a[:, None]
-        is_eos = t == eos_token_id
+        is_eos = emit == eos_token_id
         # keep a prefix up to (and including) the first EOS among the valid
         eos_before = jnp.cumsum(jnp.where(valid & is_eos, 1, 0), axis=1) \
             - jnp.where(valid & is_eos, 1, 0)                  # exclusive
@@ -180,7 +253,7 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         # ---- scatter emissions into the output buffer ----
         rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
         cols = jnp.where(keep, s.out_len[:, None] + idx, max_new_tokens)
-        tokens = s.tokens.at[rows, cols].set(t, mode="drop")
+        tokens = s.tokens.at[rows, cols].set(emit, mode="drop")
 
         new_done = s.done | jnp.any(keep & is_eos, axis=1)
         lengths = s.lengths + jnp.sum(keep & ~is_eos, axis=1).astype(jnp.int32)
@@ -189,7 +262,8 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         # for freshly-done samples it is EOS and never used again.
         last_idx = jnp.maximum(n_keep - 1, 0)
         cur = jnp.where(new_done | (n_keep == 0), eos_token_id,
-                        jnp.take_along_axis(t, last_idx[:, None], axis=1)[:, 0])
+                        jnp.take_along_axis(emit, last_idx[:, None],
+                                            axis=1)[:, 0])
         pos = jnp.where(s.done, s.pos, s.pos + n_keep)
         done = new_done | (out_len >= max_new_tokens)
         return State(cur=cur, pos=pos, out_len=out_len, lengths=lengths,
