@@ -237,3 +237,41 @@ class TestPosSkipping:
             assert d.min() >= 0 and d.max() <= 100
             # offsets non-decreasing along the sequence (left <= right)
             assert (np.diff(d[0]) >= 0).all()
+
+
+class TestChunkedLoss:
+    def test_chunked_ce_matches_unchunked_value_and_grads(self):
+        """chunked_language_model_loss == language_model_loss(lm_head(h)),
+        including gradients wrt hidden AND the lm_head weight, with an odd
+        length that forces chunk padding."""
+        import jax
+        import jax.numpy as jnp
+        from video3d_tpu.constants import IGNORE_INDEX
+        from video3d_tpu.models import llava_video3d as lv3d
+        from video3d_tpu.models import qwen2
+
+        B, L, D, V = 2, 23, 16, 37
+        rng = np.random.default_rng(0)
+        hidden = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+        head = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.1)
+        labels = rng.integers(0, V, size=(B, L)).astype(np.int32)
+        labels[0, :7] = IGNORE_INDEX
+        labels[1, -5:] = IGNORE_INDEX
+        labels = jnp.asarray(labels)
+
+        def ref(h, w):
+            logits = qwen2.lm_head({"lm_head": w}, h)
+            return lv3d.language_model_loss(logits, labels)
+
+        def chunked(h, w):
+            return lv3d.chunked_language_model_loss(
+                {"llm": {"lm_head": w}}, h, labels, chunk=8)
+
+        v1, (gh1, gw1) = jax.value_and_grad(ref, argnums=(0, 1))(hidden, head)
+        v2, (gh2, gw2) = jax.value_and_grad(chunked, argnums=(0, 1))(hidden,
+                                                                     head)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gh2), np.asarray(gh1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                                   rtol=1e-5, atol=1e-6)

@@ -548,6 +548,49 @@ def language_model_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
 
 
+def chunked_language_model_loss(params: Params, hidden: jax.Array,
+                                labels: jax.Array,
+                                chunk: int = 1024) -> jax.Array:
+    """Same loss as ``language_model_loss(lm_head(hidden), labels)`` but
+    without ever materializing the (B, L, vocab) logits: a ``lax.scan``
+    over length chunks computes each chunk's lm_head matmul + NLL inside
+    ``jax.checkpoint``, so both forward and backward peak at
+    (B, chunk, vocab) — at L=8k and the 151k Qwen2 vocab that is ~5 GB of
+    f32 logits (plus the log_softmax copy) that never touches HBM.
+    Numerics match the unchunked loss (golden test, tests/test_train.py)."""
+    B, L, D = hidden.shape
+    h = hidden[:, :-1]
+    lab = labels[:, 1:]
+    Lm = L - 1
+    n = -(-Lm // chunk)
+    pad = n * chunk - Lm
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        lab = jnp.pad(lab, ((0, 0), (0, pad)),
+                      constant_values=IGNORE_INDEX)
+    hs = h.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)
+    labs = lab.reshape(B, n, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_nll(head, hc, labc):
+        logits = qwen2.lm_head({"lm_head": head}, hc).astype(jnp.float32)
+        mask = labc != IGNORE_INDEX
+        safe = jnp.where(mask, labc, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (nll * mask).sum(), mask.sum()
+
+    def body(carry, xs):
+        s, c = carry
+        ds, dc = chunk_nll(params["llm"]["lm_head"], *xs)
+        return (s + ds, c + dc), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hs, labs))
+    return total / jnp.maximum(count, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "remat"))
 def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
                       world_coords: jax.Array, object_boxes: jax.Array,

@@ -33,8 +33,10 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
             remat: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    logits = lv3d.forward(params, cfg, batch, remat=remat)
-    lm = lv3d.language_model_loss(logits, batch.labels)
+    # chunked CE: the (B, L, 151k-vocab) logits tensor never materializes
+    # (lm_head + NLL run per length-chunk under jax.checkpoint)
+    hidden, _ = lv3d.forward_hidden(params, cfg, batch, remat=remat)
+    lm = lv3d.chunked_language_model_loss(params, hidden, batch.labels)
     return lm, {"lm_loss": lm}
 
 
