@@ -18,6 +18,7 @@ import optax
 
 from video3d_tpu.config import ModelConfig
 from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.models.qwen2 import lm_head as qwen2_lm_head
 
 
 class TrainState(NamedTuple):
@@ -33,10 +34,19 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
             remat: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    # chunked CE: the (B, L, 151k-vocab) logits tensor never materializes
-    # (lm_head + NLL run per length-chunk under jax.checkpoint)
     hidden, _ = lv3d.forward_hidden(params, cfg, batch, remat=remat)
-    lm = lv3d.chunked_language_model_loss(params, hidden, batch.labels)
+    # Static-shape dispatch (measured, BENCH_NOTES): materialized logits
+    # cost one less lm_head matmul (~10% faster at L=2048) but need
+    # O(L*vocab) f32 HBM x2 (logits + softmax) — impossible at the 151k
+    # vocab beyond ~L=4k on a 16 GB chip. Chunked CE (lm_head + NLL per
+    # length-chunk under jax.checkpoint) caps that at O(chunk*vocab) and
+    # enables the reference's 32k-token training recipe.
+    B, L, _ = hidden.shape
+    if B * L * cfg.llm.vocab_size * 4 > 2 << 30:      # > 2 GiB of logits
+        lm = lv3d.chunked_language_model_loss(params, hidden, batch.labels)
+    else:
+        lm = lv3d.language_model_loss(
+            qwen2_lm_head(params["llm"], hidden), batch.labels)
     return lm, {"lm_loss": lm}
 
 
