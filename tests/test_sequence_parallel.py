@@ -89,3 +89,21 @@ class TestSequenceParallel:
         assert np.isfinite(loss)
         np.testing.assert_allclose(loss, float(ref_metrics["lm_loss"]),
                                    rtol=1e-4)
+
+
+class TestMultiSlice:
+    def test_single_slice_fallback(self):
+        """CPU devices expose no slice_index -> create_multislice_mesh
+        returns an ordinary single-slice mesh covering all devices, so the
+        call is safe unconditionally."""
+        from video3d_tpu.parallel.mesh import create_mesh, create_multislice_mesh
+
+        m = create_multislice_mesh(dp_per_slice=2, tp=2)
+        ref = create_mesh(dp=2, tp=2)
+        assert m.shape == ref.shape
+        assert m.axis_names == ("pp", "dp", "fsdp", "ep", "tp", "sp")
+
+    def test_initialize_multihost_noop_without_cluster(self):
+        from video3d_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()          # must not raise or hang

@@ -49,6 +49,66 @@ def create_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
     return Mesh(arr, axis_names=("pp", "dp", "fsdp", "ep", "tp", "sp"))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY.md §5.8: multi-slice rides DCN via
+    ``jax.distributed.initialize`` — the reference's torchrun/NCCL rendezvous
+    equivalent). No-op when single-process: with no arguments and no cluster
+    environment (TPU metadata / JAX_COORDINATOR_ADDRESS), does nothing, so
+    single-chip and test runs need no guard."""
+    import os
+
+    if (coordinator_address is None and num_processes is None
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ
+            and "COORDINATOR_ADDRESS" not in os.environ
+            and "TPU_WORKER_HOSTNAMES" not in os.environ):
+        return
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        # initialize() must precede first device use; if the backend is
+        # already up we are in a single-process context (tests, notebooks)
+        # where the cluster env vars are stale — proceeding would raise.
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def create_multislice_mesh(dp_per_slice: int = 1, fsdp: Optional[int] = None,
+                           tp: int = 1, ep: int = 1, sp: int = 1,
+                           pp: int = 1) -> Mesh:
+    """Multi-slice mesh: replicas across slices ride DCN, everything else
+    stays inside a slice on ICI.
+
+    The dp axis spans ``n_slices * dp_per_slice`` with the slice boundary
+    outermost (``mesh_utils.create_hybrid_device_mesh`` orders DCN first),
+    so data-parallel gradient all-reduce is the ONLY collective crossing
+    DCN — fsdp/tp/sp/ep collectives remain slice-local, matching the
+    bandwidth hierarchy. Falls back to :func:`create_mesh` on single-slice
+    platforms (CPU meshes, one TPU slice), so callers can use it
+    unconditionally.
+    """
+    devices = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices == 1:
+        return create_mesh(dp=dp_per_slice, fsdp=fsdp, tp=tp, ep=ep, sp=sp,
+                           pp=pp)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // n_slices
+    if fsdp is None:
+        fsdp = per_slice // (dp_per_slice * tp * ep * sp * pp)
+    assert pp * dp_per_slice * fsdp * ep * tp * sp == per_slice, (
+        pp, dp_per_slice, fsdp, ep, tp, sp, per_slice)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(pp, dp_per_slice, fsdp, ep, tp, sp),
+        dcn_mesh_shape=(1, n_slices, 1, 1, 1, 1),
+        devices=devices)
+    return Mesh(arr, axis_names=("pp", "dp", "fsdp", "ep", "tp", "sp"))
+
+
 def active_mesh() -> Optional[Mesh]:
     """The ambient Mesh context (``with mesh:``), or None."""
     try:
