@@ -120,8 +120,17 @@ class InferenceEngine:
         return jnp.int8 if self.ecfg.kv_cache_dtype == "int8" else jnp.bfloat16
 
 
-    def _generate(self, batch, vision_features=None):
+    def _generate(self, batch, vision_features=None, cfg=None):
         """generate_greedy / generate_beam / generate_speculative dispatch."""
+        cfg_save = self.cfg
+        if cfg is not None:
+            self.cfg = cfg
+        try:
+            return self._generate_inner(batch, vision_features)
+        finally:
+            self.cfg = cfg_save
+
+    def _generate_inner(self, batch, vision_features=None):
         speculative = (self.draft_params is not None
                        or self.ecfg.speculative_draft_layers > 0)
         if speculative and self.ecfg.num_beams == 1:
@@ -351,6 +360,49 @@ class InferenceEngine:
             yield self._decode_text(emitted)
             if bool(np.asarray(state.done).all()):
                 break
+
+    def generate_answer_video_file(self, prompt: str, video_path: str,
+                                   video_fps: int = 1,
+                                   add_time_instruction: bool = False) -> str:
+        """Legacy LLaVA-Video modality: a REAL video file (mp4/avi/...),
+        frames sampled with the decord contract (llava/utils.py:25-46 via
+        data/video_file.py), encoded WITHOUT 3D world PE — the reference's
+        plain-video path carries no video_dict, so PE injection is skipped
+        (llava_arch.py:381-429). ``add_time_instruction`` prepends the
+        duration/timestamps prompt exactly as train_3d.py:1258-1260."""
+        from dataclasses import replace as dc_replace
+
+        from video3d_tpu.config import PosEmbedType
+        from video3d_tpu.data.video_file import (load_video_file,
+                                                 time_instruction)
+
+        frames, vtime, ftime, n = load_video_file(
+            video_path, video_fps, self.ecfg.max_frames, force_sample=True)
+        text = prompt if DEFAULT_IMAGE_TOKEN in prompt \
+            else f"{DEFAULT_IMAGE_TOKEN}\n{prompt}"
+        if add_time_instruction:
+            ti = time_instruction(vtime, n, ftime)
+            text = (f"{DEFAULT_IMAGE_TOKEN}\n{ti}\n"
+                    f"{text.replace(DEFAULT_IMAGE_TOKEN, '')}")
+        ids = preprocess_qwen_eval(
+            [{"from": "human", "value": text},
+             {"from": "gpt", "value": None}], self.tokenizer)
+
+        mc = self.cfg
+        S = mc.vision.image_size
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        Vmax = self.ecfg.max_frames
+        V = min(n, Vmax)
+        images = np.zeros((1, Vmax, 3, S, S), np.float32)
+        images[0, :V] = self.ip.preprocess(list(frames[:V]))
+        patch = np.zeros((1, Vmax, g, g, 3), np.float32)
+        plain_cfg = dc_replace(
+            mc, world_3d=dc_replace(mc.world_3d,
+                                    pos_embed=PosEmbedType.NONE))
+        batch, _ = self._build_batch(ids, None, V, images, patch)
+        res = self._generate(batch, cfg=plain_cfg)
+        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        return self._decode_text(toks)
 
     def generate_answer_image(self, prompt: str, image,
                               image_aspect_ratio: Optional[str] = None,
