@@ -171,6 +171,16 @@ def cmd_eval(args, task: str):
     from video3d_tpu.eval import drivers
 
     params, model_cfg = _load_model(args)
+    if getattr(args, "load_in_8bit", False) or getattr(args, "load_in_4bit",
+                                                       False):
+        # reference bitsandbytes branches (model/builder.py quantization
+        # kwargs, train_3d.py load_in_{8,4}bit): weight-only quantization
+        # of the LLM projections + lm_head (models/quant.py; int4 streams
+        # through the pallas matvec kernel)
+        from video3d_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params,
+                               bits=4 if args.load_in_4bit else 8)
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
     tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
@@ -250,6 +260,9 @@ def main(argv=None):
         pe.add_argument("--max-new-tokens", type=int, default=512)
         pe.add_argument("--kv-cache-dtype", choices=("bfloat16", "int8"),
                         default="bfloat16")
+        # weight-only quantization (reference load_in_{8,4}bit flags)
+        pe.add_argument("--load-in-8bit", action="store_true")
+        pe.add_argument("--load-in-4bit", action="store_true")
         # reference generate kwargs (model_scanqa.py:176-180, :228-230)
         pe.add_argument("--temperature", type=float, default=0.0)
         pe.add_argument("--top-p", type=float, default=1.0)

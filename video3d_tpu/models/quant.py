@@ -36,8 +36,79 @@ def quantize_weight(w: jax.Array) -> dict:
     return {"q": q, "scale": scale.astype(jnp.bfloat16)}
 
 
+@jax.tree_util.register_pytree_node_class
+class Int4Weight:
+    """int4-packed weight: arrays are pytree children, (dims, group) are
+    STATIC aux data — inside jit they stay Python ints (shape logic), never
+    tracers."""
+
+    def __init__(self, q4, scale4, dims, group):
+        self.q4 = q4
+        self.scale4 = scale4
+        self.dims = dims
+        self.group = group
+
+    def tree_flatten(self):
+        return (self.q4, self.scale4), (self.dims, self.group)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def quantize_weight_int4(w: jax.Array, group: int = 512) -> "Int4Weight":
+    """Group-wise symmetric int4: two input rows packed per byte
+    (kernels/quant_matvec.py layout), scale per (input group, out channel).
+
+    Halves weight HBM traffic again vs int8 — decode's bottleneck. Inputs
+    whose size doesn't divide ``group`` get zero-padded rows (their scale
+    group still normalizes over real rows only via absmax of the padded
+    block, where the pad contributes 0).
+    """
+    in_, out = w.shape
+    w32 = w.astype(jnp.float32)
+    pad_in = (-in_) % group
+    if pad_in:
+        w32 = jnp.pad(w32, ((0, pad_in), (0, 0)))
+    in_p = in_ + pad_in
+    n_g = in_p // group
+    grouped = w32.reshape(n_g, group, out)
+    absmax = jnp.max(jnp.abs(grouped), axis=1)               # (n_g, out)
+    scale = jnp.maximum(absmax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(grouped / scale[:, None, :]), -7, 7)
+    q = q.reshape(in_p, out).astype(jnp.int8)
+    packed = (q[0::2] & jnp.int8(0x0F)) | (q[1::2] << 4)     # (in_p/2, out)
+    # big matrices pad to 2048 (the kernel wants BIG out tiles — grid-step
+    # overhead dominates small tiles; <=1.3% waste on the lm_head); small
+    # ones (kv projections) pad to 512 so padding never dominates traffic
+    pad_out = (-out) % (2048 if out >= 8192 else 512)
+    if pad_out:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_out)))
+        scale = jnp.pad(scale, ((0, 0), (0, pad_out)))
+    return Int4Weight(packed, scale.astype(jnp.bfloat16), (in_, out), group)
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
-    """x @ w for plain or int8-quantized weights."""
+    """x @ w for plain, int8-, or int4-quantized weights."""
+    if isinstance(w, Int4Weight):
+        from video3d_tpu.kernels.quant_matvec import int4_matmul, unpack_int4
+
+        in_, out = w.dims
+        in_p = w.q4.shape[0] * 2
+        xp = x
+        if in_p != in_:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, in_p - in_)]
+            xp = jnp.pad(x, pad)
+        if jax.default_backend() == "cpu":
+            # XLA fallback (tests / CPU): unpack then dense matmul
+            qw = unpack_int4(w.q4).astype(jnp.float32)
+            sc = jnp.repeat(w.scale4.astype(jnp.float32), w.group, axis=0)
+            y = (xp.astype(jnp.float32) @ (qw * sc)).astype(x.dtype)
+        else:
+            out_p = w.q4.shape[1]
+            bo = 2048 if out_p % 2048 == 0 else 512
+            y = int4_matmul(xp, w.q4, w.scale4, group=w.group, block_out=bo)
+        return y[..., :out]
     if isinstance(w, dict) and "q" in w:
         y = x @ w["q"].astype(x.dtype)
         return y * w["scale"].astype(x.dtype)
@@ -45,12 +116,17 @@ def matmul(x: jax.Array, w) -> jax.Array:
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w
+    return isinstance(w, Int4Weight) or (isinstance(w, dict) and "q" in w)
 
 
-def quantize_tree(params: Any, patterns: Tuple[str, ...] = DEFAULT_PATTERNS) -> Any:
-    """Quantize matching 2-D weights in a param pytree."""
+def quantize_tree(params: Any, patterns: Tuple[str, ...] = DEFAULT_PATTERNS,
+                  bits: int = 8) -> Any:
+    """Quantize matching 2-D weights in a param pytree (bits: 8 or 4)."""
+    assert bits in (8, 4), bits
+
     def walk(tree, prefix=""):
+        if isinstance(tree, Int4Weight):
+            return tree
         if isinstance(tree, dict):
             if "q" in tree and "scale" in tree:
                 return tree
@@ -60,7 +136,8 @@ def quantize_tree(params: Any, patterns: Tuple[str, ...] = DEFAULT_PATTERNS) -> 
             return [walk(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
         if getattr(tree, "ndim", 0) == 2 and any(
                 re.search(p, prefix) for p in patterns):
-            return quantize_weight(tree)
+            return quantize_weight(tree) if bits == 8 \
+                else quantize_weight_int4(tree)
         return tree
 
     return walk(params)
