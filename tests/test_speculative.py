@@ -171,3 +171,39 @@ class TestRejectionSampling:
             # eos-padded beyond the emitted region
             if lens[b] < N_NEW:
                 assert (toks[b, lens[b]:] == EOS).any()
+
+
+class TestInt8CacheInterplay:
+    def test_spec_with_int8_kv_cache_matches_vanilla_int8(self):
+        """Speculative + int8 KV cache: the multi-token verify forward goes
+        through the quantized-cache attention path; output must equal
+        vanilla greedy decoding with the SAME int8 cache."""
+        import jax as _jax
+
+        params = lv3d.init_model(_jax.random.PRNGKey(0), CFG)
+        rng = np.random.default_rng(0)
+        B, V, S = 1, 2, CFG.vision.image_size
+        images = rng.normal(size=(B, V, 3, S, S)).astype(np.float32)
+        g = -(-CFG.vision.num_patches_per_side // CFG.spatial_pool_stride)
+        coords = rng.uniform(0, 50, size=(B, V, g, g, 3)).astype(np.float32)
+        T = CFG.tokens_per_frame
+        plan = build_splice_plan([[3, 4, IMAGE_TOKEN_INDEX, 5]], None, [V],
+                                 tokens_per_frame=T, max_len=6 + V * T + 4,
+                                 grid_side=g)
+        batch = lv3d.Batch(
+            images=jnp.asarray(images), patch_coords=jnp.asarray(coords),
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len))
+        ref = generate_greedy(params, CFG, batch, max_new_tokens=8,
+                              eos_token_id=EOS, cache_dtype=jnp.int8)
+        res = generate_speculative(
+            params, self_draft_params(params, 1),
+            CFG, self_draft_config(CFG.llm, 1), batch,
+            num_draft_tokens=3, max_new_tokens=8, eos_token_id=EOS,
+            cache_dtype=jnp.int8)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
