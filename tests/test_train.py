@@ -275,3 +275,48 @@ class TestChunkedLoss:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestPreemption:
+    def test_sigterm_checkpoints_and_exits(self, tmp_path_factory):
+        """SIGTERM mid-training: the trainer saves a checkpoint at the next
+        step boundary and returns instead of dying uncheckpointed."""
+        import signal
+        import threading
+
+        root = str(tmp_path_factory.mktemp("data"))
+        info = make_fake_scene(root, n_frames=2)
+        ann = make_fake_annotations(root, info["sample_idx"], n=6)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        ds = SupervisedDataset(ann, FakeTokenizer(), dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(max_len=160, frames_upbound=2))
+        out = str(tmp_path_factory.mktemp("out"))
+        from video3d_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        trainer = Trainer(CFG, lv3d.init_model(jax.random.PRNGKey(0), CFG),
+                          ds, col,
+                          OptimConfig(total_steps=60, learning_rate=1e-3),
+                          TrainingConfig(output_dir=out, num_epochs=10,
+                                         per_device_batch_size=1,
+                                         gradient_accumulation_steps=1,
+                                         save_steps=1000, group_by="none",
+                                         bf16=False, dp=1, tp=1),
+                          mesh=mesh)
+        # fire SIGTERM shortly after the first steps start
+        timer = threading.Timer(
+            5.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        timer.start()
+        try:
+            state = trainer.train(resume=False)
+        finally:
+            timer.cancel()
+        # returned (not killed), with a checkpoint on disk at its step
+        assert ckpt.latest_checkpoint(out) is not None
+        # params-only export does NOT exist (we exited early, not finished)
+        steps_done = int(state.step)
+        assert steps_done < 60

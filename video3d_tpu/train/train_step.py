@@ -33,7 +33,8 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 
 def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
-            remat: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+            remat: bool = True, force_chunked_ce: bool = False
+            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     hidden, _ = lv3d.forward_hidden(params, cfg, batch, remat=remat)
     # Static-shape dispatch (measured, BENCH_NOTES): materialized logits
     # cost one less lm_head matmul (~10% faster at L=2048) but need
@@ -42,21 +43,25 @@ def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
     # length-chunk under jax.checkpoint) caps that at O(chunk*vocab) and
     # enables the reference's 32k-token training recipe.
     B, L, _ = hidden.shape
-    if B * L * cfg.llm.vocab_size * 4 > 2 << 30:      # > 2 GiB of logits
-        lm = lv3d.chunked_language_model_loss(params, hidden, batch.labels)
+    if force_chunked_ce or B * L * cfg.llm.vocab_size * 4 > 2 << 30:
+        # > 2 GiB of logits -> chunked
+        lm = lv3d.chunked_language_model_loss(
+            params, hidden, batch.labels, chunk=min(512, L))
     else:
         lm = lv3d.language_model_loss(
             qwen2_lm_head(params["llm"], hidden), batch.labels)
     return lm, {"lm_loss": lm}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "remat"),
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "remat",
+                                             "force_chunked_ce"),
                    donate_argnums=(0,))
 def train_step(state: TrainState, batch: lv3d.Batch, cfg: ModelConfig,
-               tx: optax.GradientTransformation, remat: bool = True):
+               tx: optax.GradientTransformation, remat: bool = True,
+               force_chunked_ce: bool = False):
     """One optimizer step. Returns (new_state, metrics)."""
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, batch, remat)
+        state.params, cfg, batch, remat, force_chunked_ce)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)

@@ -210,6 +210,26 @@ class Trainer:
         metrics_f = open(self.tcfg.metrics_file, "a") if self.tcfg.metrics_file else None
         from video3d_tpu.train.prefetch import BatchPrefetcher
 
+        # Preemption safety (beyond reference — the reference relies on a
+        # 52-week NCCL timeout, llava_trainer.py:327-328; TPU pods instead
+        # get SIGTERM'd): first SIGTERM/SIGINT requests a checkpoint at the
+        # next step boundary, then exits cleanly so auto-resume continues.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            print(f"[trainer] signal {signum}: checkpoint at next step "
+                  "boundary, then exit")
+            preempted["flag"] = True
+
+        prev_handlers = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_term)
+        except ValueError:           # not the main thread (tests)
+            prev_handlers = {}
+
         with self.mesh:
             for epoch in range(self.tcfg.num_epochs):
                 order = self._epoch_order(rng)
@@ -265,10 +285,22 @@ class Trainer:
                                 {"step": global_step, "epoch": epoch,
                                  "step_time_s": step_time, **vals}) + "\n")
                             metrics_f.flush()
-                    if global_step % self.tcfg.save_steps == 0:
+                    if preempted["flag"] or \
+                            global_step % self.tcfg.save_steps == 0:
                         path = ckpt.save_checkpoint(self.tcfg.output_dir,
                                                     global_step, self.state)
                         print(f"[trainer] saved {path}")
+                    if preempted["flag"]:
+                        prefetcher.close()
+                        if metrics_f:
+                            metrics_f.close()
+                        for sig, h in prev_handlers.items():
+                            signal.signal(sig, h)
+                        print(f"[trainer] preempted at step {global_step}; "
+                              "checkpoint saved, exiting for resume")
+                        return self.state
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
         if metrics_f:
             metrics_f.close()
         ckpt.save_params_only(self.tcfg.output_dir, self.state.params)
