@@ -275,3 +275,22 @@ class TestSpeculativeEngine:
             device_geometry=engine.device_geometry)
         spec = spec_engine.generate_answer(q)
         assert spec == vanilla
+
+    def test_acceptance_guard_disables_bad_draft(self, env):
+        """A 1-layer random draft accepts ~nothing; with a min-acceptance
+        threshold the engine falls back to vanilla after a few requests,
+        and answers stay identical throughout (speculation is never wrong)."""
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok, outdir = env
+        q = scanqa_question(info, 0)
+        want = engine.generate_answer(q)
+        spec_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, speculative_draft_layers=1,
+                       speculative_k=3, speculative_min_acceptance=0.99),
+            device_geometry=engine.device_geometry)
+        outs = [spec_engine.generate_answer(q) for _ in range(3)]
+        assert all(o == want for o in outs)
+        assert spec_engine._spec_disabled     # guard tripped
+        assert spec_engine.spec_stats[1] > 0

@@ -69,9 +69,14 @@ class EngineConfig:
     # speculative decoding (beyond-reference; models/speculative.py):
     # draft-layers > 0 enables an early-exit self-draft of that many target
     # layers (or call engine.set_draft_model for standalone draft weights);
-    # greedy only — output is bit-identical to vanilla greedy
+    # greedy output is bit-identical, sampled output follows the exact
+    # warped target distribution
     speculative_draft_layers: int = 0
     speculative_k: int = 4
+    # production guard: if > 0 and the measured draft acceptance rate drops
+    # below this after a few requests, fall back to vanilla decoding (a bad
+    # draft makes speculation slower, never wrong)
+    speculative_min_acceptance: float = 0.0
 
 
 SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
@@ -109,6 +114,9 @@ class InferenceEngine:
         self.device_geometry = device_geometry
         self.draft_params = None
         self.draft_cfg = None
+        # cumulative speculative stats: [accepted drafts, draft slots offered]
+        self.spec_stats = [0, 0]
+        self._spec_disabled = False
 
     def set_draft_model(self, draft_params, draft_cfg):
         """Attach standalone draft weights (same vocab + hidden size) for
@@ -132,7 +140,8 @@ class InferenceEngine:
 
     def _generate_inner(self, batch, vision_features=None):
         speculative = (self.draft_params is not None
-                       or self.ecfg.speculative_draft_layers > 0)
+                       or self.ecfg.speculative_draft_layers > 0) \
+            and not self._spec_disabled
         if speculative and self.ecfg.num_beams == 1:
             from video3d_tpu.models import speculative as spec
 
@@ -151,6 +160,16 @@ class InferenceEngine:
                 temperature=self.ecfg.temperature,
                 top_p=self.ecfg.top_p, top_k=self.ecfg.top_k,
                 vision_features=vision_features)
+            self.spec_stats[0] += int(res.accepted_drafts)
+            self.spec_stats[1] += int(res.target_forwards) \
+                * self.ecfg.speculative_k
+            min_acc = self.ecfg.speculative_min_acceptance
+            if min_acc > 0 and self.spec_stats[1] >= 5 * self.ecfg.speculative_k:
+                rate = self.spec_stats[0] / max(self.spec_stats[1], 1)
+                if rate < min_acc:
+                    print(f"[engine] speculative acceptance {rate:.2f} < "
+                          f"{min_acc}; falling back to vanilla decoding")
+                    self._spec_disabled = True
             from video3d_tpu.models.generate import GenerateResult
 
             return GenerateResult(tokens=res.tokens, lengths=res.lengths)
