@@ -196,7 +196,10 @@ def decode_chunk(params, cfg: ModelConfig, state: DecodeState,
             _decode_position_ids(s.pos[:, None]),
             kv_cache=s.cache, cache_positions=s.pos[:, None],
             kv_len=s.pos + 1)
-        logits = qwen2.lm_head(params["llm"], hidden)[:, 0]
+        # keep the carry dtype stable: a persistent batcher state may hold
+        # f32 logits (empty_decode_state) while bf16 params emit bf16
+        logits = qwen2.lm_head(params["llm"],
+                               hidden)[:, 0].astype(s.next_logits.dtype)
         new = DecodeState(next_logits=logits, cache=cache, pos=s.pos + 1,
                           done=now_done, step=s.step + 1)
         return new, tok
