@@ -99,6 +99,29 @@ class TestEvalCli:
         assert len(records) == 2
         assert all(isinstance(r["pred_response"], str) for r in records)
 
+    def test_eval_load_in_4bit(self, env, tmp_path, monkeypatch):
+        """--load-in-4bit: quantize_tree(bits=4) runs on the loaded params
+        and the eval completes through the int4 matmul dispatch."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        qfile = str(tmp_path / "q4.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": "q0_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat is here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what",
+                             "answers": ["chair"]}}], f)
+        afile = str(tmp_path / "a4.jsonl")
+        cli.main(["eval-scanqa", "--model-path", ckpt,
+                  "--question-file", qfile, "--answer-file", afile,
+                  "--max-new-tokens", "4", "--load-in-4bit",
+                  *data_flags(root)])
+        records = [json.loads(l) for l in open(afile)]
+        assert len(records) == 1
+        assert isinstance(records[0]["pred_response"], str)
+
     def test_eval_rank_world_striping(self, env, tmp_path, monkeypatch):
         root, info, ckpt = env
         monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())

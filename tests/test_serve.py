@@ -129,3 +129,59 @@ class TestServe:
             "worker_name": waddr, "check_heart_beat": True,
             "worker_status": {"model_names": ["video3d-tiny"], "speed": 1,
                               "queue_length": 0}})
+
+
+
+class TestBatcherWorker:
+    def test_worker_with_continuous_batching(self, tmp_path_factory):
+        """serve_worker(num_slots=2): concurrent /worker_generate requests
+        run through the shared S-slot decode loop and match the sequential
+        engine answer."""
+        import threading
+        import urllib.request
+
+        root = str(tmp_path_factory.mktemp("data"))
+        info = make_fake_scene(root, n_frames=2)
+        data_cfg = DataConfig(video_folder=root,
+                              annotation_dir=os.path.join(root,
+                                                          "embodiedscan"),
+                              metadata_dir=os.path.join(root, "metadata"),
+                              frames_upbound=2)
+        tok = FakeTokenizer()
+        engine = InferenceEngine(
+            lv3d.init_model(jax.random.PRNGKey(0), CFG), CFG, tok,
+            VideoProcessor(data_cfg),
+            SigLipImageProcessor(size=(CFG.vision.image_size,) * 2),
+            EngineConfig(max_new_tokens=3, eos_token_id=tok.eos_token_id,
+                         max_frames=2, buckets=(256,), stop_str=""))
+        want = engine.generate_answer({
+            "video": info["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat is in the room"},
+                {"from": "gpt", "value": None}]})
+
+        port = free_port()
+        worker, server = serve_worker(engine, "video3d-batched", port=port,
+                                      background=True, heartbeat=False,
+                                      num_slots=2)
+        try:
+            addr = f"http://127.0.0.1:{port}"
+            results = [None, None]
+
+            def hit(i):
+                results[i] = _post_json(addr + "/worker_generate", {
+                    "video": info["sample_idx"],
+                    "prompt": "<image>\nwhat is in the room"}, timeout=300)
+
+            threads = [threading.Thread(target=hit, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            for r in results:
+                assert r is not None and r["error_code"] == 0, results
+                assert r["text"] == want
+        finally:
+            worker.batcher.shutdown()
+            server.shutdown()
