@@ -129,16 +129,13 @@ class InferenceEngine:
 
 
     def _generate(self, batch, vision_features=None, cfg=None):
-        """generate_greedy / generate_beam / generate_speculative dispatch."""
-        cfg_save = self.cfg
-        if cfg is not None:
-            self.cfg = cfg
-        try:
-            return self._generate_inner(batch, vision_features)
-        finally:
-            self.cfg = cfg_save
+        """generate_greedy / generate_beam / generate_speculative dispatch.
 
-    def _generate_inner(self, batch, vision_features=None):
+        ``cfg`` overrides the model config for this call only (the
+        plain-video path swaps the PE type) — passed down, never mutated on
+        the shared engine (worker threads + the batcher scheduler all read
+        self.cfg concurrently)."""
+        cfg = cfg if cfg is not None else self.cfg
         speculative = (self.draft_params is not None
                        or self.ecfg.speculative_draft_layers > 0) \
             and not self._spec_disabled
@@ -150,9 +147,9 @@ class InferenceEngine:
             else:
                 k = self.ecfg.speculative_draft_layers
                 dp = spec.self_draft_params(self.params, k)
-                dc = spec.self_draft_config(self.cfg.llm, k)
+                dc = spec.self_draft_config(cfg.llm, k)
             res = spec.generate_speculative(
-                self.params, dp, self.cfg, dc, batch,
+                self.params, dp, cfg, dc, batch,
                 num_draft_tokens=self.ecfg.speculative_k,
                 max_new_tokens=self.ecfg.max_new_tokens,
                 eos_token_id=self.ecfg.eos_token_id,
@@ -160,9 +157,12 @@ class InferenceEngine:
                 temperature=self.ecfg.temperature,
                 top_p=self.ecfg.top_p, top_k=self.ecfg.top_k,
                 vision_features=vision_features)
+            # offered slots: n_fwd counts the prefill (no drafts), so loop
+            # iterations are n_fwd - 1; accepted_drafts sums over the batch
+            B_req = int(res.tokens.shape[0])
             self.spec_stats[0] += int(res.accepted_drafts)
-            self.spec_stats[1] += int(res.target_forwards) \
-                * self.ecfg.speculative_k
+            self.spec_stats[1] += max(int(res.target_forwards) - 1, 0) \
+                * self.ecfg.speculative_k * B_req
             min_acc = self.ecfg.speculative_min_acceptance
             if min_acc > 0 and self.spec_stats[1] >= 5 * self.ecfg.speculative_k:
                 rate = self.spec_stats[0] / max(self.spec_stats[1], 1)
@@ -176,7 +176,7 @@ class InferenceEngine:
         if self.ecfg.num_beams > 1:
             from video3d_tpu.models.beam_search import generate_beam
 
-            return generate_beam(self.params, self.cfg, batch,
+            return generate_beam(self.params, cfg, batch,
                                  num_beams=self.ecfg.num_beams,
                                  max_new_tokens=self.ecfg.max_new_tokens,
                                  eos_token_id=self.ecfg.eos_token_id,
@@ -184,7 +184,7 @@ class InferenceEngine:
                                  length_penalty=self.ecfg.length_penalty,
                                  early_stopping=self.ecfg.early_stopping,
                                  vision_features=vision_features)
-        return generate_greedy(self.params, self.cfg, batch,
+        return generate_greedy(self.params, cfg, batch,
                                max_new_tokens=self.ecfg.max_new_tokens,
                                eos_token_id=self.ecfg.eos_token_id,
                                cache_dtype=self._cache_dtype(),

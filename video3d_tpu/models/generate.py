@@ -143,7 +143,7 @@ def empty_decode_state(cfg: ModelConfig, num_slots: int, max_cache_len: int,
         step=jnp.zeros((), jnp.int32))
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def insert_decode_slot(state: DecodeState, slot: jax.Array,
                        sub: DecodeState) -> DecodeState:
     """Graft a freshly-prefilled B=1 DecodeState into row ``slot``. One jit
@@ -159,7 +159,7 @@ def insert_decode_slot(state: DecodeState, slot: jax.Array,
         step=state.step)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def release_decode_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
     """Force a slot done (request finished / budget exhausted / cancelled);
     decode_chunk then emits EOS padding for it until it is reused."""
@@ -167,7 +167,8 @@ def release_decode_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
-                                             "temperature", "top_p", "top_k"))
+                                             "temperature", "top_p", "top_k"),
+                   donate_argnums=(2,))
 def decode_chunk(params, cfg: ModelConfig, state: DecodeState,
                  chunk: int = 16, eos_token_id: int = 151645,
                  temperature: float = 0.0, top_p: float = 1.0,

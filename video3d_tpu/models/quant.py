@@ -99,11 +99,24 @@ def matmul(x: jax.Array, w) -> jax.Array:
         if in_p != in_:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, in_p - in_)]
             xp = jnp.pad(x, pad)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        # The pallas kernel is a MATVEC: its blocks carry the whole
+        # flattened batch, so it only fits decode-sized row counts. Prefill
+        # (rows ~ B * bucket_len) takes the unpack+dense path — a one-time
+        # bf16 materialization XLA streams through the MXU.
         if jax.default_backend() == "cpu":
-            # XLA fallback (tests / CPU): unpack then dense matmul
+            # reference fallback (tests): full f32 dequant matmul
             qw = unpack_int4(w.q4).astype(jnp.float32)
             sc = jnp.repeat(w.scale4.astype(jnp.float32), w.group, axis=0)
             y = (xp.astype(jnp.float32) @ (qw * sc)).astype(x.dtype)
+        elif rows > 32:
+            # prefill on TPU: transient bf16 dequant (nibbles are exact in
+            # bf16; scales are stored in bf16 anyway), streamed by the MXU
+            qw = unpack_int4(w.q4).astype(jnp.bfloat16)
+            sc = jnp.repeat(w.scale4, w.group, axis=0)
+            y = (xp.astype(jnp.bfloat16) @ (qw * sc)).astype(x.dtype)
         else:
             out_p = w.q4.shape[1]
             bo = 2048 if out_p % 2048 == 0 else 512

@@ -325,17 +325,22 @@ def init_qformer(key: jax.Array, encoder_width: int, num_latents: int = 32,
 def apply_resampler(resampler_type: Optional[str], p: Params,
                     image_features: jax.Array, *,
                     images_hw: Tuple[int, int] = (384, 384),
-                    mode: str = "average", stride: int = 2,
+                    mode: Optional[str] = None, stride: int = 2,
                     rng: Optional[jax.Array] = None, ratio: float = 0.5,
                     training: bool = False) -> jax.Array:
-    """build_vision_resampler dispatch; ``None`` -> identity."""
+    """build_vision_resampler dispatch; ``None`` -> identity.
+
+    ``mode`` namespaces differ per resampler: spatial_pool defaults to
+    'average' (mm_spatial_pool_mode) and masked_drop to 'fixed'
+    (mm_mask_drop_mode) — matching each reference module's default."""
     if resampler_type in (None, "identity"):
         return image_features
     if resampler_type == "spatial_pool":
-        return spatial_pool(p, image_features, images_hw, mode, stride)
+        return spatial_pool(p, image_features, images_hw, mode or "average",
+                            stride)
     if resampler_type == "masked_drop":
-        return masked_drop(image_features, rng, mode=mode, ratio=ratio,
-                           training=training)
+        return masked_drop(image_features, rng, mode=mode or "fixed",
+                           ratio=ratio, training=training)
     if resampler_type == "perceiver":
         return perceiver_resampler(p, image_features)
     if resampler_type == "qformer":

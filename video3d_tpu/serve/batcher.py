@@ -122,6 +122,22 @@ class ContinuousBatcher:
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=30)
+        # fail everything still waiting so result()/text_stream() callers
+        # never hang on a stopped batcher
+        err = RuntimeError("batcher shut down")
+        for s in range(self.num_slots):
+            req = self.slots[s]
+            if req is not None:
+                self.slots[s] = None
+                req.error = err
+                req._q.put(BatchedRequest._DONE)
+        while True:
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            req.error = err
+            req._q.put(BatchedRequest._DONE)
 
     # ------------- scheduler -------------
 
@@ -133,6 +149,11 @@ class ContinuousBatcher:
         try:
             batch, vision_features = eng._prepare_generation(
                 req.record, req.box_input, req.coord_token_id)
+            # clamp the budget to the cache row: positions past
+            # max_cache_len would silently drop KV writes
+            room = self.max_cache_len - int(batch.text_ids.shape[1])
+            if req.max_new_tokens > room:
+                req.max_new_tokens = max(room, 0)
             sub = start_decode(eng.params, eng.cfg, batch,
                                max_cache_len=self.max_cache_len,
                                cache_dtype=eng._cache_dtype(),
@@ -174,11 +195,27 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
             # ---- one decode chunk for every in-flight request ----
-            self.state, toks = decode_chunk(
-                eng.params, eng.cfg, self.state, chunk=self.chunk,
-                eos_token_id=eos, temperature=eng.ecfg.temperature,
-                top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
-            rows = np.asarray(toks)
+            try:
+                self.state, toks = decode_chunk(
+                    eng.params, eng.cfg, self.state, chunk=self.chunk,
+                    eos_token_id=eos, temperature=eng.ecfg.temperature,
+                    top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
+                rows = np.asarray(toks)
+            except Exception as e:  # noqa: BLE001 — keep the loop alive
+                # a decode failure must not strand callers: fail every
+                # in-flight request, reset the state, keep serving
+                print(f"[batcher] decode failed: {e!r}; failing "
+                      f"{sum(r is not None for r in self.slots)} requests")
+                for s in range(self.num_slots):
+                    req = self.slots[s]
+                    if req is not None:
+                        self.slots[s] = None
+                        req.error = e
+                        req._q.put(BatchedRequest._DONE)
+                self.state = empty_decode_state(
+                    eng.cfg, self.num_slots, self.max_cache_len,
+                    cache_dtype=eng._cache_dtype())
+                continue
             for s in range(self.num_slots):
                 req = self.slots[s]
                 if req is None:
