@@ -95,3 +95,52 @@ class TestContinuousBatcher:
                                                   "what color is the chair"))
         finally:
             batcher.shutdown()
+
+
+class TestSpeculativeBatcher:
+    def test_spec_batcher_matches_sequential(self, env):
+        """Continuous batching WITH speculative decoding (early-exit
+        self-draft): still bit-identical to the sequential engine (greedy
+        verification), across 3 requests through 2 slots."""
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok = env
+        records = [_record(info, q) for q in
+                   ("what color is the chair", "how many tables",
+                    "where is the lamp")]
+        want = [engine.generate_answer(r) for r in records]
+
+        spec_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, speculative_draft_layers=1,
+                       speculative_k=3),
+            device_geometry=engine.device_geometry)
+        batcher = ContinuousBatcher(spec_engine, num_slots=2, chunk=2)
+        assert batcher.spec
+        try:
+            handles = [batcher.submit(r) for r in records]
+            got = [h.result(engine._decode_text, timeout=300)
+                   for h in handles]
+        finally:
+            batcher.shutdown()
+        assert got == want
+
+    def test_spec_batcher_streaming(self, env):
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok = env
+        record = _record(info, "describe the scene")
+        want = engine.generate_answer(record)
+        spec_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, speculative_draft_layers=1,
+                       speculative_k=2),
+            device_geometry=engine.device_geometry)
+        batcher = ContinuousBatcher(spec_engine, num_slots=1, chunk=1)
+        try:
+            chunks = list(batcher.generate_stream(record))
+        finally:
+            batcher.shutdown()
+        assert chunks and chunks[-1] == want
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.startswith(a)

@@ -100,6 +100,100 @@ class SpecResult(NamedTuple):
     accepted_drafts: jax.Array  # () total draft tokens accepted
 
 
+def spec_prefill(params, draft_params, cfg: ModelConfig,
+                 draft_cfg: LLMConfig, batch: lv3d.Batch,
+                 max_cache_len: int, cache_dtype=jnp.bfloat16,
+                 vision_features: Optional[jax.Array] = None):
+    """Shared vision encode + splice, then prefill BOTH models' caches.
+    Returns (next_logits (B, vocab), target_cache, draft_cache)."""
+    B, L = batch.text_ids.shape
+    if vision_features is None:
+        vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
+        spliceable = vt.spliceable
+    else:
+        spliceable = vision_features
+    embeds = lv3d.assemble_embeds(params, cfg, spliceable, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+    pos3 = lv3d._position_ids_3d(batch, cfg)
+    fill_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+
+    def _prefill(p, c: LLMConfig):
+        cache = qwen2.KVCache.zeros(c, B, max_cache_len, dtype=cache_dtype)
+        hidden, cache = qwen2.qwen2_forward(
+            p, c, embeds, pos3, kv_cache=cache,
+            cache_positions=fill_positions, kv_len=batch.seq_len,
+            prefill=True)
+        last = jnp.take_along_axis(hidden,
+                                   (batch.seq_len - 1)[:, None, None], axis=1)
+        return qwen2.lm_head(p, last)[:, 0], cache
+
+    next_logits, t_cache = _prefill(params["llm"], cfg.llm)
+    _, d_cache = _prefill(draft_params, draft_cfg)
+    return next_logits, t_cache, d_cache
+
+
+def spec_iteration(params, draft_params, cfg: ModelConfig,
+                   draft_cfg: LLMConfig, cur, pos, t_cache, d_cache,
+                   base_key, K: int, temperature: float, top_p: float,
+                   top_k: int):
+    """One speculative round for a (B,)-batch of independent streams.
+
+    Drafts K tokens from ``cur`` at ``pos`` (K+1 draft forwards; the extra
+    one only fills the draft KV), verifies with one (K+1)-token target
+    forward, and accepts greedily (temperature == 0) or by chain rejection
+    sampling. Returns (emit (B, K+1), a (B,), t_cache, d_cache): emissions
+    ``emit[:, j]`` are valid for j <= a; callers apply their own EOS /
+    budget truncation and advance cur/pos from the kept prefix.
+    """
+    sampled = temperature > 0.0
+
+    def draft_step(carry, i):
+        tok, dc = carry
+        emb = qwen2.embed_tokens(draft_params, tok[:, None])
+        p = (pos + i)[:, None]                               # (B, 1)
+        h, dc = qwen2.qwen2_forward(
+            draft_params, draft_cfg, emb, _decode_position_ids(p),
+            kv_cache=dc, cache_positions=p, kv_len=p[:, 0] + 1)
+        logits = qwen2.lm_head(draft_params, h)[:, 0]
+        if sampled:
+            warped = warp_logits(logits, temperature, top_p, top_k)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(base_key, i), warped,
+                axis=-1).astype(jnp.int32)
+            return (nxt, dc), (nxt, jax.nn.softmax(warped, axis=-1))
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, dc), (nxt, jnp.zeros((logits.shape[0], 0)))
+
+    (_, d_cache), (drafts, q_probs) = jax.lax.scan(
+        draft_step, (cur, d_cache), jnp.arange(K + 1))
+    d = drafts.T[:, :K]                                       # (B, K)
+
+    # ---- one target forward over [cur, d_1..d_K] ----
+    block = jnp.concatenate([cur[:, None], d], axis=1)        # (B, K+1)
+    bpos = pos[:, None] + jnp.arange(K + 1)[None]
+    emb = qwen2.embed_tokens(params["llm"], block)
+    h, t_cache = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
+        kv_cache=t_cache, cache_positions=bpos, kv_len=pos + K + 1)
+    t_logits = qwen2.lm_head(params["llm"], h)                # (B, K+1, V)
+
+    if sampled:
+        B_, Kp1, V = t_logits.shape
+        t_probs = jax.nn.softmax(
+            warp_logits(t_logits.reshape(B_ * Kp1, V), temperature,
+                        top_p, top_k), axis=-1).reshape(B_, Kp1, V)
+        emit, a = rejection_sample_block(
+            jax.random.fold_in(base_key, K + 1),
+            d, q_probs.transpose(1, 0, 2)[:, :K], t_probs)
+    else:
+        t = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+        match = d == t[:, :K]                                 # (B, K)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        emit = t
+    return emit, a, t_cache, d_cache
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "num_draft_tokens", "max_new_tokens", "eos_token_id",
     "max_cache_len", "cache_dtype", "temperature", "top_p", "top_k"))
@@ -139,30 +233,9 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         # +K+2 slack: the verify block may write past the accepted position
         max_cache_len = L + max_new_tokens + K + 2
 
-    # ---- shared vision encode + splice (one pass, both models use it) ----
-    if vision_features is None:
-        vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
-        spliceable = vt.spliceable
-    else:
-        spliceable = vision_features
-    embeds = lv3d.assemble_embeds(params, cfg, spliceable, batch.text_ids,
-                                  batch.kind, batch.vision_index,
-                                  batch.coord_mask, batch.box_input)
-    pos3 = lv3d._position_ids_3d(batch, cfg)
-    fill_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
-
-    def _prefill(p, c: LLMConfig):
-        cache = qwen2.KVCache.zeros(c, B, max_cache_len, dtype=cache_dtype)
-        hidden, cache = qwen2.qwen2_forward(
-            p, c, embeds, pos3, kv_cache=cache,
-            cache_positions=fill_positions, kv_len=batch.seq_len,
-            prefill=True)
-        last = jnp.take_along_axis(hidden,
-                                   (batch.seq_len - 1)[:, None, None], axis=1)
-        return qwen2.lm_head(p, last)[:, 0], cache
-
-    next_logits, t_cache = _prefill(params["llm"], cfg.llm)
-    _, d_cache = _prefill(draft_params, draft_cfg)
+    next_logits, t_cache, d_cache = spec_prefill(
+        params, draft_params, cfg, draft_cfg, batch, max_cache_len,
+        cache_dtype, vision_features)
 
     class State(NamedTuple):
         cur: jax.Array          # (B,) last emitted token, not yet in caches
@@ -193,53 +266,9 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
 
     def body(s: State):
         base_key = jax.random.fold_in(rng_key, s.n_fwd)
-
-        # ---- draft K+1 autoregressive steps (last one only fills KV) ----
-        def draft_step(carry, i):
-            tok, dc = carry
-            emb = qwen2.embed_tokens(draft_params, tok[:, None])
-            p = (s.pos + i)[:, None]                         # (B, 1)
-            h, dc = qwen2.qwen2_forward(
-                draft_params, draft_cfg, emb, _decode_position_ids(p),
-                kv_cache=dc, cache_positions=p, kv_len=p[:, 0] + 1)
-            logits = qwen2.lm_head(draft_params, h)[:, 0]
-            if sampled:
-                warped = warp_logits(logits, temperature, top_p, top_k)
-                nxt = jax.random.categorical(
-                    jax.random.fold_in(base_key, i), warped,
-                    axis=-1).astype(jnp.int32)
-                return (nxt, dc), (nxt, jax.nn.softmax(warped, axis=-1))
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, dc), (nxt, jnp.zeros((logits.shape[0], 0)))
-
-        (_, d_cache), (drafts, q_probs) = jax.lax.scan(
-            draft_step, (s.cur, s.d_cache), jnp.arange(K + 1))
-        d = drafts.T[:, :K]                                   # (B, K)
-
-        # ---- one target forward over [cur, d_1..d_K] ----
-        block = jnp.concatenate([s.cur[:, None], d], axis=1)  # (B, K+1)
-        bpos = s.pos[:, None] + jnp.arange(K + 1)[None]
-        emb = qwen2.embed_tokens(params["llm"], block)
-        h, t_cache = qwen2.qwen2_forward(
-            params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
-            kv_cache=s.t_cache, cache_positions=bpos, kv_len=s.pos + K + 1)
-        t_logits = qwen2.lm_head(params["llm"], h)             # (B, K+1, V)
-
-        if sampled:
-            # ---- rejection-sample against the warped target dists ----
-            B_, Kp1, V = t_logits.shape
-            t_probs = jax.nn.softmax(
-                warp_logits(t_logits.reshape(B_ * Kp1, V), temperature,
-                            top_p, top_k), axis=-1).reshape(B_, Kp1, V)
-            emit, a = rejection_sample_block(
-                jax.random.fold_in(base_key, K + 1),
-                d, q_probs.transpose(1, 0, 2)[:, :K], t_probs)
-        else:
-            # ---- greedy: accept the longest matching prefix ----
-            t = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
-            match = d == t[:, :K]                              # (B, K)
-            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-            emit = t
+        emit, a, t_cache, d_cache = spec_iteration(
+            params, draft_params, cfg, draft_cfg, s.cur, s.pos,
+            s.t_cache, s.d_cache, base_key, K, temperature, top_p, top_k)
         idx = jnp.arange(K + 1)[None]                          # (B, K+1) iota
         valid = idx <= a[:, None]
         is_eos = emit == eos_token_id
@@ -276,3 +305,124 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
                       lengths=jnp.minimum(final.lengths, max_new_tokens),
                       target_forwards=final.n_fwd,
                       accepted_drafts=final.n_acc)
+
+
+# ---------------------------------------------------------------------------
+# Persistent slots: speculative decoding inside the continuous batcher
+# (serve/batcher.py) — the S-slot analogue of models/generate.py's
+# DecodeState/insert/release, carrying BOTH models' caches per slot.
+# ---------------------------------------------------------------------------
+
+class SpecSlots(NamedTuple):
+    cur: jax.Array           # (S,) last emitted token per slot (not cached)
+    pos: jax.Array           # (S,) absolute position of ``cur``
+    done: jax.Array          # (S,)
+    t_cache: qwen2.KVCache
+    d_cache: qwen2.KVCache
+    n_iter: jax.Array        # () rng stream counter
+
+
+def empty_spec_slots(cfg: ModelConfig, draft_cfg: LLMConfig, num_slots: int,
+                     max_cache_len: int, cache_dtype=jnp.bfloat16
+                     ) -> SpecSlots:
+    return SpecSlots(
+        cur=jnp.zeros((num_slots,), jnp.int32),
+        pos=jnp.zeros((num_slots,), jnp.int32),
+        done=jnp.ones((num_slots,), bool),
+        t_cache=qwen2.KVCache.zeros(cfg.llm, num_slots, max_cache_len,
+                                    dtype=cache_dtype),
+        d_cache=qwen2.KVCache.zeros(draft_cfg, num_slots, max_cache_len,
+                                    dtype=cache_dtype),
+        n_iter=jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "max_cache_len", "cache_dtype", "temperature",
+    "top_p", "top_k"))
+def spec_start(params, draft_params, cfg: ModelConfig, draft_cfg: LLMConfig,
+               batch: lv3d.Batch, max_cache_len: int,
+               cache_dtype=jnp.bfloat16, temperature: float = 0.0,
+               top_p: float = 1.0, top_k: int = 0,
+               rng_key: Optional[jax.Array] = None,
+               vision_features: Optional[jax.Array] = None):
+    """Prefill both models for one request (B=1) and emit the FIRST token.
+    Returns (SpecSlots with one slot, first_token (B,))."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    next_logits, t_cache, d_cache = spec_prefill(
+        params, draft_params, cfg, draft_cfg, batch, max_cache_len,
+        cache_dtype, vision_features)
+    cur0 = sample_token(next_logits, rng_key, temperature, top_p, top_k)
+    return SpecSlots(cur=cur0, pos=batch.seq_len,
+                     done=cur0 == -1,          # never: real done is host-side
+                     t_cache=t_cache, d_cache=d_cache,
+                     n_iter=jnp.zeros((), jnp.int32)), cur0
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert_spec_slot(slots: SpecSlots, slot: jax.Array,
+                     sub: SpecSlots) -> SpecSlots:
+    """Graft a spec_start result (B=1) into row ``slot`` of both caches."""
+    graft = lambda big, small: big.at[:, slot].set(small[:, 0])
+    return SpecSlots(
+        cur=slots.cur.at[slot].set(sub.cur[0]),
+        pos=slots.pos.at[slot].set(sub.pos[0]),
+        done=slots.done.at[slot].set(False),
+        t_cache=jax.tree.map(graft, slots.t_cache, sub.t_cache),
+        d_cache=jax.tree.map(graft, slots.d_cache, sub.d_cache),
+        n_iter=slots.n_iter)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def release_spec_slot(slots: SpecSlots, slot: jax.Array) -> SpecSlots:
+    return slots._replace(done=slots.done.at[slot].set(True))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "iters", "num_draft_tokens", "eos_token_id",
+    "temperature", "top_p", "top_k"), donate_argnums=(4,))
+def spec_decode_chunk(params, draft_params, cfg: ModelConfig,
+                      draft_cfg: LLMConfig, slots: SpecSlots,
+                      iters: int = 4, num_draft_tokens: int = 4,
+                      eos_token_id: int = 151645,
+                      temperature: float = 0.0, top_p: float = 1.0,
+                      top_k: int = 0,
+                      rng_key: Optional[jax.Array] = None):
+    """Run ``iters`` speculative rounds for every active slot.
+
+    Returns (slots, emit (S, iters, K+1), keep (S, iters, K+1) bool): per
+    iteration, ``emit[s, j, :]`` holds that round's candidate emissions and
+    ``keep`` marks the accepted/EOS-truncated prefix (empty for done
+    slots). The host walks ``keep`` to stream tokens and applies
+    per-request budgets by releasing the slot.
+    """
+    K = num_draft_tokens
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def body(s: SpecSlots, _):
+        base_key = jax.random.fold_in(rng_key, s.n_iter)
+        emit, a, t_cache, d_cache = spec_iteration(
+            params, draft_params, cfg, draft_cfg, s.cur, s.pos,
+            s.t_cache, s.d_cache, base_key, K, temperature, top_p, top_k)
+        idx = jnp.arange(K + 1)[None]
+        valid = idx <= a[:, None]
+        is_eos = emit == eos_token_id
+        eos_before = jnp.cumsum(jnp.where(valid & is_eos, 1, 0), axis=1) \
+            - jnp.where(valid & is_eos, 1, 0)
+        keep = valid & (eos_before == 0) & ~s.done[:, None]
+        n_keep = jnp.sum(keep, axis=1).astype(jnp.int32)
+        new_done = s.done | jnp.any(keep & is_eos, axis=1)
+        last_idx = jnp.maximum(n_keep - 1, 0)
+        cur = jnp.where(new_done | (n_keep == 0), eos_token_id,
+                        jnp.take_along_axis(emit, last_idx[:, None],
+                                            axis=1)[:, 0])
+        pos = jnp.where(s.done, s.pos, s.pos + n_keep)
+        new = SpecSlots(cur=cur, pos=pos, done=new_done,
+                        t_cache=t_cache, d_cache=d_cache,
+                        n_iter=s.n_iter + 1)
+        return new, (emit, keep)
+
+    slots, (emit, keep) = jax.lax.scan(body, slots, None, length=iters)
+    # scan stacks on the leading axis -> (iters, S, K+1); host wants S-major
+    return slots, emit.transpose(1, 0, 2), keep.transpose(1, 0, 2)

@@ -84,16 +84,37 @@ class ContinuousBatcher:
     """
 
     def __init__(self, engine, num_slots: int = 4, chunk: int = 8,
-                 max_cache_len: Optional[int] = None):
+                 max_cache_len: Optional[int] = None,
+                 draft_params=None, draft_cfg=None):
         self.engine = engine
         self.num_slots = num_slots
         self.chunk = chunk
         ecfg = engine.ecfg
         self.max_cache_len = max_cache_len or (max(ecfg.buckets)
                                                + ecfg.max_new_tokens)
-        self.state = empty_decode_state(engine.cfg, num_slots,
-                                        self.max_cache_len,
-                                        cache_dtype=engine._cache_dtype())
+        # speculative mode: explicit draft weights, or the engine's
+        # early-exit self-draft knob — every slot then advances up to
+        # spec_k+1 tokens per verify forward (models/speculative.py)
+        self.draft_params, self.draft_cfg = draft_params, draft_cfg
+        if self.draft_params is None and ecfg.speculative_draft_layers > 0:
+            from video3d_tpu.models import speculative as spec
+
+            k = ecfg.speculative_draft_layers
+            self.draft_params = spec.self_draft_params(engine.params, k)
+            self.draft_cfg = spec.self_draft_config(engine.cfg.llm, k)
+        self.spec = self.draft_params is not None
+        if self.spec:
+            from video3d_tpu.models.speculative import empty_spec_slots
+
+            # +K+2 slack: verify blocks write past the accepted position
+            self.max_cache_len += ecfg.speculative_k + 2
+            self.state = empty_spec_slots(engine.cfg, self.draft_cfg,
+                                          num_slots, self.max_cache_len,
+                                          cache_dtype=engine._cache_dtype())
+        else:
+            self.state = empty_decode_state(engine.cfg, num_slots,
+                                            self.max_cache_len,
+                                            cache_dtype=engine._cache_dtype())
         self.slots: list = [None] * num_slots          # BatchedRequest or None
         self.emitted = [0] * num_slots
         self._pending: "queue.Queue" = queue.Queue()
@@ -151,9 +172,33 @@ class ContinuousBatcher:
                 req.record, req.box_input, req.coord_token_id)
             # clamp the budget to the cache row: positions past
             # max_cache_len would silently drop KV writes
-            room = self.max_cache_len - int(batch.text_ids.shape[1])
+            slack = eng.ecfg.speculative_k + 2 if self.spec else 0
+            room = self.max_cache_len - int(batch.text_ids.shape[1]) - slack
             if req.max_new_tokens > room:
                 req.max_new_tokens = max(room, 0)
+            if self.spec:
+                from video3d_tpu.models.speculative import (insert_spec_slot,
+                                                            spec_start)
+
+                sub, first = spec_start(
+                    eng.params, self.draft_params, eng.cfg, self.draft_cfg,
+                    batch, max_cache_len=self.max_cache_len,
+                    cache_dtype=eng._cache_dtype(),
+                    temperature=eng.ecfg.temperature, top_p=eng.ecfg.top_p,
+                    top_k=eng.ecfg.top_k, vision_features=vision_features)
+                tok0 = int(first[0])
+                self.state = insert_spec_slot(
+                    self.state, jnp.asarray(slot, jnp.int32), sub)
+                self.slots[slot] = req
+                self.emitted[slot] = 0
+                # the prefill itself emits the first token
+                if tok0 == eng.ecfg.eos_token_id or req.max_new_tokens == 0:
+                    self._finish(slot)
+                else:
+                    req.tokens.append(tok0)
+                    self.emitted[slot] = 1
+                    req._q.put(1)
+                return True
             sub = start_decode(eng.params, eng.cfg, batch,
                                max_cache_len=self.max_cache_len,
                                cache_dtype=eng._cache_dtype(),
@@ -171,8 +216,14 @@ class ContinuousBatcher:
     def _finish(self, slot: int):
         import jax.numpy as jnp
 
-        self.state = release_decode_slot(self.state,
-                                         jnp.asarray(slot, jnp.int32))
+        if self.spec:
+            from video3d_tpu.models.speculative import release_spec_slot
+
+            self.state = release_spec_slot(self.state,
+                                           jnp.asarray(slot, jnp.int32))
+        else:
+            self.state = release_decode_slot(self.state,
+                                             jnp.asarray(slot, jnp.int32))
         req = self.slots[slot]
         self.slots[slot] = None
         if req is not None:
@@ -196,11 +247,33 @@ class ContinuousBatcher:
                 continue
             # ---- one decode chunk for every in-flight request ----
             try:
-                self.state, toks = decode_chunk(
-                    eng.params, eng.cfg, self.state, chunk=self.chunk,
-                    eos_token_id=eos, temperature=eng.ecfg.temperature,
-                    top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
-                rows = np.asarray(toks)
+                if self.spec:
+                    from video3d_tpu.models.speculative import \
+                        spec_decode_chunk
+
+                    self.state, emit, keep = spec_decode_chunk(
+                        eng.params, self.draft_params, eng.cfg,
+                        self.draft_cfg, self.state, iters=self.chunk,
+                        num_draft_tokens=eng.ecfg.speculative_k,
+                        eos_token_id=eos,
+                        temperature=eng.ecfg.temperature,
+                        top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
+                    # flatten each slot's kept emissions, EOS as terminator
+                    emit, keep = np.asarray(emit), np.asarray(keep)
+                    rows = []
+                    for s in range(self.num_slots):
+                        row = []
+                        for j in range(emit.shape[1]):
+                            for i in range(emit.shape[2]):
+                                if keep[s, j, i]:
+                                    row.append(int(emit[s, j, i]))
+                        rows.append(row)
+                else:
+                    self.state, toks = decode_chunk(
+                        eng.params, eng.cfg, self.state, chunk=self.chunk,
+                        eos_token_id=eos, temperature=eng.ecfg.temperature,
+                        top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
+                    rows = np.asarray(toks).tolist()
             except Exception as e:  # noqa: BLE001 — keep the loop alive
                 # a decode failure must not strand callers: fail every
                 # in-flight request, reset the state, keep serving
@@ -212,9 +285,18 @@ class ContinuousBatcher:
                         self.slots[s] = None
                         req.error = e
                         req._q.put(BatchedRequest._DONE)
-                self.state = empty_decode_state(
-                    eng.cfg, self.num_slots, self.max_cache_len,
-                    cache_dtype=eng._cache_dtype())
+                if self.spec:
+                    from video3d_tpu.models.speculative import \
+                        empty_spec_slots
+
+                    self.state = empty_spec_slots(
+                        eng.cfg, self.draft_cfg, self.num_slots,
+                        self.max_cache_len,
+                        cache_dtype=eng._cache_dtype())
+                else:
+                    self.state = empty_decode_state(
+                        eng.cfg, self.num_slots, self.max_cache_len,
+                        cache_dtype=eng._cache_dtype())
                 continue
             for s in range(self.num_slots):
                 req = self.slots[s]
@@ -222,7 +304,7 @@ class ContinuousBatcher:
                     continue
                 finished = False
                 new = []
-                for t in rows[s].tolist():
+                for t in rows[s]:
                     if t == eos or self.emitted[s] >= req.max_new_tokens:
                         finished = True
                         break
