@@ -224,7 +224,6 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
     counts leading ``d_i == t_{i-1}`` matches.
     """
     K = num_draft_tokens
-    sampled = temperature > 0.0
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     rng_key, init_key = jax.random.split(rng_key)
