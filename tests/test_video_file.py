@@ -95,3 +95,56 @@ class TestEngineVideoFile:
         # the 3D scene path still works on the same engine afterwards
         # (cfg swap in _generate must restore)
         assert engine.cfg is CFG
+
+
+class TestVideoFileTraining:
+    def test_dataset_and_train_step(self, video_path, tmp_path):
+        """A dataset record pointing at a REAL mp4 trains end-to-end:
+        frames loaded with the decord contract, zero world coords, time
+        instruction in the prompt, gradient step finite under a PE-none
+        config (the reference's plain-video modality, train.py:1194)."""
+        import json
+
+        import jax.numpy as jnp
+
+        from video3d_tpu.config import (DataConfig, PosEmbedType, replace)
+        from video3d_tpu.data.dataset import (Collator, CollatorConfig,
+                                              SupervisedDataset)
+        from video3d_tpu.train.train_step import (create_train_state,
+                                                  train_step)
+        import optax
+
+        cfg = replace(CFG, world_3d=replace(CFG.world_3d,
+                                            pos_embed=PosEmbedType.NONE))
+        ann = str(tmp_path / "ann.json")
+        with open(ann, "w") as f:
+            json.dump([{
+                "id": "v0", "video": video_path,
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat happens"},
+                    {"from": "gpt", "value": "a gradient ramps up"}],
+            }], f)
+        ds = SupervisedDataset(
+            ann, FakeTokenizer(),
+            DataConfig(video_folder="", annotation_dir="", metadata_dir="",
+                       frames_upbound=3, add_time_instruction=True),
+            image_processor=SigLipImageProcessor(
+                size=(cfg.vision.image_size,) * 2))
+        item = ds[0]
+        assert item["video_size"] == 3
+        assert item["images"].shape[0] == 3
+        assert (item["world_coords"] == 0).all()
+        # time instruction made it into the tokenized prompt:
+        # FakeTokenizer round-trips words, so just check ids are non-trivial
+        assert len(item["input_ids"]) > 10
+
+        col = Collator(cfg, CollatorConfig(max_len=224, frames_upbound=3))
+        arrays = col([item])
+        batch = lv3d.Batch(**{k: (jnp.asarray(v) if v is not None else None)
+                              for k, v in arrays.items()
+                              if k in lv3d.Batch._fields})
+        params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+        tx = optax.sgd(1e-3)
+        state = create_train_state(params, tx)
+        state, metrics = train_step(state, batch, cfg, tx, remat=False)
+        assert np.isfinite(float(metrics["lm_loss"]))

@@ -300,6 +300,12 @@ class DataConfig:
     image_aspect_ratio: str = "anyres"
     image_grid_pinpoints: Union[str, Tuple[Tuple[int, int], ...]] = (
         (384, 768), (768, 384), (768, 768), (1152, 384), (384, 1152))
+    # real video files (mp4/...) in the dataset's "video" field: the legacy
+    # LLaVA-Video modality (train.py:1194, DataArguments video_fps /
+    # add_time_instruction, train_3d.py:140-142). Trains plain-video (no
+    # world PE) — pair with world_position_embedding_type 'none'.
+    video_fps: int = 1
+    add_time_instruction: bool = False
 
 
 def replace(cfg, **kwargs):

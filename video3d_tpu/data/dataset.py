@@ -130,7 +130,37 @@ class SupervisedDataset:
 
         out: Dict[str, Any] = {"id": rec.get("id", i), "dataset": dataset_name}
 
-        if "video" in rec:
+        if "video" in rec and str(rec["video"]).lower().endswith(
+                (".mp4", ".avi", ".mov", ".mkv", ".webm")):
+            # REAL video file: the legacy LLaVA-Video modality
+            # (train.py:1194 via process_video_with_decord). No world
+            # coordinates exist — coords are zeros and the model should run
+            # with world_position_embedding_type 'none' (the reference's
+            # plain-video path has no video_dict / PE either).
+            import os as _os
+
+            from video3d_tpu.data.video_file import (load_video_file,
+                                                     time_instruction)
+
+            path = rec["video"]
+            if self.cfg.video_folder and not _os.path.isabs(path):
+                path = _os.path.join(self.cfg.video_folder, path)
+            frames, vtime, ftime, n = load_video_file(
+                path, self.cfg.video_fps, self.cfg.frames_upbound,
+                force_sample=True)
+            images = self.image_processor.preprocess(list(frames))
+            S = images.shape[-1]
+            out["images"] = images.astype(np.float32)
+            out["world_coords"] = np.zeros((len(images), S, S, 3), np.float32)
+            out["objects"] = np.zeros((0, 6), np.float32)
+            out["video_size"] = len(images)
+            if self.cfg.add_time_instruction:
+                first = conversations[0]["value"].replace(
+                    DEFAULT_IMAGE_TOKEN, "")
+                conversations[0]["value"] = (
+                    f"{DEFAULT_IMAGE_TOKEN}\n"
+                    f"{time_instruction(vtime, n, ftime)}\n{first}")
+        elif "video" in rec:
             video_dict = self.video_processor.process_3d_video(
                 rec["video"], self.image_processor,
                 force_sample=True, frames_upbound=self.cfg.frames_upbound)
