@@ -144,3 +144,41 @@ class TestSpeculativeBatcher:
         assert chunks and chunks[-1] == want
         for a, b in zip(chunks, chunks[1:]):
             assert b.startswith(a)
+
+
+class TestRoutedBatcher:
+    def test_routes_by_footprint_and_matches_sequential(self, env):
+        from video3d_tpu.serve.router import RoutedBatcher
+
+        info, engine, tok = env
+        records = [_record(info, q) for q in
+                   ("what color is the chair", "how many tables")]
+        want = [engine.generate_answer(r) for r in records]
+        router = RoutedBatcher(engine, pools=((128, 1), (512, 2)), chunk=2)
+        try:
+            # tiny fixture prompts exceed the 128 pool (frame budget), so
+            # both land in the 512 pool
+            need = router._footprint(records[0])
+            assert need > 128
+            handles = [router.submit(r) for r in records]
+            got = [h.result(engine._decode_text, timeout=300)
+                   for h in handles]
+        finally:
+            router.shutdown()
+        assert got == want
+
+    def test_short_pool_preferred(self, env):
+        from video3d_tpu.serve.router import RoutedBatcher
+
+        info, engine, tok = env
+        router = RoutedBatcher(engine, pools=((4096, 1), (8192, 1)), chunk=2)
+        try:
+            r = _record(info, "hi")
+            assert router._footprint(r) <= 4096
+            h = router.submit(r)
+            out = h.result(engine._decode_text, timeout=300)
+            assert out == engine.generate_answer(r)
+            # admitted to the small pool
+            assert all(s is None for s in router.pools[1].slots)
+        finally:
+            router.shutdown()
