@@ -179,3 +179,51 @@ def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
         t.start()
         return worker, server
     server.serve_forever()
+
+
+if __name__ == "__main__":
+    # `python -m video3d_tpu.serve.model_worker ...` — the reference's
+    # worker launch surface (llava/serve/model_worker.py __main__), plus
+    # the continuous-batching knob.
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--model-name", default=None)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--controller-address", default=None)
+    parser.add_argument("--video-folder", default="data")
+    parser.add_argument("--embodiedscan-folder", default="data/embodiedscan")
+    parser.add_argument("--metadata-folder", default="data/metadata")
+    parser.add_argument("--max-frame-num", type=int, default=32)
+    parser.add_argument("--max-new-tokens", type=int, default=512)
+    parser.add_argument("--num-slots", type=int, default=0,
+                        help="continuous batching slots (0 = sequential)")
+    parser.add_argument("--kv-cache-dtype", default="bfloat16",
+                        choices=("bfloat16", "int8"))
+    parser.add_argument("--spec-draft-layers", type=int, default=0)
+    args = parser.parse_args()
+
+    from video3d_tpu.config import DataConfig
+    from video3d_tpu.data.video_processor import VideoProcessor
+    from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
+    from video3d_tpu.models.builder import load_pretrained_model
+
+    tokenizer, params, cfg, _ = load_pretrained_model(args.model_path)
+    engine = InferenceEngine(
+        params, cfg, tokenizer,
+        VideoProcessor(DataConfig(video_folder=args.video_folder,
+                                  annotation_dir=args.embodiedscan_folder,
+                                  metadata_dir=args.metadata_folder,
+                                  frames_upbound=args.max_frame_num)),
+        engine_cfg=EngineConfig(
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            max_frames=args.max_frame_num,
+            kv_cache_dtype=args.kv_cache_dtype,
+            speculative_draft_layers=args.spec_draft_layers))
+    name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
+    serve_worker(engine, name, host=args.host, port=args.port,
+                 controller_addr=args.controller_address,
+                 num_slots=args.num_slots)
