@@ -185,3 +185,19 @@ class TestBatcherWorker:
         finally:
             worker.batcher.shutdown()
             server.shutdown()
+
+
+class TestWorkerLauncher:
+    def test_module_main_help(self):
+        """`python -m video3d_tpu.serve.model_worker --help` parses (the
+        reference's worker launch surface) without loading a model."""
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "video3d_tpu.serve.model_worker",
+             "--help"], capture_output=True, text=True, timeout=120,
+            env={"PYTHONPATH": "/tmp/shim:" + ":".join(sys.path)})
+        assert out.returncode == 0
+        assert "--num-slots" in out.stdout
+        assert "--spec-draft-layers" in out.stdout
