@@ -182,3 +182,16 @@ class TestRoutedBatcher:
             assert all(s is None for s in router.pools[1].slots)
         finally:
             router.shutdown()
+
+    def test_oversized_prompt_fails_loudly(self, env):
+        """A prompt bucket larger than the pool's cache rows raises into
+        the request instead of silently answering with an empty string."""
+        info, engine, tok = env
+        batcher = ContinuousBatcher(engine, num_slots=1, chunk=2,
+                                    max_cache_len=64)   # < 256 bucket
+        try:
+            h = batcher.submit(_record(info, "hello"))
+            with pytest.raises(Exception, match="does not fit"):
+                h.result(engine._decode_text, timeout=120)
+        finally:
+            batcher.shutdown()

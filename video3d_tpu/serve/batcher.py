@@ -174,8 +174,13 @@ class ContinuousBatcher:
             # max_cache_len would silently drop KV writes
             slack = eng.ecfg.speculative_k + 2 if self.spec else 0
             room = self.max_cache_len - int(batch.text_ids.shape[1]) - slack
+            if room <= 0:
+                raise ValueError(
+                    f"prompt bucket {int(batch.text_ids.shape[1])} does not "
+                    f"fit this batcher's cache rows ({self.max_cache_len}); "
+                    "route to a larger pool (serve/router.py)")
             if req.max_new_tokens > room:
-                req.max_new_tokens = max(room, 0)
+                req.max_new_tokens = room
             if self.spec:
                 from video3d_tpu.models.speculative import (insert_spec_slot,
                                                             spec_start)
