@@ -120,6 +120,12 @@ class ContinuousBatcher:
         self._pending: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
+        # host preprocessing (tokenize + video IO + geometry) runs OFF the
+        # scheduler thread so admissions never stall the shared decode loop
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._prep = ThreadPoolExecutor(max_workers=2,
+                                        thread_name_prefix="batcher-prep")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -129,8 +135,18 @@ class ContinuousBatcher:
                max_new_tokens: Optional[int] = None) -> BatchedRequest:
         req = BatchedRequest(record, box_input, coord_token_id,
                              max_new_tokens or self.engine.ecfg.max_new_tokens)
-        self._pending.put(req)
-        self._wake.set()
+
+        def prepare():
+            try:
+                prepared = self.engine._prepare_generation(
+                    req.record, req.box_input, req.coord_token_id)
+                self._pending.put((req, prepared))
+            except Exception as e:  # noqa: BLE001
+                req.error = e
+                req._q.put(BatchedRequest._DONE)
+            self._wake.set()
+
+        self._prep.submit(prepare)
         return req
 
     def generate(self, record, **kw) -> str:
@@ -143,6 +159,7 @@ class ContinuousBatcher:
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=30)
+        self._prep.shutdown(wait=True)
         # fail everything still waiting so result()/text_stream() callers
         # never hang on a stopped batcher
         err = RuntimeError("batcher shut down")
@@ -154,7 +171,7 @@ class ContinuousBatcher:
                 req._q.put(BatchedRequest._DONE)
         while True:
             try:
-                req = self._pending.get_nowait()
+                req, _ = self._pending.get_nowait()
             except queue.Empty:
                 break
             req.error = err
@@ -162,14 +179,14 @@ class ContinuousBatcher:
 
     # ------------- scheduler -------------
 
-    def _admit(self, slot: int, req: BatchedRequest) -> bool:
-        """Prefill one request and graft it into ``slot``."""
+    def _admit(self, slot: int, req: BatchedRequest, prepared) -> bool:
+        """Prefill an already-preprocessed request and graft it into
+        ``slot`` (preprocessing ran on the prep pool, submit())."""
         import jax.numpy as jnp
 
         eng = self.engine
         try:
-            batch, vision_features = eng._prepare_generation(
-                req.record, req.box_input, req.coord_token_id)
+            batch, vision_features = prepared
             # clamp the budget to the cache row: positions past
             # max_cache_len would silently drop KV writes
             slack = eng.ecfg.speculative_k + 2 if self.spec else 0
@@ -242,10 +259,10 @@ class ContinuousBatcher:
             for s in range(self.num_slots):
                 if self.slots[s] is None:
                     try:
-                        req = self._pending.get_nowait()
+                        req, prepared = self._pending.get_nowait()
                     except queue.Empty:
                         break
-                    self._admit(s, req)
+                    self._admit(s, req, prepared)
             if all(r is None for r in self.slots):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
