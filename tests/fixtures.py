@@ -94,7 +94,7 @@ def make_fake_scene(root: str, scene_id: str = "scene0000_00",
         rgb = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
         Image.fromarray(rgb).save(os.path.join(img_dir, stem + ".jpg"))
         depth = rng.integers(500, 5000, size=(H, W)).astype(np.uint16)
-        Image.fromarray(depth, mode="I;16").save(os.path.join(img_dir, stem + ".png"))
+        Image.fromarray(depth).save(os.path.join(img_dir, stem + ".png"))
         pose = np.eye(4)
         pose[:3, 3] = rng.uniform(-1, 1, 3)
         np.savetxt(os.path.join(img_dir, stem + ".txt"), pose)
