@@ -158,7 +158,7 @@ class TestRoutedBatcher:
         try:
             # tiny fixture prompts exceed the 128 pool (frame budget), so
             # both land in the 512 pool
-            need = router._footprint(records[0])
+            need, _bucket = router._footprint(records[0])
             assert need > 128
             handles = [router.submit(r) for r in records]
             got = [h.result(engine._decode_text, timeout=300)
@@ -174,12 +174,14 @@ class TestRoutedBatcher:
         router = RoutedBatcher(engine, pools=((4096, 1), (8192, 1)), chunk=2)
         try:
             r = _record(info, "hi")
-            assert router._footprint(r) <= 4096
+            assert router._footprint(r)[0] <= 4096
             h = router.submit(r)
             out = h.result(engine._decode_text, timeout=300)
             assert out == engine.generate_answer(r)
-            # admitted to the small pool
-            assert all(s is None for s in router.pools[1].slots)
+            # ran in the small pool: its slot emitted tokens, the big
+            # pool's never did (emitted persists after release)
+            assert router.pools[0].emitted[0] > 0
+            assert router.pools[1].emitted == [0]
         finally:
             router.shutdown()
 
@@ -193,5 +195,55 @@ class TestRoutedBatcher:
             h = batcher.submit(_record(info, "hello"))
             with pytest.raises(Exception, match="does not fit"):
                 h.result(engine._decode_text, timeout=120)
+        finally:
+            batcher.shutdown()
+
+
+    def test_giant_prompt_rejected_at_submit(self, env):
+        from video3d_tpu.serve.router import RoutedBatcher
+
+        info, engine, tok = env
+        router = RoutedBatcher(engine, pools=((128, 1),), chunk=2)
+        try:
+            h = router.submit(_record(info, "hello"))
+            with pytest.raises(Exception, match="exceeds the largest pool"):
+                h.result(engine._decode_text, timeout=60)
+        finally:
+            router.shutdown()
+
+
+class TestSpecBatcherGuard:
+    def test_low_acceptance_demotes_to_plain(self, env):
+        """A never-right 1-layer draft + a high min-acceptance threshold:
+        the batcher demotes itself to plain decoding at an idle boundary,
+        and answers stay identical before and after."""
+        import time as _time
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok = env
+        record = _record(info, "what color is the chair")
+        want = engine.generate_answer(record)
+        spec_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, speculative_draft_layers=1,
+                       speculative_k=3, speculative_min_acceptance=0.99),
+            device_geometry=engine.device_geometry)
+        batcher = ContinuousBatcher(spec_engine, num_slots=1, chunk=4)
+        try:
+            assert batcher.spec
+            # requests accumulate offered slots until the guard trips
+            for _ in range(30):
+                assert batcher.generate(record) == want
+                if batcher._spec_demote:
+                    break
+            assert batcher._spec_demote, (batcher._spec_offered,
+                                          batcher._spec_accepted)
+            # wait for the idle-boundary demotion, then serve again
+            for _ in range(100):
+                if not batcher.spec:
+                    break
+                _time.sleep(0.1)
+            assert not batcher.spec
+            assert batcher.generate(record) == want
         finally:
             batcher.shutdown()

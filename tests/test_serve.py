@@ -188,16 +188,26 @@ class TestBatcherWorker:
 
 
 class TestWorkerLauncher:
-    def test_module_main_help(self):
+    def test_module_main_help(self, tmp_path):
         """`python -m video3d_tpu.serve.model_worker --help` parses (the
-        reference's worker launch surface) without loading a model."""
+        reference's worker launch surface) without loading a model. The
+        subprocess gets a CPU-forcing sitecustomize shim (created here, not
+        assumed on the machine) so it can never touch a TPU tunnel, and
+        inherits the parent env."""
+        import os as _os
         import subprocess
         import sys
 
+        shim = tmp_path / "shim"
+        shim.mkdir()
+        (shim / "sitecustomize.py").write_text(
+            "import jax\njax.config.update('jax_platforms', 'cpu')\n")
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = str(shim) + _os.pathsep + ":".join(sys.path)
         out = subprocess.run(
             [sys.executable, "-m", "video3d_tpu.serve.model_worker",
              "--help"], capture_output=True, text=True, timeout=120,
-            env={"PYTHONPATH": "/tmp/shim:" + ":".join(sys.path)})
+            env=env)
         assert out.returncode == 0
         assert "--num-slots" in out.stdout
         assert "--spec-draft-layers" in out.stdout

@@ -111,14 +111,21 @@ class SupervisedDataset:
     def modality_lengths(self) -> List[int]:
         mapping = {"scanrefer": 1, "multi3drefer": 1, "scanqa": 2, "sqa3d": 2,
                    "scan2cap": 3}
-        return [mapping[s["metadata"]["dataset"].lower()] for s in self.records]
+        # records outside the 5-task mix (video files, images, plain text)
+        # group as generic QA — the reference's samplers only ever see the
+        # 3D mix, so any stable default preserves task-purity for it
+        return [mapping.get(
+            s.get("metadata", {}).get("dataset", "").lower(), 2)
+            for s in self.records]
 
     @property
     def task_lengths(self) -> List[tuple]:
         out = []
         for s in self.records:
             n = sum(len(c["value"].split()) for c in s["conversations"])
-            out.append((TASK_MAPPING[s["metadata"]["dataset"].lower()], n))
+            task = TASK_MAPPING.get(
+                s.get("metadata", {}).get("dataset", "").lower(), 0)
+            out.append((task, n))
         return out
 
     # -------- item assembly --------
@@ -150,7 +157,7 @@ class SupervisedDataset:
                 force_sample=True)
             images = self.image_processor.preprocess(list(frames))
             S = images.shape[-1]
-            out["images"] = images.astype(np.float32)
+            out["images"] = np.asarray(images, np.float32)
             out["world_coords"] = np.zeros((len(images), S, S, 3), np.float32)
             out["objects"] = np.zeros((0, 6), np.float32)
             out["video_size"] = len(images)

@@ -194,6 +194,22 @@ def spec_iteration(params, draft_params, cfg: ModelConfig,
     return emit, a, t_cache, d_cache
 
 
+def accept_truncate(emit, a, done, eos_token_id: int, K: int):
+    """Shared emission-truncation semantics for one speculative round:
+    the valid prefix up to ``a``, cut at (and including) the first EOS,
+    empty for already-done rows. Returns (keep, is_eos, idx); callers may
+    AND extra budget terms onto ``keep`` before counting. Used by BOTH
+    generate_speculative and spec_decode_chunk so the two serving paths
+    can never diverge on EOS semantics."""
+    idx = jnp.arange(K + 1)[None]
+    valid = idx <= a[:, None]
+    is_eos = emit == eos_token_id
+    eos_before = jnp.cumsum(jnp.where(valid & is_eos, 1, 0), axis=1) \
+        - jnp.where(valid & is_eos, 1, 0)               # exclusive count
+    keep = valid & (eos_before == 0) & ~done[:, None]
+    return keep, is_eos, idx
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "num_draft_tokens", "max_new_tokens", "eos_token_id",
     "max_cache_len", "cache_dtype", "temperature", "top_p", "top_k"))
@@ -268,14 +284,9 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         emit, a, t_cache, d_cache = spec_iteration(
             params, draft_params, cfg, draft_cfg, s.cur, s.pos,
             s.t_cache, s.d_cache, base_key, K, temperature, top_p, top_k)
-        idx = jnp.arange(K + 1)[None]                          # (B, K+1) iota
-        valid = idx <= a[:, None]
-        is_eos = emit == eos_token_id
-        # keep a prefix up to (and including) the first EOS among the valid
-        eos_before = jnp.cumsum(jnp.where(valid & is_eos, 1, 0), axis=1) \
-            - jnp.where(valid & is_eos, 1, 0)                  # exclusive
-        keep = valid & (eos_before == 0) & ~s.done[:, None] \
-            & (s.out_len[:, None] + idx < max_new_tokens)
+        keep, is_eos, idx = accept_truncate(emit, a, s.done, eos_token_id,
+                                            K)
+        keep = keep & (s.out_len[:, None] + idx < max_new_tokens)
         n_keep = jnp.sum(keep, axis=1).astype(jnp.int32)
 
         # ---- scatter emissions into the output buffer ----
@@ -404,12 +415,7 @@ def spec_decode_chunk(params, draft_params, cfg: ModelConfig,
         emit, a, t_cache, d_cache = spec_iteration(
             params, draft_params, cfg, draft_cfg, s.cur, s.pos,
             s.t_cache, s.d_cache, base_key, K, temperature, top_p, top_k)
-        idx = jnp.arange(K + 1)[None]
-        valid = idx <= a[:, None]
-        is_eos = emit == eos_token_id
-        eos_before = jnp.cumsum(jnp.where(valid & is_eos, 1, 0), axis=1) \
-            - jnp.where(valid & is_eos, 1, 0)
-        keep = valid & (eos_before == 0) & ~s.done[:, None]
+        keep, is_eos, _ = accept_truncate(emit, a, s.done, eos_token_id, K)
         n_keep = jnp.sum(keep, axis=1).astype(jnp.int32)
         new_done = s.done | jnp.any(keep & is_eos, axis=1)
         last_idx = jnp.maximum(n_keep - 1, 0)

@@ -96,6 +96,12 @@ class ContinuousBatcher:
         # early-exit self-draft knob — every slot then advances up to
         # spec_k+1 tokens per verify forward (models/speculative.py)
         self.draft_params, self.draft_cfg = draft_params, draft_cfg
+        if self.draft_params is None and engine.draft_params is not None:
+            # standalone draft weights attached via engine.set_draft_model:
+            # keep the batched endpoint's decode mode consistent with the
+            # sequential engine path
+            self.draft_params = engine.draft_params
+            self.draft_cfg = engine.draft_cfg
         if self.draft_params is None and ecfg.speculative_draft_layers > 0:
             from video3d_tpu.models import speculative as spec
 
@@ -117,6 +123,12 @@ class ContinuousBatcher:
                                             cache_dtype=engine._cache_dtype())
         self.slots: list = [None] * num_slots          # BatchedRequest or None
         self.emitted = [0] * num_slots
+        # acceptance guard (ecfg.speculative_min_acceptance): measured from
+        # kept emissions; on sustained low acceptance the batcher demotes
+        # itself to plain decoding at the next idle boundary
+        self._spec_offered = 0
+        self._spec_accepted = 0
+        self._spec_demote = False
         self._pending: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
@@ -140,6 +152,8 @@ class ContinuousBatcher:
             try:
                 prepared = self.engine._prepare_generation(
                     req.record, req.box_input, req.coord_token_id)
+                if self._stop.is_set():
+                    raise RuntimeError("batcher shut down")
                 self._pending.put((req, prepared))
             except Exception as e:  # noqa: BLE001
                 req.error = e
@@ -159,7 +173,9 @@ class ContinuousBatcher:
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=30)
-        self._prep.shutdown(wait=True)
+        # don't block on a hung video IO / compile: cancel queued prep work
+        # (prepare() checks _stop before handing results to the dead loop)
+        self._prep.shutdown(wait=False, cancel_futures=True)
         # fail everything still waiting so result()/text_stream() callers
         # never hang on a stopped batcher
         err = RuntimeError("batcher shut down")
@@ -255,6 +271,16 @@ class ContinuousBatcher:
         eng = self.engine
         eos = eng.ecfg.eos_token_id
         while not self._stop.is_set():
+            # ---- demote from speculative at an idle boundary ----
+            if self._spec_demote and self.spec \
+                    and all(r is None for r in self.slots):
+                print("[batcher] speculative acceptance below "
+                      f"{eng.ecfg.speculative_min_acceptance}; demoting to "
+                      "plain continuous batching")
+                self.spec = False
+                self.state = empty_decode_state(
+                    eng.cfg, self.num_slots, self.max_cache_len,
+                    cache_dtype=eng._cache_dtype())
             # ---- admit into free slots ----
             for s in range(self.num_slots):
                 if self.slots[s] is None:
@@ -282,6 +308,20 @@ class ContinuousBatcher:
                         top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
                     # flatten each slot's kept emissions, EOS as terminator
                     emit, keep = np.asarray(emit), np.asarray(keep)
+                    min_acc = eng.ecfg.speculative_min_acceptance
+                    if min_acc > 0 and not self._spec_demote:
+                        # each non-empty iteration keeps 1 correction/bonus
+                        # token + its accepted drafts out of K offered
+                        kept = keep.sum(axis=2)                 # (S, iters)
+                        active = int((kept > 0).sum())
+                        self._spec_offered += active \
+                            * eng.ecfg.speculative_k
+                        self._spec_accepted += max(
+                            int(kept.sum()) - active, 0)
+                        if self._spec_offered >= 20 * eng.ecfg.speculative_k:
+                            rate = self._spec_accepted / self._spec_offered
+                            if rate < min_acc:
+                                self._spec_demote = True
                     rows = []
                     for s in range(self.num_slots):
                         row = []

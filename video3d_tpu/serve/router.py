@@ -26,8 +26,10 @@ class RoutedBatcher:
     Args:
       engine: shared InferenceEngine.
       pools: ((max_cache_len, num_slots), ...) sorted or not — routed
-        smallest-fit-first. A request needing more than the largest pool is
-        admitted there with its budget clamped (batcher-side clamp).
+        smallest-fit-first. A request whose full footprint (bucket +
+        budget) fits no pool goes to the largest one with its budget
+        clamped by admission; a request whose PROMPT BUCKET alone exceeds
+        the largest pool is failed at submit with a clear error.
       kwargs: forwarded to every ContinuousBatcher (chunk, draft_params...).
     """
 
@@ -55,14 +57,22 @@ class RoutedBatcher:
         total = len(ids) + eng.ecfg.max_frames * eng.cfg.tokens_per_frame
         bucket = pick_bucket(total + eng.ecfg.max_new_tokens,
                              eng.ecfg.buckets)
-        return bucket + eng.ecfg.max_new_tokens
+        return bucket + eng.ecfg.max_new_tokens, bucket
 
     def submit(self, record, **kw) -> BatchedRequest:
-        need = self._footprint(record)
+        need, bucket = self._footprint(record)
         for limit, pool in zip(self.limits, self.pools):
             if need <= limit:
                 return pool.submit(record, **kw)
-        return self.pools[-1].submit(record, **kw)
+        if bucket < self.limits[-1]:
+            # full budget doesn't fit anywhere: largest pool, clamped budget
+            return self.pools[-1].submit(record, **kw)
+        req = BatchedRequest(record, None, None, 0)
+        req.error = ValueError(
+            f"prompt bucket {bucket} exceeds the largest pool's cache rows "
+            f"({self.limits[-1]}); configure a bigger pool")
+        req._q.put(BatchedRequest._DONE)
+        return req
 
     def generate(self, record, **kw) -> str:
         return self.submit(record, **kw).result(self.engine._decode_text)
