@@ -207,3 +207,32 @@ class TestInt8CacheInterplay:
             cache_dtype=jnp.int8)
         np.testing.assert_array_equal(np.asarray(res.tokens),
                                       np.asarray(ref.tokens))
+
+
+class TestTruncatedDraftVocab:
+    def test_greedy_still_exact(self, setup):
+        """draft_vocab < vocab: the draft can only propose early token ids,
+        but greedy output stays BIT-IDENTICAL (verification corrects)."""
+        params, batch = setup
+        ref = _vanilla(params, batch)
+        res = generate_speculative(
+            params, self_draft_params(params, 1, draft_vocab=8),
+            CFG, self_draft_config(CFG.llm, 1), batch,
+            num_draft_tokens=3, max_new_tokens=N_NEW, eos_token_id=EOS,
+            cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(res.lengths),
+                                      np.asarray(ref.lengths))
+
+    def test_sampled_topk1_exact_with_truncated_vocab(self, setup):
+        params, batch = setup
+        ref = _vanilla(params, batch)
+        res = generate_speculative(
+            params, self_draft_params(params, 1, draft_vocab=8),
+            CFG, self_draft_config(CFG.llm, 1), batch,
+            num_draft_tokens=3, max_new_tokens=N_NEW, eos_token_id=EOS,
+            cache_dtype=jnp.float32, temperature=0.5, top_k=1,
+            rng_key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(ref.tokens))

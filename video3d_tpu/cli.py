@@ -202,7 +202,8 @@ def cmd_eval(args, task: str):
             top_k=args.top_k, num_beams=args.num_beams,
             length_penalty=args.length_penalty,
             speculative_draft_layers=args.spec_draft_layers,
-            speculative_k=args.spec_k))
+            speculative_k=args.spec_k,
+            speculative_draft_vocab=args.spec_draft_vocab))
     if task == "scan2cap":
         times = drivers.run_generative(
             engine, questions, args.answer_file, gt_from_annotations=True,
@@ -273,6 +274,7 @@ def main(argv=None):
         # N target layers verifying --spec-k tokens per target forward
         pe.add_argument("--spec-draft-layers", type=int, default=0)
         pe.add_argument("--spec-k", type=int, default=4)
+        pe.add_argument("--spec-draft-vocab", type=int, default=0)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

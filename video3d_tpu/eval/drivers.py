@@ -73,6 +73,10 @@ class EngineConfig:
     # warped target distribution
     speculative_draft_layers: int = 0
     speculative_k: int = 4
+    # truncate the self-draft's lm_head to the first N token columns
+    # (0 = full vocab): for self-drafts the shared 1.1 GB head dominates
+    # draft cost; output stays exact (verification corrects proposals)
+    speculative_draft_vocab: int = 0
     # production guard: if > 0 and the measured draft acceptance rate drops
     # below this after a few requests, fall back to vanilla decoding (a bad
     # draft makes speculation slower, never wrong)
@@ -146,7 +150,9 @@ class InferenceEngine:
                 dp, dc = self.draft_params, self.draft_cfg
             else:
                 k = self.ecfg.speculative_draft_layers
-                dp = spec.self_draft_params(self.params, k)
+                dp = spec.self_draft_params(
+                    self.params, k,
+                    draft_vocab=self.ecfg.speculative_draft_vocab)
                 dc = spec.self_draft_config(cfg.llm, k)
             res = spec.generate_speculative(
                 self.params, dp, cfg, dc, batch,

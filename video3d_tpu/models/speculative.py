@@ -81,12 +81,26 @@ def rejection_sample_block(key: jax.Array, d: jax.Array, q_probs: jax.Array,
     return emit, a
 
 
-def self_draft_params(params, k: int):
+def self_draft_params(params, k: int, draft_vocab: int = 0):
     """Early-exit draft from the target's own weights: first ``k`` decoder
-    layers + the target's final norm / lm_head / embeddings."""
+    layers + the target's final norm / lm_head / embeddings.
+
+    ``draft_vocab > 0`` truncates the draft's lm_head to the FIRST that
+    many token columns: drafting then reads draft_vocab/vocab of the
+    1.1 GB head per step — for self-drafts the head dominates draft cost.
+    Correctness is untouched: greedy stays bit-identical (rejections just
+    rise for targets outside the subset) and sampled stays
+    distribution-exact (a proposal with subset support is a valid q; the
+    residual resample covers the rest — spec_iteration zero-pads q).
+    BPE vocabularies are roughly frequency-ordered, so a 32k prefix covers
+    most of the emitted mass in practice."""
     llm = params["llm"]
+    head = llm["lm_head"]
+    if draft_vocab and not isinstance(head, dict) \
+            and getattr(head, "ndim", 0) == 2:
+        head = head[:, :draft_vocab]
     return {"embed_tokens": llm["embed_tokens"], "layers": llm["layers"][:k],
-            "norm": llm["norm"], "lm_head": llm["lm_head"]}
+            "norm": llm["norm"], "lm_head": head}
 
 
 def self_draft_config(cfg: LLMConfig, k: int) -> LLMConfig:
@@ -183,9 +197,14 @@ def spec_iteration(params, draft_params, cfg: ModelConfig,
         t_probs = jax.nn.softmax(
             warp_logits(t_logits.reshape(B_ * Kp1, V), temperature,
                         top_p, top_k), axis=-1).reshape(B_, Kp1, V)
+        q = q_probs.transpose(1, 0, 2)[:, :K]
+        if q.shape[-1] != V:
+            # truncated draft vocab (self_draft_params(draft_vocab=...)):
+            # zero-pad q — a subset-support proposal is still a valid q,
+            # the residual resample covers tokens the draft cannot propose
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, V - q.shape[-1])))
         emit, a = rejection_sample_block(
-            jax.random.fold_in(base_key, K + 1),
-            d, q_probs.transpose(1, 0, 2)[:, :K], t_probs)
+            jax.random.fold_in(base_key, K + 1), d, q, t_probs)
     else:
         t = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
         match = d == t[:, :K]                                 # (B, K)

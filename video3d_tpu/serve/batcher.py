@@ -106,7 +106,8 @@ class ContinuousBatcher:
             from video3d_tpu.models import speculative as spec
 
             k = ecfg.speculative_draft_layers
-            self.draft_params = spec.self_draft_params(engine.params, k)
+            self.draft_params = spec.self_draft_params(
+                engine.params, k, draft_vocab=ecfg.speculative_draft_vocab)
             self.draft_cfg = spec.self_draft_config(engine.cfg.llm, k)
         self.spec = self.draft_params is not None
         if self.spec:
