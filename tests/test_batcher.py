@@ -247,3 +247,28 @@ class TestSpecBatcherGuard:
             assert batcher.generate(record) == want
         finally:
             batcher.shutdown()
+
+
+class TestRouterSpecComposition:
+    def test_routed_pools_inherit_speculation(self, env):
+        """RoutedBatcher pools built from a speculative engine config run
+        spec mode and still match the sequential answer exactly."""
+        from dataclasses import replace as dc_replace
+
+        from video3d_tpu.serve.router import RoutedBatcher
+
+        info, engine, tok = env
+        record = _record(info, "what color is the chair")
+        want = engine.generate_answer(record)
+        spec_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, speculative_draft_layers=1,
+                       speculative_k=2),
+            device_geometry=engine.device_geometry)
+        router = RoutedBatcher(spec_engine, pools=((512, 1), (1024, 1)),
+                               chunk=2)
+        try:
+            assert all(p.spec for p in router.pools)
+            assert router.generate(record) == want
+        finally:
+            router.shutdown()
