@@ -115,3 +115,35 @@ class TestSampling:
         for seed in range(5):
             tok = sample_token(logits, jax.random.PRNGKey(seed), 1.0, 0.5)
             assert int(tok[0]) == 0
+
+
+class TestWarpGoldenVsHF:
+    def test_warp_logits_matches_hf_warper_chain(self):
+        """warp_logits == HF TemperatureLogitsWarper -> TopKLogitsWarper ->
+        TopPLogitsWarper on random logits (the exact processors the
+        reference's generate kwargs instantiate)."""
+        import torch
+        from transformers.generation.logits_process import (
+            TemperatureLogitsWarper, TopKLogitsWarper, TopPLogitsWarper)
+
+        from video3d_tpu.models.generate import warp_logits
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(3, 64)).astype(np.float32) * 3
+        for temp, top_k, top_p in [(0.7, 0, 1.0), (1.3, 8, 1.0),
+                                   (0.9, 0, 0.8), (1.0, 16, 0.6)]:
+            t = torch.tensor(logits)
+            t = TemperatureLogitsWarper(temp)(None, t)
+            if top_k > 0:
+                t = TopKLogitsWarper(top_k)(None, t)
+            if top_p < 1.0:
+                t = TopPLogitsWarper(top_p)(None, t)
+            want = t.numpy()
+            got = np.asarray(warp_logits(jnp.asarray(logits), temp, top_p,
+                                         top_k))
+            # same kept set and same kept values
+            np.testing.assert_array_equal(np.isfinite(got),
+                                          np.isfinite(want))
+            m = np.isfinite(want)
+            np.testing.assert_allclose(got[m], want[m], rtol=1e-5,
+                                       atol=1e-5)
