@@ -272,3 +272,37 @@ class TestRouterSpecComposition:
             assert router.generate(record) == want
         finally:
             router.shutdown()
+
+
+class TestConcurrencyStress:
+    def test_many_streaming_consumers_two_slots(self, env):
+        """8 requests, 2 slots, each consumed by its own streaming thread:
+        no deadlock, every stream terminates with the exact sequential
+        answer."""
+        import threading
+
+        info, engine, tok = env
+        records = [_record(info, f"question number {i}") for i in range(8)]
+        want = [engine.generate_answer(r) for r in records]
+        batcher = ContinuousBatcher(engine, num_slots=2, chunk=3)
+        results = [None] * 8
+
+        def consume(i, handle):
+            last = ""
+            for text in handle.text_stream(engine._decode_text):
+                assert text.startswith(last[: len(text)]) or last == ""
+                last = text
+            results[i] = last
+
+        try:
+            handles = [batcher.submit(r) for r in records]
+            threads = [threading.Thread(target=consume, args=(i, h))
+                       for i, h in enumerate(handles)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+                assert not t.is_alive(), "stream consumer deadlocked"
+        finally:
+            batcher.shutdown()
+        assert results == want
