@@ -348,7 +348,9 @@ def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
-    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+    from video3d_tpu.parallel.mesh import embed_gather
+
+    return embed_gather(params["embed_tokens"], input_ids)
 
 
 def init_qwen2(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:

@@ -144,6 +144,38 @@ def sequence_sharding_constraint(x: jax.Array) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def embed_gather(table: jax.Array, input_ids: jax.Array) -> jax.Array:
+    """Sharding-aware embedding lookup: ``table[input_ids]`` in batch layout.
+
+    The default table sharding P("tp", "fsdp") leaves the gather output (and
+    the backward scatter-add cotangent) with the FEATURE dim sharded, while
+    every consumer wants the activation batch layout P((dp, fsdp), ...) —
+    a transition GSPMD can only do by full replicate-then-repartition
+    ("Involuntary full rematerialization", spmd_partitioner.cc: a full
+    all-gather of the embedding activation on real hardware, in forward AND
+    backward). Re-binding the table's sharding to P(("tp", "fsdp"), None)
+    for the gather (vocab rows sharded over BOTH axes, features replicated)
+    lets GSPMD emit the efficient masked local-gather + psum, and the output
+    constraint lands activations directly in the batch/sp layout. Verified
+    warning-free on the 8-device virtual mesh for the dp/fsdp/tp and sp
+    dryrun stages; no-op without an ambient mesh.
+    """
+    mesh = active_mesh()
+    if mesh is None:
+        return jnp.take(table, input_ids, axis=0)
+    spec = P(("tp", "fsdp"), *([None] * (table.ndim - 1)))
+    table = jax.lax.with_sharding_constraint(table, NamedSharding(mesh, spec))
+    out = jnp.take(table, input_ids, axis=0)
+    if mesh.shape.get("sp", 1) > 1:
+        return sequence_sharding_constraint(out)
+    n_batch = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+    if out.ndim >= 2 and out.shape[0] % n_batch == 0:
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(("dp", "fsdp"),
+                                       *([None] * (out.ndim - 1)))))
+    return out
+
+
 # Path-pattern -> PartitionSpec rules. First match wins. Paths look like
 # "llm/layers/0/attn/wq" (joined pytree keys).
 _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
@@ -162,8 +194,12 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # Embeddings / head: big tables sharded both ways
     (r"llm/embed_tokens$", P("tp", "fsdp")),
     (r"llm/lm_head$", P("fsdp", "tp")),
-    # Vision tower / projector / ground head: shard output dim over fsdp
-    (r"(vision|projector|ground_head|world_pe_mlp).*/(w\w*|pos_embed)$", P(None, "fsdp")),
+    # Vision tower / projector / ground head: shard output dim over fsdp.
+    # pos_embed stays REPLICATED: it is ~1.6 MB and adding a
+    # feature-sharded (1, N, D) table to batch-sharded activations forces
+    # an involuntary replicate-repartition in the SPMD partitioner (a full
+    # activation all-gather on hardware) — sharding it saves nothing.
+    (r"(vision|projector|ground_head|world_pe_mlp).*/w\w*$", P(None, "fsdp")),
     (r"vision/patch_embed/w$", P(None, "fsdp")),
 )
 
