@@ -163,12 +163,12 @@ class InferenceEngine:
                 temperature=self.ecfg.temperature,
                 top_p=self.ecfg.top_p, top_k=self.ecfg.top_k,
                 vision_features=vision_features)
-            # offered slots: n_fwd counts the prefill (no drafts), so loop
-            # iterations are n_fwd - 1; accepted_drafts sums over the batch
-            B_req = int(res.tokens.shape[0])
+            # offered slots counted on-device per LIVE row per iteration
+            # (SpecResult.offered_drafts) — deriving it from target_forwards
+            # would over-count already-done rows at B>1 and bias the
+            # acceptance rate low, spuriously tripping the min-acceptance guard
             self.spec_stats[0] += int(res.accepted_drafts)
-            self.spec_stats[1] += max(int(res.target_forwards) - 1, 0) \
-                * self.ecfg.speculative_k * B_req
+            self.spec_stats[1] += int(res.offered_drafts)
             min_acc = self.ecfg.speculative_min_acceptance
             if min_acc > 0 and self.spec_stats[1] >= 5 * self.ecfg.speculative_k:
                 rate = self.spec_stats[0] / max(self.spec_stats[1], 1)
@@ -320,13 +320,21 @@ class InferenceEngine:
 
     # ------------- generative -------------
 
+    def _tokenize_prompt(self, record):
+        """Prompt token ids exactly as generation will see them — the single
+        source of truth for both _prepare_generation and cache-footprint
+        estimation (serve/router.py), so pool routing can never use a
+        different template than the engine itself. Swap the preprocessor
+        here if an engine is ever built for a non-Qwen template family."""
+        question = {"from": "human", "value": self._question_text(record)}
+        return preprocess_qwen_eval(
+            [question, {"from": "gpt", "value": None}], self.tokenizer)
+
     def _prepare_generation(self, record, box_input=None,
                             coord_token_id=None):
         """record -> (batch, vision_features): the shared question/video
         assembly in front of every generate path (incl. the batcher)."""
-        question = {"from": "human", "value": self._question_text(record)}
-        ids = preprocess_qwen_eval(
-            [question, {"from": "gpt", "value": None}], self.tokenizer)
+        ids = self._tokenize_prompt(record)
         vd, V, images, _, patch, box_input = self._video_arrays(
             record["video"], box_input)
         if self.cfg.world_3d.llava3d:

@@ -112,6 +112,10 @@ class SpecResult(NamedTuple):
     lengths: jax.Array       # (B,) tokens before EOS
     target_forwards: jax.Array  # () verify passes run (≈ latency proxy)
     accepted_drafts: jax.Array  # () total draft tokens accepted
+    offered_drafts: jax.Array   # () K per LIVE row per iteration — the
+    #   denominator matching accepted_drafts (deriving it host-side as
+    #   (target_forwards-1)*K*B over-counts rows already done, biasing the
+    #   acceptance rate low for B>1)
 
 
 def spec_prefill(params, draft_params, cfg: ModelConfig,
@@ -282,6 +286,7 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         d_cache: qwen2.KVCache
         n_fwd: jax.Array
         n_acc: jax.Array
+        n_off: jax.Array
 
     cur0 = sample_token(next_logits, init_key, temperature, top_p, top_k)
     eos0 = cur0 == eos_token_id
@@ -293,7 +298,8 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         tokens=jnp.full((B, max_new_tokens), eos_token_id,
                         jnp.int32).at[:, 0].set(cur0),
         t_cache=t_cache, d_cache=d_cache,
-        n_fwd=jnp.ones((), jnp.int32), n_acc=jnp.zeros((), jnp.int32))
+        n_fwd=jnp.ones((), jnp.int32), n_acc=jnp.zeros((), jnp.int32),
+        n_off=jnp.zeros((), jnp.int32))
 
     def cond(s: State):
         return ~jnp.all(s.done | (s.out_len >= max_new_tokens))
@@ -327,13 +333,15 @@ def generate_speculative(params, draft_params, cfg: ModelConfig,
         return State(cur=cur, pos=pos, out_len=out_len, lengths=lengths,
                      done=done, tokens=tokens, t_cache=t_cache,
                      d_cache=d_cache, n_fwd=s.n_fwd + 1,
-                     n_acc=s.n_acc + jnp.sum(jnp.where(s.done, 0, a)))
+                     n_acc=s.n_acc + jnp.sum(jnp.where(s.done, 0, a)),
+                     n_off=s.n_off + K * jnp.sum(~s.done).astype(jnp.int32))
 
     final = jax.lax.while_loop(cond, body, init)
     return SpecResult(tokens=final.tokens,
                       lengths=jnp.minimum(final.lengths, max_new_tokens),
                       target_forwards=final.n_fwd,
-                      accepted_drafts=final.n_acc)
+                      accepted_drafts=final.n_acc,
+                      offered_drafts=final.n_off)
 
 
 # ---------------------------------------------------------------------------

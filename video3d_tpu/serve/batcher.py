@@ -133,6 +133,13 @@ class ContinuousBatcher:
         self._pending: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
+        # guards slots/emitted/state mutation: _loop holds it around its
+        # admit and emission phases (not across the shared decode_chunk
+        # dispatch), and shutdown() takes it before failing in-flight
+        # requests — so even if the join times out mid-decode, the two sides
+        # can't race on slot surgery, double-put _DONE, or strand a request
+        # admitted concurrently with shutdown
+        self._lock = threading.Lock()
         # host preprocessing (tokenize + video IO + geometry) runs OFF the
         # scheduler thread so admissions never stall the shared decode loop
         from concurrent.futures import ThreadPoolExecutor
@@ -173,26 +180,31 @@ class ContinuousBatcher:
     def shutdown(self):
         self._stop.set()
         self._wake.set()
+        # a first-time jit compile or slow decode chunk can exceed 30 s; the
+        # lock below makes the cleanup safe even if the thread is still
+        # draining its current chunk when the join times out
         self._thread.join(timeout=30)
         # don't block on a hung video IO / compile: cancel queued prep work
         # (prepare() checks _stop before handing results to the dead loop)
         self._prep.shutdown(wait=False, cancel_futures=True)
         # fail everything still waiting so result()/text_stream() callers
-        # never hang on a stopped batcher
+        # never hang on a stopped batcher; under _lock so a still-running
+        # _loop can't concurrently emit to / finish the same slots
         err = RuntimeError("batcher shut down")
-        for s in range(self.num_slots):
-            req = self.slots[s]
-            if req is not None:
-                self.slots[s] = None
+        with self._lock:
+            for s in range(self.num_slots):
+                req = self.slots[s]
+                if req is not None:
+                    self.slots[s] = None
+                    req.error = err
+                    req._q.put(BatchedRequest._DONE)
+            while True:
+                try:
+                    req, _ = self._pending.get_nowait()
+                except queue.Empty:
+                    break
                 req.error = err
                 req._q.put(BatchedRequest._DONE)
-        while True:
-            try:
-                req, _ = self._pending.get_nowait()
-            except queue.Empty:
-                break
-            req.error = err
-            req._q.put(BatchedRequest._DONE)
 
     # ------------- scheduler -------------
 
@@ -205,7 +217,13 @@ class ContinuousBatcher:
         try:
             batch, vision_features = prepared
             # clamp the budget to the cache row: positions past
-            # max_cache_len would silently drop KV writes
+            # max_cache_len would silently drop KV writes.
+            # NOTE not a double-count with __init__'s `max_cache_len += K+2`:
+            # verify blocks write up to K+2 slots past the accepted position,
+            # so a row physically needs prompt + emitted + (K+2) slots. The
+            # pre-growth and this subtraction cancel exactly, leaving
+            # room == nominal_cache_len - prompt — identical to the
+            # non-speculative path's budget semantics.
             slack = eng.ecfg.speculative_k + 2 if self.spec else 0
             room = self.max_cache_len - int(batch.text_ids.shape[1]) - slack
             if room <= 0:
@@ -272,24 +290,27 @@ class ContinuousBatcher:
         eng = self.engine
         eos = eng.ecfg.eos_token_id
         while not self._stop.is_set():
-            # ---- demote from speculative at an idle boundary ----
-            if self._spec_demote and self.spec \
-                    and all(r is None for r in self.slots):
-                print("[batcher] speculative acceptance below "
-                      f"{eng.ecfg.speculative_min_acceptance}; demoting to "
-                      "plain continuous batching")
-                self.spec = False
-                self.state = empty_decode_state(
-                    eng.cfg, self.num_slots, self.max_cache_len,
-                    cache_dtype=eng._cache_dtype())
-            # ---- admit into free slots ----
-            for s in range(self.num_slots):
-                if self.slots[s] is None:
-                    try:
-                        req, prepared = self._pending.get_nowait()
-                    except queue.Empty:
-                        break
-                    self._admit(s, req, prepared)
+            with self._lock:
+                if self._stop.is_set():
+                    break
+                # ---- demote from speculative at an idle boundary ----
+                if self._spec_demote and self.spec \
+                        and all(r is None for r in self.slots):
+                    print("[batcher] speculative acceptance below "
+                          f"{eng.ecfg.speculative_min_acceptance}; demoting "
+                          "to plain continuous batching")
+                    self.spec = False
+                    self.state = empty_decode_state(
+                        eng.cfg, self.num_slots, self.max_cache_len,
+                        cache_dtype=eng._cache_dtype())
+                # ---- admit into free slots ----
+                for s in range(self.num_slots):
+                    if self.slots[s] is None:
+                        try:
+                            req, prepared = self._pending.get_nowait()
+                        except queue.Empty:
+                            break
+                        self._admit(s, req, prepared)
             if all(r is None for r in self.slots):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
@@ -342,39 +363,41 @@ class ContinuousBatcher:
                 # in-flight request, reset the state, keep serving
                 print(f"[batcher] decode failed: {e!r}; failing "
                       f"{sum(r is not None for r in self.slots)} requests")
+                with self._lock:
+                    for s in range(self.num_slots):
+                        req = self.slots[s]
+                        if req is not None:
+                            self.slots[s] = None
+                            req.error = e
+                            req._q.put(BatchedRequest._DONE)
+                    if self.spec:
+                        from video3d_tpu.models.speculative import \
+                            empty_spec_slots
+
+                        self.state = empty_spec_slots(
+                            eng.cfg, self.draft_cfg, self.num_slots,
+                            self.max_cache_len,
+                            cache_dtype=eng._cache_dtype())
+                    else:
+                        self.state = empty_decode_state(
+                            eng.cfg, self.num_slots, self.max_cache_len,
+                            cache_dtype=eng._cache_dtype())
+                continue
+            with self._lock:
                 for s in range(self.num_slots):
                     req = self.slots[s]
-                    if req is not None:
-                        self.slots[s] = None
-                        req.error = e
-                        req._q.put(BatchedRequest._DONE)
-                if self.spec:
-                    from video3d_tpu.models.speculative import \
-                        empty_spec_slots
-
-                    self.state = empty_spec_slots(
-                        eng.cfg, self.draft_cfg, self.num_slots,
-                        self.max_cache_len,
-                        cache_dtype=eng._cache_dtype())
-                else:
-                    self.state = empty_decode_state(
-                        eng.cfg, self.num_slots, self.max_cache_len,
-                        cache_dtype=eng._cache_dtype())
-                continue
-            for s in range(self.num_slots):
-                req = self.slots[s]
-                if req is None:
-                    continue
-                finished = False
-                new = []
-                for t in rows[s]:
-                    if t == eos or self.emitted[s] >= req.max_new_tokens:
-                        finished = True
-                        break
-                    new.append(int(t))
-                    self.emitted[s] += 1
-                if new:
-                    req.tokens.extend(new)
-                    req._q.put(len(new))
-                if finished or self.emitted[s] >= req.max_new_tokens:
-                    self._finish(s)
+                    if req is None:
+                        continue
+                    finished = False
+                    new = []
+                    for t in rows[s]:
+                        if t == eos or self.emitted[s] >= req.max_new_tokens:
+                            finished = True
+                            break
+                        new.append(int(t))
+                        self.emitted[s] += 1
+                    if new:
+                        req.tokens.extend(new)
+                        req._q.put(len(new))
+                    if finished or self.emitted[s] >= req.max_new_tokens:
+                        self._finish(s)

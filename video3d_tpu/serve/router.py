@@ -47,13 +47,12 @@ class RoutedBatcher:
         engine will pick (tokenized text + full frame budget, padded to the
         bucket grid like _build_batch) + the generation budget. Text
         tokenization only — no video IO."""
-        from video3d_tpu.data.tokenization import preprocess_qwen_eval
         from video3d_tpu.eval.drivers import pick_bucket
 
         eng = self.engine
-        question = {"from": "human", "value": eng._question_text(record)}
-        ids = preprocess_qwen_eval(
-            [question, {"from": "gpt", "value": None}], eng.tokenizer)
+        # the engine's own prompt tokenization (drivers.py _tokenize_prompt)
+        # — routing always uses the same template family generation will
+        ids = eng._tokenize_prompt(record)
         total = len(ids) + eng.ecfg.max_frames * eng.cfg.tokens_per_frame
         bucket = pick_bucket(total + eng.ecfg.max_new_tokens,
                              eng.ecfg.buckets)
