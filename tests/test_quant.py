@@ -60,6 +60,83 @@ class TestQuant:
         np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
 
 
+class TestW8A8:
+    """Dynamic-activation int8 (int8 x int8 -> int32 MXU path)."""
+
+    def test_matmul_close_to_f32(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 5, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        ref = np.asarray(x @ w)
+        got = np.asarray(matmul(x, quantize_weight(w, act="int8")))
+        # two int8 roundings (weight + activation) stack; per-token x
+        # per-channel scales keep the product error ~1%
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 0.03
+
+    def test_int32_accumulation_no_overflow(self):
+        # worst-case magnitudes: 512 * 127 * 127 = 8.3e6 << int32 max —
+        # check the path really accumulates in int32, not int8/int16
+        x = jnp.full((1, 512), 100.0, jnp.float32)
+        w = jnp.full((512, 8), 100.0, jnp.float32)
+        got = np.asarray(matmul(x, quantize_weight(w, act="int8")))
+        np.testing.assert_allclose(got, np.asarray(x @ w), rtol=0.02)
+
+    def test_quantize_tree_act_flag(self):
+        from video3d_tpu.models.quant import W8A8Weight
+
+        params = qwen2.init_qwen2(jax.random.PRNGKey(0), TINY)
+        qp = quantize_tree({"llm": params}, act="int8")["llm"]
+        assert isinstance(qp["layers"][0]["attn"]["wq"], W8A8Weight)
+        # weight-only stays a plain dict (pytree structure is the marker)
+        assert isinstance(quantize_tree({"llm": params})["llm"][
+            "layers"][0]["attn"]["wq"], dict)
+        # the pytree flattens to arrays only (jit-safe as a param leaf)
+        leaves = jax.tree.leaves(qp["layers"][0]["attn"]["wq"])
+        assert all(hasattr(l, "dtype") for l in leaves)
+
+    def test_w8a8_model_logits_close(self):
+        params = qwen2.init_qwen2(jax.random.PRNGKey(0), TINY)
+        qparams = quantize_tree({"llm": params}, act="int8")["llm"]
+
+        ids = jnp.asarray(np.random.default_rng(2).integers(0, 128, (1, 12)))
+        pos = jnp.broadcast_to(jnp.arange(12)[None, :, None], (1, 12, 3))
+
+        def logits(p):
+            h, _ = qwen2.qwen2_forward(p, TINY, qwen2.embed_tokens(p, ids), pos)
+            return qwen2.lm_head(p, h)
+
+        ref = np.asarray(logits(params))
+        got = np.asarray(logits(qparams))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 0.08
+        np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+    def test_w8a8_vision_tower(self):
+        from video3d_tpu.config import VisionConfig
+        from video3d_tpu.models import siglip
+        from video3d_tpu.models.quant import VISION_PATTERNS
+
+        cfg = VisionConfig(hidden_size=64, intermediate_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=28, patch_size=14)
+        params = siglip.init_vision_tower(jax.random.PRNGKey(0), cfg)
+        qp = quantize_tree({"vision": params}, patterns=VISION_PATTERNS,
+                           act="int8")["vision"]
+        assert is_quantized(qp["layers"][0]["attn"]["wq"])
+        assert is_quantized(qp["layers"][1]["mlp"]["w1"])
+        assert not is_quantized(qp["patch_embed"]["w"])
+
+        px = jnp.asarray(np.random.default_rng(4).normal(
+            size=(1, 3, 28, 28)).astype(np.float32))
+        ref = np.asarray(siglip.vision_tower_forward(params, px, cfg))
+        got = np.asarray(siglip.vision_tower_forward(qp, px, cfg))
+        # residual stream keeps magnitudes comparable; int8 drift is small
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 0.1
+        # cosine similarity of flattened features stays near 1
+        a, b = ref.ravel(), got.ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.999
+
+
 class TestInt8KVCache:
     """Quantized KV cache: int8 values + per-token-per-head scales halve
     decode HBM traffic; prefill stays full-precision (qwen2.decoder_layer)."""

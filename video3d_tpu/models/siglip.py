@@ -60,24 +60,30 @@ def attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     kernel (padded 729 -> 768 seq, 72 -> 128 head dim) at best TIES this
     (2.05 vs 2.1 ms for the 8-frame batch) — at N = 729 the score tensor is
     VMEM-friendly per (batch, head) tile and XLA's fusion is already
-    bandwidth-optimal, so we keep the simpler form.
+    bandwidth-optimal, so we keep the simpler form. Projections route
+    through quant.matmul so the tower supports int8 / w8a8 serving
+    (attention score/value math itself stays bf16).
     """
+    from video3d_tpu.models.quant import matmul as _mm
+
     B, N, D = x.shape
     hd = D // num_heads
-    q = (x @ p["wq"] + p["bq"]).reshape(B, N, num_heads, hd)
-    k = (x @ p["wk"] + p["bk"]).reshape(B, N, num_heads, hd)
-    v = (x @ p["wv"] + p["bv"]).reshape(B, N, num_heads, hd)
+    q = (_mm(x, p["wq"]) + p["bq"]).reshape(B, N, num_heads, hd)
+    k = (_mm(x, p["wk"]) + p["bk"]).reshape(B, N, num_heads, hd)
+    v = (_mm(x, p["wv"]) + p["bv"]).reshape(B, N, num_heads, hd)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
-    return out @ p["wo"] + p["bo"]
+    return _mm(out, p["wo"]) + p["bo"]
 
 
 def encoder_layer(p: Params, x: jax.Array, cfg: VisionConfig) -> jax.Array:
+    from video3d_tpu.models.quant import matmul as _mm
+
     h = _layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
     x = x + attention(p["attn"], h, cfg.num_attention_heads)
     h = _layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.layer_norm_eps)
-    h = gelu_tanh(h @ p["mlp"]["w1"] + p["mlp"]["b1"]) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+    h = _mm(gelu_tanh(_mm(h, p["mlp"]["w1"]) + p["mlp"]["b1"]), p["mlp"]["w2"]) + p["mlp"]["b2"]
     return x + h
 
 
