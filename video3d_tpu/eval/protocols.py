@@ -18,7 +18,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from video3d_tpu.eval.metrics import Bleu, Cider, Meteor, Rouge
+from video3d_tpu.eval.metrics import Bleu, Cider, Meteor15, Rouge
 from video3d_tpu.ops.box import box3d_iou
 
 
@@ -40,7 +40,9 @@ def scanqa_metrics(records: Sequence[dict], id2answers: Dict[str, List[str]]) ->
 
     cider, _ = Cider().compute_score(gts, res)
     bleu, _ = Bleu().compute_score(gts, res)
-    meteor, _ = Meteor().compute_score(gts, res)
+    # METEOR-1.5 algorithm (the reference scores with the 1.5 jar;
+    # metrics/meteor15.py documents the offline-resource deviations)
+    meteor, _ = Meteor15().compute_score(gts, res)
     rouge, _ = Rouge().compute_score(gts, res)
     return {
         "count": len(gts),
@@ -122,7 +124,7 @@ def scan2cap_metrics(records: Sequence[dict]) -> dict:
         gts[item["sample_id"]] = [_scan2cap_wrap(t) for t in item["gt_response"]]
     cider, _ = Cider().compute_score(gts, res)
     bleu, _ = Bleu().compute_score(gts, res)
-    meteor, _ = Meteor().compute_score(gts, res)
+    meteor, _ = Meteor15().compute_score(gts, res)
     rouge, _ = Rouge().compute_score(gts, res)
     return {"CIDEr": cider * 100, "BLEU-4": bleu[3] * 100,
             "METEOR": meteor * 100, "ROUGE-L": rouge * 100}
