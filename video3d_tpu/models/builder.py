@@ -113,24 +113,110 @@ def model_config_from_hf(hf: Dict[str, Any]) -> ModelConfig:
     )
 
 
+def _load_torch_bin(path: str) -> Dict[str, Any]:
+    """torch-saved .bin state dict -> {key: np.ndarray} (fp32)."""
+    import numpy as np
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: np.asarray(v.to(torch.float32)) for k, v in sd.items()}
+
+
+def _strip_wrapper_prefixes(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """non_lora_trainables.bin key cleanup, exactly the reference's
+    builder.py:104-107: drop 'base_model.' then, if 'model.model.' keys
+    remain, one more 'model.'."""
+    sd = {(k[len("base_model."):] if k.startswith("base_model.") else k): v
+          for k, v in sd.items()}
+    if any(k.startswith("model.model.") for k in sd):
+        sd = {(k[len("model."):] if k.startswith("model.") else k): v
+              for k, v in sd.items()}
+    return sd
+
+
+def merge_lora_into_state(state: Dict[str, Any], model_path: str) -> None:
+    """Merge a peft adapter directory into an HF state dict IN PLACE.
+
+    The reference does this via PeftModel.from_pretrained + merge_and_unload
+    (builder.py:110-115); here the merge happens at the state-dict level —
+    ``w += (alpha/r) * B @ A`` per adapted Linear (peft stores
+    ``...<target>.lora_A.weight`` (r, in) and ``...lora_B.weight`` (out, r);
+    HF Linear weights are (out, in)) — which is family-agnostic.
+    """
+    import numpy as np
+
+    with open(os.path.join(model_path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    scale = acfg["lora_alpha"] / acfg["r"]
+
+    adapter_st = os.path.join(model_path, "adapter_model.safetensors")
+    if os.path.exists(adapter_st):
+        from safetensors.numpy import load_file
+
+        ad = load_file(adapter_st)
+    else:
+        ad = _load_torch_bin(os.path.join(model_path, "adapter_model.bin"))
+
+    for k, a in ad.items():
+        if not k.endswith("lora_A.weight"):
+            continue
+        b = ad[k[: -len("lora_A.weight")] + "lora_B.weight"]
+        base = k[: -len(".lora_A.weight")]
+        for pref in ("base_model.model.", "base_model."):
+            if base.startswith(pref):
+                base = base[len(pref):]
+                break
+        base += ".weight"
+        if base not in state:
+            raise KeyError(f"LoRA target {base!r} not in base checkpoint")
+        delta = (np.asarray(b, np.float32) @ np.asarray(a, np.float32)) * scale
+        state[base] = np.asarray(state[base], np.float32) + delta
+
+
 def load_pretrained_model(model_path: str,
                           model_name: Optional[str] = None,
+                          model_base: Optional[str] = None,
                           overwrite_config: Optional[Dict[str, Any]] = None,
                           dtype=jnp.bfloat16,
                           load_tokenizer: bool = True,
                           vision_config=None):
-    """Returns (tokenizer, params, model_cfg, context_len)."""
+    """Returns (tokenizer, params, model_cfg, context_len).
+
+    Three branches, mirroring the reference builder.py:54-157:
+      * ``model_base`` + 'lora' in the model name: base weights from
+        ``model_base``, overlay ``non_lora_trainables.bin`` (projector /
+        PE / ground-head / newline weights saved by the LoRA trainer),
+        then merge the peft adapter;
+      * ``model_base`` alone: projector-only checkpoint — base weights
+        from ``model_base`` + ``mm_projector.bin`` overlay;
+      * neither: plain full checkpoint.
+    config.json (with the persisted 3D knobs) always comes from
+    ``model_path``; the tokenizer from ``model_base`` when given (the
+    reference does the same).
+    """
     from video3d_tpu.models.weights import (convert_llava_checkpoint,
                                             load_safetensors_dir,
                                             vision_config_from_state)
 
+    name = (model_name or os.path.basename(os.path.normpath(model_path)))
     with open(os.path.join(model_path, "config.json")) as f:
         hf = json.load(f)
     if overwrite_config:
         hf.update(overwrite_config)
 
     cfg = model_config_from_hf(hf)
-    state = load_safetensors_dir(model_path)
+    if model_base is not None and "lora" in name.lower():
+        state = load_safetensors_dir(model_base)
+        nlt = os.path.join(model_path, "non_lora_trainables.bin")
+        if os.path.exists(nlt):
+            state.update(_strip_wrapper_prefixes(_load_torch_bin(nlt)))
+        merge_lora_into_state(state, model_path)
+    elif model_base is not None:
+        state = load_safetensors_dir(model_base)
+        state.update(_load_torch_bin(
+            os.path.join(model_path, "mm_projector.bin")))
+    else:
+        state = load_safetensors_dir(model_path)
     if vision_config is None and \
             "model.vision_tower.vision_tower.vision_model.embeddings.patch_embedding.weight" in state:
         vision_config = vision_config_from_state(state)
@@ -150,7 +236,7 @@ def load_pretrained_model(model_path: str,
     if load_tokenizer:
         from transformers import AutoTokenizer
 
-        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        tokenizer = AutoTokenizer.from_pretrained(model_base or model_path)
     context_len = hf.get("max_sequence_length",
                          hf.get("tokenizer_model_max_length", 32768))
     return tokenizer, params, cfg, context_len
