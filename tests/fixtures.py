@@ -69,12 +69,16 @@ class FakeTokenizer:
 
 def make_fake_scene(root: str, scene_id: str = "scene0000_00",
                     n_frames: int = 4, H: int = 96, W: int = 128,
-                    n_objects: int = 5, seed: int = 0) -> dict:
+                    n_objects: int = 5, seed: int = 0,
+                    extend: bool = False) -> dict:
     """Create a minimal ScanNet-style data tree under ``root``.
 
     Layout matches what VideoProcessor reads: per-frame jpg/png/txt under
     {root}/scannet/posed_images/{scene_id}/, embodiedscan pkl under
     {root}/embodiedscan/, box json under {root}/metadata/.
+
+    ``extend=True`` merges this scene into existing annotation files
+    instead of overwriting them (multi-scene fixtures).
     """
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(root, "scannet", "posed_images", scene_id)
@@ -101,12 +105,18 @@ def make_fake_scene(root: str, scene_id: str = "scene0000_00",
         images_meta.append({"img_path": f"scannet/posed_images/{scene_id}/{stem}.jpg"})
 
     sample_idx = f"scannet/{scene_id}"
-    info = {"data_list": [{
+    entry = {
         "sample_idx": sample_idx,
         "axis_align_matrix": axis_align.tolist(),
         "depth_cam2img": intr.tolist(),
         "images": images_meta,
-    }]}
+    }
+    train_pkl = os.path.join(root, "embodiedscan", "embodiedscan_infos_train.pkl")
+    info = {"data_list": [entry]}
+    if extend and os.path.exists(train_pkl):
+        with open(train_pkl, "rb") as f:
+            info = pickle.load(f)
+        info["data_list"].append(entry)
     for split in ("train", "val", "test"):
         with open(os.path.join(root, "embodiedscan", f"embodiedscan_infos_{split}.pkl"), "wb") as f:
             pickle.dump(info if split == "train" else {"data_list": []}, f)
@@ -114,20 +124,37 @@ def make_fake_scene(root: str, scene_id: str = "scene0000_00",
     boxes = np.concatenate([rng.uniform(-2, 2, (n_objects, 3)),
                             rng.uniform(0.3, 1.5, (n_objects, 3))], axis=1)
     for split, kind in (("train", "gt"), ("val", "pred")):
-        with open(os.path.join(root, "metadata", f"scannet_{split}_{kind}_box.json"), "w") as f:
-            json.dump({sample_idx: boxes.tolist()}, f)
+        box_path = os.path.join(root, "metadata", f"scannet_{split}_{kind}_box.json")
+        box_data = {}
+        if extend and os.path.exists(box_path):
+            with open(box_path) as f:
+                box_data = json.load(f)
+        box_data[sample_idx] = boxes.tolist()
+        with open(box_path, "w") as f:
+            json.dump(box_data, f)
 
     # max-coverage sampling metadata (chronological order here)
-    mc = [{
+    mc_path = os.path.join(root, "metadata", "scannet_select_frames.json")
+    mc = []
+    if extend and os.path.exists(mc_path):
+        with open(mc_path) as f:
+            mc = json.load(f)
+    mc.append({
         "video_id": sample_idx,
         "frame_files": [os.path.join(root, m["img_path"]) for m in images_meta],
         "voxel_nums": [100] * n_frames,
         "num_all_voxels": 100 * n_frames,
-    }]
-    with open(os.path.join(root, "metadata", "scannet_select_frames.json"), "w") as f:
+    })
+    with open(mc_path, "w") as f:
         json.dump(mc, f)
-    with open(os.path.join(root, "metadata", "pcd_discrete_0.1.pkl"), "wb") as f:
-        pickle.dump({scene_id: [(-20, -20, -10), (20, 20, 10)]}, f)
+    pcd_path = os.path.join(root, "metadata", "pcd_discrete_0.1.pkl")
+    pcd = {}
+    if extend and os.path.exists(pcd_path):
+        with open(pcd_path, "rb") as f:
+            pcd = pickle.load(f)
+    pcd[scene_id] = [(-20, -20, -10), (20, 20, 10)]
+    with open(pcd_path, "wb") as f:
+        pickle.dump(pcd, f)
 
     return {"sample_idx": sample_idx, "boxes": boxes, "intrinsic": intr,
             "axis_align": axis_align, "n_frames": n_frames}
