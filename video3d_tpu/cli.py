@@ -203,7 +203,8 @@ def cmd_eval(args, task: str):
             length_penalty=args.length_penalty,
             speculative_draft_layers=args.spec_draft_layers,
             speculative_k=args.spec_k,
-            speculative_draft_vocab=args.spec_draft_vocab))
+            speculative_draft_vocab=args.spec_draft_vocab,
+            scene_cache_scenes=args.scene_cache))
     if task == "scan2cap":
         times = drivers.run_generative(
             engine, questions, args.answer_file, gt_from_annotations=True,
@@ -275,6 +276,9 @@ def main(argv=None):
         pe.add_argument("--spec-draft-layers", type=int, default=0)
         pe.add_argument("--spec-k", type=int, default=4)
         pe.add_argument("--spec-draft-vocab", type=int, default=0)
+        # scene-level vision-feature LRU (answers identical; the tower runs
+        # once per scene instead of once per question). 0 disables.
+        pe.add_argument("--scene-cache", type=int, default=8)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

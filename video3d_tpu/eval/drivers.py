@@ -81,6 +81,13 @@ class EngineConfig:
     # below this after a few requests, fall back to vanilla decoding (a bad
     # draft makes speculation slower, never wrong)
     speculative_min_acceptance: float = 0.0
+    # scene-level vision-feature cache (beyond-reference): Video-3D-LLM
+    # evals ask ~50-200 questions per scene and the reference re-runs the
+    # whole SigLIP tower for every one; the spliceable features depend only
+    # on the scene's frames, so an LRU of N scenes amortizes the tower to
+    # ~zero in steady state. 0 = off. HBM cost per scene:
+    # max_frames * tokens_per_frame * D * 2 bytes (~12 MB at 32x210x3584).
+    scene_cache_scenes: int = 0
 
 
 SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
@@ -121,6 +128,15 @@ class InferenceEngine:
         # cumulative speculative stats: [accepted drafts, draft slots offered]
         self.spec_stats = [0, 0]
         self._spec_disabled = False
+        # scene cache: video_id -> (spliceable features, V); LRU over
+        # ecfg.scene_cache_scenes (guarded by _cache_lock — the batcher's
+        # prep pool calls _prepare_generation from several threads)
+        from collections import OrderedDict
+        from threading import Lock
+
+        self._scene_cache: "OrderedDict" = OrderedDict()
+        self._cache_lock = Lock()
+        self.scene_cache_stats = [0, 0]       # [hits, misses]
 
     def set_draft_model(self, draft_params, draft_cfg):
         """Attach standalone draft weights (same vocab + hidden size) for
@@ -280,7 +296,8 @@ class InferenceEngine:
                                  grid_side=g, coord_token_id=coord_token_id,
                                  truncate_to=mc.tokenizer_model_max_length)
         batch = lv3d.Batch(
-            images=jnp.asarray(images), patch_coords=jnp.asarray(patch),
+            images=jnp.asarray(images) if images is not None else None,
+            patch_coords=jnp.asarray(patch) if patch is not None else None,
             text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
             vision_index=jnp.asarray(plan.vision_index),
             labels=jnp.asarray(plan.labels),
@@ -333,13 +350,48 @@ class InferenceEngine:
     def _prepare_generation(self, record, box_input=None,
                             coord_token_id=None):
         """record -> (batch, vision_features): the shared question/video
-        assembly in front of every generate path (incl. the batcher)."""
+        assembly in front of every generate path (incl. the batcher).
+
+        With ``ecfg.scene_cache_scenes > 0`` the spliceable vision features
+        (tower -> projector -> pool -> world PE -> newline) are cached per
+        scene: they depend only on the scene's frame selection, never the
+        question, yet the reference recomputes them for every question
+        (model_scanqa.py one full encode per sample). A cache hit skips
+        video IO + geometry + the whole tower; answers are identical
+        (tests/test_scene_cache.py)."""
         ids = self._tokenize_prompt(record)
+        cache_on = (self.ecfg.scene_cache_scenes > 0
+                    and not self.cfg.world_3d.llava3d)
+        if cache_on:
+            with self._cache_lock:
+                hit = self._scene_cache.get(record["video"])
+                if hit is not None:
+                    self._scene_cache.move_to_end(record["video"])
+                    self.scene_cache_stats[0] += 1
+            if hit is not None:
+                spliceable, V = hit
+                batch, _ = self._build_batch(
+                    ids, None, V, None, None,
+                    self._discretize_box(box_input), coord_token_id)
+                return batch, spliceable
+
         vd, V, images, _, patch, box_input = self._video_arrays(
             record["video"], box_input)
         if self.cfg.world_3d.llava3d:
             batch, feat = self._build_llava3d_batch(ids, V, images, patch)
             return batch, feat[None]
+        if cache_on:
+            self.scene_cache_stats[1] += 1
+            vt = lv3d.encode_video(self.params, self.cfg,
+                                   jnp.asarray(images), jnp.asarray(patch))
+            spliceable = vt.spliceable
+            with self._cache_lock:
+                self._scene_cache[record["video"]] = (spliceable, V)
+                while len(self._scene_cache) > self.ecfg.scene_cache_scenes:
+                    self._scene_cache.popitem(last=False)
+            batch, _ = self._build_batch(ids, None, V, None, None,
+                                         box_input, coord_token_id)
+            return batch, spliceable
         batch, _ = self._build_batch(ids, None, V, images, patch, box_input,
                                      coord_token_id)
         return batch, None

@@ -172,22 +172,23 @@ class VisionTokens(NamedTuple):
     raw: jax.Array          # (B, V, 729, D) projected pre-pool features
 
 
-def encode_video(params: Params, cfg: ModelConfig,
-                 images: jax.Array,
-                 patch_coords: Optional[jax.Array] = None,
-                 remat: bool = False) -> VisionTokens:
-    """Vision side of the forward pass.
+def encode_video_pooled(params: Params, cfg: ModelConfig, images: jax.Array,
+                        remat: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Question-independent vision half: tower -> projector -> 2D pool.
 
     Args:
       images: (B, V, 3, S, S) normalized pixels.
-      patch_coords: (B, V, g, g, 3) pooled (possibly discretized) coords, or
-        None to skip the additive world PE.
     Returns:
-      VisionTokens; ``spliceable`` feeds the token splice.
+      (pooled (B, V, g*g, D), raw (B, V, side*side, D)).
+
+    This is the scene-cacheable boundary: everything here depends only on
+    the scene's frames (the reference re-runs it for EVERY question on the
+    same scene; the engine's scene cache amortizes it — see
+    eval/drivers.py). World PE + newline layout live in
+    :func:`finish_video_tokens`, which consumes the per-question geometry.
     """
     B, V = images.shape[:2]
     side = cfg.vision.num_patches_per_side              # 27
-    g = -(-side // cfg.spatial_pool_stride)             # 14
 
     flat = images.reshape(B * V, *images.shape[2:])
     feats = siglip.vision_tower_forward(params["vision"], flat, cfg.vision,
@@ -197,7 +198,18 @@ def encode_video(params: Params, cfg: ModelConfig,
 
     pooled = geometry.pool_2d_tokens(feats, side, cfg.spatial_pool_stride,
                                      cfg.spatial_pool_mode.value)  # (BV, g*g, D)
-    pooled = pooled.reshape(B, V, g * g, -1)
+    g = -(-side // cfg.spatial_pool_stride)             # 14
+    return pooled.reshape(B, V, g * g, -1), raw
+
+
+def finish_video_tokens(params: Params, cfg: ModelConfig, pooled: jax.Array,
+                        raw: jax.Array,
+                        patch_coords: Optional[jax.Array] = None
+                        ) -> VisionTokens:
+    """World PE + newline layout on (possibly cached) pooled features."""
+    B, V = pooled.shape[:2]
+    side = cfg.vision.num_patches_per_side
+    g = -(-side // cfg.spatial_pool_stride)
 
     if patch_coords is not None and cfg.world_3d.pos_embed in (
             PosEmbedType.SIN3D, PosEmbedType.MLP):
@@ -228,6 +240,23 @@ def encode_video(params: Params, cfg: ModelConfig,
     else:  # NO_TOKEN
         spliceable = pooled.reshape(B, -1, D)
     return VisionTokens(spliceable=spliceable, pooled=pooled, raw=raw)
+
+
+def encode_video(params: Params, cfg: ModelConfig,
+                 images: jax.Array,
+                 patch_coords: Optional[jax.Array] = None,
+                 remat: bool = False) -> VisionTokens:
+    """Vision side of the forward pass.
+
+    Args:
+      images: (B, V, 3, S, S) normalized pixels.
+      patch_coords: (B, V, g, g, 3) pooled (possibly discretized) coords, or
+        None to skip the additive world PE.
+    Returns:
+      VisionTokens; ``spliceable`` feeds the token splice.
+    """
+    pooled, raw = encode_video_pooled(params, cfg, images, remat=remat)
+    return finish_video_tokens(params, cfg, pooled, raw, patch_coords)
 
 
 def encode_video_llava3d(params: Params, cfg: ModelConfig,
