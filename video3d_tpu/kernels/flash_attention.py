@@ -376,9 +376,19 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, L, H, hd = q.shape
     S, KV = k.shape[1], k.shape[2]
     assert H % KV == 0 and L == S, (q.shape, k.shape)
-    block_q = min(block_q, L)
-    block_k = min(block_k, S)
-    assert L % block_q == 0 and S % block_k == 0
+
+    def _fit(block: int, n: int) -> int:
+        # largest 128-aligned block <= requested that divides n, so any
+        # 128-multiple sequence length works (e.g. 1792 -> block_k 256
+        # instead of rejecting the non-divisor 512)
+        block = min(block, n)
+        while n % block and block > 128:
+            block -= 128
+        return block
+
+    block_q = _fit(block_q, L)
+    block_k = _fit(block_k, S)
+    assert L % block_q == 0 and S % block_k == 0, (L, S, block_q, block_k)
     if sm_scale is None:
         sm_scale = hd ** -0.5
 

@@ -61,11 +61,13 @@ def quantize_weight(w: jax.Array, act: str = "none"):
 
     ``act="int8"`` returns a :class:`W8A8Weight`: activations are then
     dynamically quantized per token and the matmul runs int8 x int8 -> int32
-    on the MXU — v5e executes that at 2x the bf16 FLOP rate (394 vs 197
-    TOPS), which is the only way past the bf16 compute ceiling for
-    compute-bound prefill / vision-tower work. ``act="none"`` keeps the
-    weight-only behavior (int8 dequantized into a bf16 MXU feed): pure HBM
-    lever, bit-exact activation math, the right choice for decode.
+    on the MXU. NOTE measured reality (BENCH_NOTES.md round 2): XLA's s8
+    dot_general lowering does NOT unlock the MXU's nominal 2x int8 rate on
+    v5e — int8 and bf16 matmuls run at the same TOPS — so w8a8 is an HBM
+    lever (int8 weights AND int8 activation traffic between fused ops),
+    not a compute lever. ``act="none"`` keeps the weight-only behavior
+    (int8 dequantized into a bf16 MXU feed): bit-exact activation math,
+    the right choice for decode.
     """
     w32 = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)      # (1, out)
@@ -81,9 +83,10 @@ def matmul_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
     per-channel weight scales, accumulating in int32 on the MXU.
 
     y = (q(x) @ w_q) * sx * sw with q(x) = round(x / sx), sx = absmax/127
-    per token row. The int8 x int8 -> int32 dot_general is what unlocks the
-    doubled MXU rate on v5e; everything else (scales, bias adds, activation
-    functions) stays in the caller's dtype.
+    per token row. Everything else (scales, bias adds, activation
+    functions) stays in the caller's dtype. See quantize_weight's note on
+    measured int8-MXU throughput: this path halves weight HBM traffic but
+    does not beat bf16 FLOP rate through XLA.
     """
     x32 = x.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-12) / 127.0
