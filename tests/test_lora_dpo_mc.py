@@ -137,10 +137,8 @@ class TestMCSelect:
         frame_vox = rng.integers(0, 12, size=(V, N, 3)).astype(np.int32)
         scene_vox = np.unique(frame_vox.reshape(-1, 3), axis=0)
 
-        # table_bits=24 -> negligible collision probability for ~750 voxels
         order, gains, num_all = greedy_select_frames(
-            jnp.asarray(frame_vox), jnp.asarray(scene_vox), max_frames=V,
-            table_bits=24)
+            jnp.asarray(frame_vox), jnp.asarray(scene_vox), max_frames=V)
 
         fv = {i: set(map(tuple, frame_vox[i].reshape(-1, 3).tolist()))
               for i in range(V)}
@@ -167,14 +165,52 @@ class TestMCSelect:
         picked = select_prefix_by_ratio(order, gains, 100, 0.9)
         assert picked == [0, 2, 3]  # 50+30+15 >= 90, sorted chronologically
 
-    def test_hash_distributes(self):
-        from video3d_tpu.ops.mc_select import hash_voxels
+    def test_exact_on_hash_colliding_voxels(self):
+        """Membership is exact: voxels that COLLIDED under the old 2^20
+        spatial hash (x*73856093 ^ y*19349663 mod 2^20) are kept distinct."""
+        from video3d_tpu.ops.mc_select import greedy_select_frames
 
-        vox = jnp.asarray(np.mgrid[0:20, 0:20, 0:5].reshape(3, -1).T)
-        h = np.asarray(hash_voxels(vox))
-        assert h.min() >= 0 and h.max() < (1 << 20)
-        # collision rate tiny for 2000 voxels in 1M buckets
-        assert len(np.unique(h)) > 0.995 * len(h)
+        # birthday-search a genuine collision of the retired hash
+        mask = (1 << 20) - 1
+        seen, pair = {}, None
+        for x in range(2048):
+            for y in range(8):
+                h = ((x * 73856093) ^ (y * 19349663)) & mask
+                if h in seen and seen[h] != (x, y):
+                    pair = (seen[h], (x, y))
+                    break
+                seen[h] = (x, y)
+            if pair:
+                break
+        assert pair is not None, "no collision found in search range"
+        (x1, y1), (x2, y2) = pair
+        va, vb = np.array([x1, y1, 0]), np.array([x2, y2, 0])
+
+        scene_vox = jnp.asarray(np.stack([va, vb]).astype(np.int32))
+        frame_vox = jnp.asarray(np.stack([
+            np.broadcast_to(va, (4, 3)),     # frame 0 covers only va
+            np.broadcast_to(vb, (4, 3)),     # frame 1 covers only vb
+        ]).astype(np.int32))
+        order, gains, num_all = greedy_select_frames(
+            frame_vox, scene_vox, max_frames=2)
+        assert int(num_all) == 2            # hash would have merged -> 1
+        assert sorted(int(o) for o in order) == [0, 1]
+        assert [int(g) for g in gains] == [1, 1]
+
+    def test_padded_scene_valid(self):
+        from video3d_tpu.ops.mc_select import greedy_select_frames
+
+        scene = np.array([[1, 1, 1], [2, 2, 2], [9, 9, 9], [9, 9, 9]],
+                         np.int32)
+        valid = np.array([True, True, False, False])
+        frames = np.array([[[1, 1, 1], [9, 9, 9]],
+                           [[2, 2, 2], [2, 2, 2]]], np.int32)
+        order, gains, num_all = greedy_select_frames(
+            jnp.asarray(frames), jnp.asarray(scene), max_frames=2,
+            scene_valid=jnp.asarray(valid))
+        # padded (9,9,9) slots must not count even though a frame hits them
+        assert int(num_all) == 2
+        assert [int(g) for g in gains] == [1, 1]
 
 
 class TestWeightDelta:

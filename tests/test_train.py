@@ -277,6 +277,67 @@ class TestChunkedLoss:
                                    rtol=1e-5, atol=1e-6)
 
 
+class TestScanLayers:
+    def test_scan_matches_unrolled_values_and_grads(self):
+        """qwen2_forward(scan_layers=True) == the unrolled loop, value and
+        grad, with remat on — the train-step default (loss_fn scan_layers)
+        must be a pure scheduling change."""
+        import jax
+        import jax.numpy as jnp
+        from video3d_tpu.config import LLMConfig
+        from video3d_tpu.models import qwen2
+
+        cfg = LLMConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=3, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8, vocab_size=53,
+                        max_position_embeddings=128,
+                        mrope_section=(2, 1, 1))
+        params = qwen2.init_qwen2(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        B, L = 2, 9
+        x = jnp.asarray(rng.normal(size=(B, L, 32)).astype(np.float32))
+        pos = jnp.broadcast_to(jnp.arange(L)[None, :, None], (B, L, 3))
+        kv_len = jnp.asarray([L, L - 3], jnp.int32)
+
+        def run(p, scan):
+            h, _ = qwen2.qwen2_forward(p, cfg, x, pos, kv_len=kv_len,
+                                       remat=True, scan_layers=scan)
+            return jnp.sum(h * h)
+
+        v0, g0 = jax.value_and_grad(run)(params, False)
+        v1, g1 = jax.value_and_grad(run)(params, True)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_heterogeneous_stack_falls_back(self):
+        """A mixed stack (one layer missing qkv bias) must not be scanned —
+        it silently falls back to the unrolled loop."""
+        import jax
+        import jax.numpy as jnp
+        from video3d_tpu.config import LLMConfig
+        from video3d_tpu.models import qwen2
+
+        cfg = LLMConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8, vocab_size=53,
+                        max_position_embeddings=128,
+                        mrope_section=(2, 1, 1))
+        params = qwen2.init_qwen2(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+        for k in ("bq", "bk", "bv"):
+            params["layers"][1]["attn"].pop(k, None)
+        assert not qwen2._homogeneous(params["layers"])
+        x = jnp.zeros((1, 4, 32), jnp.float32)
+        pos = jnp.zeros((1, 4, 3), jnp.int32)
+        h, _ = qwen2.qwen2_forward(params, cfg, x, pos,
+                                   kv_len=jnp.asarray([4], jnp.int32),
+                                   scan_layers=True)
+        assert h.shape == (1, 4, 32)
+
+
 class TestPreemption:
     def test_sigterm_checkpoints_and_exits(self, tmp_path_factory):
         """SIGTERM mid-training: the trainer saves a checkpoint at the next

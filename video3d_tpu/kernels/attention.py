@@ -185,6 +185,36 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
                          score_bias=score_bias)
 
 
+def paged_mha(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
+              page_table: jax.Array, kv_len: jax.Array,
+              k_scale: Optional[jax.Array] = None,
+              v_scale: Optional[jax.Array] = None) -> jax.Array:
+    """Backend-dispatching paged decode attention (one layer, L == 1).
+
+    TPU: the scalar-prefetch pallas kernel streams each slot's pages from
+    the shared pool without materializing a gathered copy. CPU / meshes:
+    the gather-based jnp oracle (kernels/paged_attention.py). Serving is
+    single-chip (serve/batcher.py), so no shard_map wrapper here.
+    """
+    from video3d_tpu.kernels.paged_attention import (
+        paged_attention_reference, paged_decode_attention)
+
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        on_tpu = False
+    hd = q.shape[-1]
+    page = k_pages.shape[2]
+    if (on_tpu and not _DISABLE_DECODE_KERNEL and hd % 128 == 0
+            and page % 128 == 0 and _active_mesh() is None):
+        return paged_decode_attention(q, k_pages, v_pages, page_table,
+                                      kv_len, k_scale=k_scale,
+                                      v_scale=v_scale)
+    return paged_attention_reference(q, k_pages, v_pages, page_table,
+                                     kv_len, k_scale=k_scale,
+                                     v_scale=v_scale)
+
+
 def _active_mesh():
     """The ambient Mesh context (``with mesh:``), or None."""
     from video3d_tpu.parallel.mesh import active_mesh

@@ -1,0 +1,256 @@
+"""Paged single-token decode attention: KV pages + per-slot page tables.
+
+The dense decode cache (models/qwen2.py KVCache) reserves ``num_slots *
+max_cache_len`` positions even when most slots hold short sequences — at
+28 layers x 32k x 8 slots that is 7.5 GB of int8 HBM for capacity that is
+mostly air (BENCH_NOTES.md). Here the cache is a shared pool of fixed-size
+pages; each slot owns just the pages its tokens occupy, so HBM scales with
+TOTAL LIVE TOKENS, not slots x max-length, and heterogeneous slot lengths
+pack tightly. This is the serving-side analogue of vLLM's PagedAttention,
+designed TPU-first: the kernel walks each slot's page table via scalar
+prefetch (the table lives in SMEM and drives the BlockSpec index_map, so
+pages stream HBM->VMEM exactly once, no gathered copy is ever
+materialized) and reduces across pages with the same online softmax as
+kernels/flash_attention.py.
+
+The reference has no analogue (HF transformers dense cache,
+qwen2/modeling_qwen2.py:330-632); this replaces it for the continuous
+batching serve path (serve/batcher.py).
+
+Mosaic notes (see .claude/skills/verify/SKILL.md): pool layout puts
+(page_size, head_dim) minor so every block is a contiguous (1, 1, page,
+hd) slab; scale pools store (.., 1, page) so their blocks keep the lane
+dim >= page; ``pl.program_id`` is only read at kernel top level; scratch
+accumulators use (G, 128) lane-broadcast layouts like the flash kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, kv_heads: int, page: int,
+                  num_pages_per_slot: int):
+    i = pl.program_id(0)              # flattened (slot, kv head)
+    j = pl.program_id(1)              # page index within the slot
+    b = i // kv_heads
+    kv_len = len_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # positions this page covers; mask past the slot's length
+    base = j * page
+    live = base < kv_len              # page has any valid token
+
+    @pl.when(live)
+    def _step():
+        q = q_ref[0].astype(jnp.float32)              # (G, hd)
+        k = k_ref[0, 0].astype(jnp.float32)           # (page, hd)
+        v = v_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (G, page)
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]                         # (G, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(j == num_pages_per_slot - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _paged_kernel_int8(table_ref, len_ref, q_ref, k_ref, v_ref, ks_ref,
+                       vs_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                       kv_heads: int, page: int, num_pages_per_slot: int):
+    """int8 pool variant: HBM streams int8 pages + (1, page) f32 scales;
+    dequant folds into the score row scale / the p.V weights exactly as in
+    kernels/decode_attention.py."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = i // kv_heads
+    kv_len = len_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    base = j * page
+    live = base < kv_len
+
+    @pl.when(live)
+    def _step():
+        q = q_ref[0].astype(jnp.float32)              # (G, hd)
+        k = k_ref[0, 0].astype(jnp.float32)           # (page, hd) from int8
+        v = v_ref[0, 0].astype(jnp.float32)
+        k_scale = ks_ref[0, 0]                        # (1, page) f32
+        v_scale = vs_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) * k_scale
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p * v_scale, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(j == num_pages_per_slot - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
+                           v_pages: jax.Array, page_table: jax.Array,
+                           kv_len: jax.Array,
+                           sm_scale: float | None = None,
+                           k_scale: jax.Array | None = None,
+                           v_scale: jax.Array | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """Fused paged attention for one decode step (one layer).
+
+    Args:
+      q: (B, 1, H, hd) single-position queries (B = slot count).
+      k_pages, v_pages: (P, KV, page, hd) shared page pool for this layer;
+        int8 when k_scale/v_scale are given.
+      page_table: (B, maxp) int32 page ids per slot, allocated in order;
+        entries past ceil(len/page) are ignored (keep them in [0, P)).
+      kv_len: (B,) valid token count per slot (AFTER this step's append).
+      k_scale, v_scale: optional (P, KV, 1, page) f32 dequant scale pools.
+    Returns:
+      (B, 1, H, hd) in q.dtype.
+    """
+    B, L, H, hd = q.shape
+    assert L == 1, "paged decode kernel is single-token"
+    P, KV, page, _ = k_pages.shape
+    maxp = page_table.shape[1]
+    G = H // KV
+    scale = sm_scale if sm_scale is not None else hd ** -0.5
+
+    qg = (q[:, 0] * jnp.asarray(scale, q.dtype)).reshape(B, KV, G, hd)
+    qg = qg.transpose(0, 1, 2, 3).reshape(B * KV, G, hd)
+    lens = kv_len.astype(jnp.int32)
+    table = page_table.astype(jnp.int32)
+
+    def q_index(i, j, tbl, ln):
+        return (i, 0, 0)
+
+    def kv_index(i, j, tbl, ln):
+        return (tbl[i // KV, j], i % KV, 0, 0)
+
+    def o_index(i, j, tbl, ln):
+        return (i, 0, 0)
+
+    scratch = [
+        pltpu.VMEM((G, 128), jnp.float32),
+        pltpu.VMEM((G, 128), jnp.float32),
+        pltpu.VMEM((G, hd), jnp.float32),
+    ]
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+        interpret=interpret,
+    )
+    if k_scale is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * KV, maxp),
+            in_specs=[
+                pl.BlockSpec((1, G, hd), q_index),
+                pl.BlockSpec((1, 1, page, hd), kv_index),
+                pl.BlockSpec((1, 1, page, hd), kv_index),
+                pl.BlockSpec((1, 1, 1, page), kv_index),
+                pl.BlockSpec((1, 1, 1, page), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, G, hd), o_index),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            functools.partial(_paged_kernel_int8, kv_heads=KV, page=page,
+                              num_pages_per_slot=maxp),
+            grid_spec=grid_spec, **common,
+        )(table, lens, qg, k_pages, v_pages,
+          k_scale.astype(jnp.float32), v_scale.astype(jnp.float32))
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * KV, maxp),
+            in_specs=[
+                pl.BlockSpec((1, G, hd), q_index),
+                pl.BlockSpec((1, 1, page, hd), kv_index),
+                pl.BlockSpec((1, 1, page, hd), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, G, hd), o_index),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            functools.partial(_paged_kernel, kv_heads=KV, page=page,
+                              num_pages_per_slot=maxp),
+            grid_spec=grid_spec, **common,
+        )(table, lens, qg, k_pages, v_pages)
+    return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
+
+
+def paged_attention_reference(q, k_pages, v_pages, page_table, kv_len,
+                              sm_scale=None, k_scale=None, v_scale=None):
+    """Pure-jnp oracle: gather each slot's pages densely, run masked
+    attention. Used by tests to pin the kernel down bit-for-bit-ish."""
+    B, _, H, hd = q.shape
+    P, KV, page, _ = k_pages.shape
+    maxp = page_table.shape[1]
+    G = H // KV
+    scale = sm_scale if sm_scale is not None else hd ** -0.5
+
+    def dense(pool, spool):
+        # (B, maxp, KV, page, hd) -> (B, KV, maxp*page, hd)
+        g = pool[page_table]                          # gather pages
+        g = g.transpose(0, 2, 1, 3, 4).reshape(B, KV, maxp * page, hd)
+        g = g.astype(jnp.float32)
+        if spool is not None:
+            s = spool[page_table]                     # (B, maxp, KV, 1, page)
+            s = s.transpose(0, 2, 1, 4, 3).reshape(B, KV, maxp * page, 1)
+            g = g * s
+        return g
+
+    k = dense(k_pages, k_scale)
+    v = dense(v_pages, v_scale)
+    qf = q[:, 0].astype(jnp.float32).reshape(B, KV, G, hd) * scale
+    s = jnp.einsum("bkgd,bksd->bkgs", qf, k)
+    pos = jnp.arange(maxp * page)[None, None, None, :]
+    s = jnp.where(pos < kv_len[:, None, None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgs,bksd->bkgd", p, v)
+    return o.reshape(B, 1, H, hd).astype(q.dtype)

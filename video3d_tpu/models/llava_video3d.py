@@ -542,7 +542,8 @@ def forward(params: Params, cfg: ModelConfig, batch: Batch,
 
 
 def forward_hidden(params: Params, cfg: ModelConfig, batch: Batch,
-                   remat: bool = False) -> Tuple[jax.Array, Optional[VisionTokens]]:
+                   remat: bool = False, scan_layers: bool = False
+                   ) -> Tuple[jax.Array, Optional[VisionTokens]]:
     """Forward returning final hidden states (for the grounding head)."""
     if batch.image_tiles is not None:
         # 2D-image modality: batched anyres gather-plan encoder
@@ -561,7 +562,8 @@ def forward_hidden(params: Params, cfg: ModelConfig, batch: Batch,
                              batch.coord_mask, batch.box_input)
     hidden, _ = qwen2.qwen2_forward(params["llm"], cfg.llm, embeds,
                                     _position_ids_3d(batch, cfg),
-                                    kv_len=batch.seq_len, remat=remat)
+                                    kv_len=batch.seq_len, remat=remat,
+                                    scan_layers=scan_layers)
     return hidden, vt
 
 

@@ -1,0 +1,239 @@
+"""Paged KV cache: shared page pool + per-slot page tables.
+
+Replaces the dense per-slot cache (models/qwen2.py KVCache, which reserves
+num_slots x max_len for every slot) for the continuous-batching serve path:
+HBM scales with total live tokens, so 8 slots where one holds 32k tokens
+and seven hold 2k cost ~46k tokens of pool instead of 8 x 32k = 256k. The
+reference's HF dense cache (qwen2/modeling_qwen2.py:330-632) has no
+analogue; this is the TPU-first equivalent of vLLM's paged KV.
+
+Device side: ``PagedKVCache`` (pools + table + lens) with jitted
+``append_decode_kv`` / ``write_prefill`` scatters and the scalar-prefetch
+attention kernel (kernels/paged_attention.py). Host side: ``PageAllocator``
+(free-list) decides which pages each slot owns; allocation happens on the
+scheduler thread BETWEEN jitted chunks, so the device never sees dynamic
+shapes — the table is a fixed (num_slots, max_pages) int32 array and
+capacity for a decode chunk is reserved up front (``pages_needed``).
+
+Pool layout is (layers, P, KV, page, hd) — (page, hd) minor — so each
+kernel block is one contiguous page slab; scale pools (int8) store
+(layers, P, KV, 1, page) keeping the page dim on lanes.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.config import LLMConfig
+
+
+class PagedKVCache(NamedTuple):
+    """k/v: (layers, P, KV, page, hd); int8 pools add (layers, P, KV, 1,
+    page) f32 scale pools. page_table: (S, maxp) int32 (entries past a
+    slot's allocation must stay in [0, P) — unused ones are length-masked,
+    never dereferenced out of bounds). lens: (S,) valid tokens per slot."""
+
+    k: jax.Array
+    v: jax.Array
+    page_table: jax.Array
+    lens: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def num_slots(self) -> int:
+        return self.page_table.shape[0]
+
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]
+
+    @classmethod
+    def zeros(cls, cfg: LLMConfig, num_pages: int, page_size: int,
+              num_slots: int, max_pages: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, num_pages, cfg.num_key_value_heads,
+                 page_size, cfg.head_dim)
+        table = jnp.zeros((num_slots, max_pages), jnp.int32)
+        lens = jnp.zeros((num_slots,), jnp.int32)
+        if dtype == jnp.int8:
+            sshape = shape[:3] + (1, page_size)
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       table, lens,
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   table, lens)
+
+
+class PageAllocator:
+    """Host-side free-list over the pool's page ids (scheduler thread).
+
+    Page 0 is reserved as the always-valid filler for unused page-table
+    entries (the kernel's index_map dereferences every entry, so they must
+    be in range; length masking makes the loaded data irrelevant)."""
+
+    def __init__(self, num_pages: int):
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self.num_pages = num_pages
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"page pool exhausted: want {n}, have {len(self._free)}")
+        out = [self._free.pop() for _ in range(n)]
+        return out
+
+    def free(self, pages: List[int]) -> None:
+        for p in pages:
+            if not 0 < p < self.num_pages:
+                raise ValueError(f"bad page id {p}")
+        self._free.extend(pages)
+
+
+def pages_needed(num_tokens: int, page_size: int) -> int:
+    return -(-num_tokens // page_size)
+
+
+def set_slot_pages(cache: PagedKVCache, slot: int,
+                   pages: List[int]) -> PagedKVCache:
+    """Host-side: install a slot's page list (padding with page 0)."""
+    row = pages + [0] * (cache.max_pages - len(pages))
+    assert len(row) == cache.max_pages, "too many pages for table width"
+    table = cache.page_table.at[slot].set(jnp.asarray(row, jnp.int32))
+    return cache._replace(page_table=table)
+
+
+def _quantize_kv(x: jax.Array):
+    """(..., hd) -> int8 values + (..., 1) f32 scales (same symmetric
+    per-token-per-head rule as models/qwen2.py:_quantize_kv)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                        1e-8)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def write_prefill(cache: PagedKVCache, layer: int, k_seq: jax.Array,
+                  v_seq: jax.Array, slot: int | jax.Array,
+                  start_page_idx: int = 0) -> PagedKVCache:
+    """Scatter a prefilled (L, KV, hd) sequence into the slot's pages.
+
+    L must be a multiple of page_size (right-pad K/V with anything; the
+    padded tail is length-masked at attention time). The slot's page table
+    row must already hold the target page ids (set_slot_pages).
+    """
+    L, KV, hd = k_seq.shape
+    page = cache.page_size
+    assert L % page == 0, (L, page)
+    n = L // page
+
+    def to_pages(x):
+        # (L, KV, hd) -> (n, KV, page, hd)
+        return x.reshape(n, page, KV, hd).transpose(0, 2, 1, 3)
+
+    pages = jax.lax.dynamic_slice_in_dim(
+        cache.page_table[slot], start_page_idx, n)
+
+    def scat(pool, new):
+        return pool.at[layer, pages].set(new.astype(pool.dtype))
+
+    if cache.k_scale is not None:
+        kq, ks = _quantize_kv(k_seq)
+        vq, vs = _quantize_kv(v_seq)
+        return cache._replace(
+            k=scat(cache.k, to_pages(kq)),
+            v=scat(cache.v, to_pages(vq)),
+            # (L, KV, 1) -> (n, KV, 1, page)
+            k_scale=cache.k_scale.at[layer, pages].set(
+                ks.reshape(n, page, KV, 1).transpose(0, 2, 3, 1)),
+            v_scale=cache.v_scale.at[layer, pages].set(
+                vs.reshape(n, page, KV, 1).transpose(0, 2, 3, 1)))
+    return cache._replace(k=scat(cache.k, to_pages(k_seq)),
+                          v=scat(cache.v, to_pages(v_seq)))
+
+
+def append_positions(cache: PagedKVCache,
+                     active: Optional[jax.Array] = None):
+    """(pids, off) scatter coordinates for appending one token per slot at
+    position ``lens[s]``. ``active`` (S,) bool redirects dead slots to the
+    reserved scratch page 0 offset 0 — a sacrificial location never covered
+    by any slot's length (PageAllocator never hands out page 0)."""
+    page = cache.page_size
+    pidx = cache.lens // page                       # (S,)
+    off = cache.lens % page
+    pids = jnp.take_along_axis(cache.page_table, pidx[:, None],
+                               axis=1)[:, 0]        # (S,)
+    if active is not None:
+        pids = jnp.where(active, pids, 0)
+        off = jnp.where(active, off, 0)
+    return pids, off
+
+
+def append_layer_kv(pools, k_new: jax.Array, v_new: jax.Array,
+                    pids: jax.Array, off: jax.Array):
+    """Scatter one token per slot into ONE layer's pools.
+
+    pools: (k_pages, v_pages, k_scale|None, v_scale|None) with k_pages
+    (P, KV, page, hd); k_new/v_new (S, KV, hd); pids/off (S,) from
+    :func:`append_positions`. Returns the updated 4-tuple.
+    """
+    k_pages, v_pages, ks_pages, vs_pages = pools
+    if ks_pages is not None:
+        kq, ks = _quantize_kv(k_new)
+        vq, vs = _quantize_kv(v_new)
+        return (k_pages.at[pids, :, off].set(kq),
+                v_pages.at[pids, :, off].set(vq),
+                ks_pages.at[pids, :, 0, off].set(ks[..., 0]),
+                vs_pages.at[pids, :, 0, off].set(vs[..., 0]))
+    return (k_pages.at[pids, :, off].set(k_new.astype(k_pages.dtype)),
+            v_pages.at[pids, :, off].set(v_new.astype(v_pages.dtype)),
+            None, None)
+
+
+def append_decode_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,
+                     v_new: jax.Array,
+                     active: Optional[jax.Array] = None) -> PagedKVCache:
+    """Append one token per slot into one layer of the full cache (test /
+    single-layer convenience; the decode stack uses :func:`append_layer_kv`
+    on per-layer views and restacks). Callers bump ``lens`` once per step
+    via :func:`advance_lens` (NOT per layer)."""
+    pids, off = append_positions(cache, active)
+    k_p, v_p, ks_p, vs_p = append_layer_kv(
+        layer_view(cache, layer), k_new, v_new, pids, off)
+    out = cache._replace(k=cache.k.at[layer].set(k_p),
+                         v=cache.v.at[layer].set(v_p))
+    if ks_p is not None:
+        out = out._replace(k_scale=cache.k_scale.at[layer].set(ks_p),
+                           v_scale=cache.v_scale.at[layer].set(vs_p))
+    return out
+
+
+def advance_lens(cache: PagedKVCache,
+                 active: Optional[jax.Array] = None) -> PagedKVCache:
+    """+1 token on every (active) slot — once per decode step."""
+    inc = 1 if active is None else active.astype(jnp.int32)
+    return cache._replace(lens=cache.lens + inc)
+
+
+def layer_view(cache: PagedKVCache, layer: int):
+    """The per-layer tuple decoder layers consume: (k_pages, v_pages,
+    k_scale_pages|None, v_scale_pages|None)."""
+    if cache.k_scale is not None:
+        return (cache.k[layer], cache.v[layer],
+                cache.k_scale[layer], cache.v_scale[layer])
+    return (cache.k[layer], cache.v[layer], None, None)

@@ -167,7 +167,8 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                   cache_positions: Optional[jax.Array] = None,
                   kv_len: Optional[jax.Array] = None,
                   attn_mask: Optional[jax.Array] = None,
-                  prefill: bool = False):
+                  prefill: bool = False,
+                  paged: Optional[tuple] = None):
     """One decoder block.
 
     Args:
@@ -178,8 +179,12 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
       cache_positions: (B, L) absolute slot indices for the new tokens.
       kv_len: (B,) number of valid cache entries AFTER this call's insert.
       attn_mask: (B, L, S) boolean (True = attend) when kv is None.
+      paged: optional paged-KV decode step (L == 1, mutually exclusive with
+        ``kv``): (layer_pools 4-tuple, page_table, pids, off, lens_after)
+        — see models/paged_kv.py. New K/V append into the layer's pages at
+        (pids, off) and attention streams the slot's pages.
     Returns:
-      (out, (new_k_cache, new_v_cache) or None)
+      (out, new layer cache — dense kv tuple, paged pools 4-tuple, or None)
     """
     B, L, D = x.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -206,7 +211,17 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         q, k = apply_rotary(q, k, cos, sin)
 
     new_kv = None
-    if kv is not None:
+    if paged is not None:
+        from video3d_tpu.kernels.attention import paged_mha
+        from video3d_tpu.models.paged_kv import append_layer_kv
+
+        assert score_bias is None, "paged decode does not support ALiBi"
+        pools, page_table, pids, off, lens_after = paged
+        pools = append_layer_kv(pools, k[:, 0], v[:, 0], pids, off)
+        attn = paged_mha(q, pools[0], pools[1], page_table, lens_after,
+                         k_scale=pools[2], v_scale=pools[3])
+        new_kv = pools
+    elif kv is not None:
         k_cache, v_cache = kv[0], kv[1]
         k_scale = kv[2] if len(kv) > 2 else None
         v_scale = kv[3] if len(kv) > 3 else None
@@ -281,7 +296,10 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
                   cache_positions: Optional[jax.Array] = None,
                   kv_len: Optional[jax.Array] = None,
                   prefill: bool = False,
-                  remat: bool = False):
+                  remat: bool = False,
+                  paged_cache=None,
+                  paged_active: Optional[jax.Array] = None,
+                  scan_layers: bool = False):
     """Run the decoder stack.
 
     Args:
@@ -292,8 +310,21 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
         through the Pallas flash kernel.
       kv_cache: optional KVCache; ``prefill=True`` marks the cache fill pass
         (slots 0..L-1), which attends on the raw K/V flash path.
+      paged_cache: optional models/paged_kv.PagedKVCache for single-token
+        decode (L == 1, B == num_slots; mutually exclusive with kv_cache).
+        ``paged_active`` (B,) bool masks dead slots: their append lands on
+        the sacrificial scratch page and their length does not advance.
+      scan_layers: run the stack as ONE ``lax.scan`` over stacked layer
+        params (cache-free paths only). Numerically identical to the
+        unrolled loop; structurally bounds the fsdp all-gather liveness to
+        a single layer (the unrolled 28-layer graph lets the scheduler keep
+        every layer's gathered weights alive at once — measured +12 GiB of
+        peak temp on the v5e-8 recipe, scripts/bench/train_memory_v5e8.py)
+        and compiles the body once instead of 28 times. Train-step default;
+        kept OFF for single-chip decode where the unrolled graph measured
+        faster through the remote-compile tunnel (BENCH_NOTES).
     Returns:
-      (hidden_states (B, L, D), new KVCache or None)
+      (hidden_states (B, L, D), new cache of the same kind or None)
     """
     from video3d_tpu.parallel.mesh import sequence_sharding_constraint
 
@@ -320,24 +351,79 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     else:
         layer = functools.partial(decoder_layer, prefill=prefill)
 
+    if (scan_layers and kv_cache is None and paged_cache is None
+            and len(params["layers"]) > 1
+            and _homogeneous(params["layers"])):
+        from video3d_tpu.parallel.mesh import stacked_layer_constraint
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *params["layers"])
+        stacked = stacked_layer_constraint(stacked)
+
+        def body(carry, lp):
+            out, _ = decoder_layer(lp, carry, cos, sin, cfg, None, None,
+                                   kv_len, attn_mask, prefill=prefill)
+            return out, None
+
+        if remat:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.nothing_saveable)
+        x, _ = jax.lax.scan(body, x, stacked)
+        return _norm(x, params["norm"], cfg), None
+
+    paged_coords = None
+    if paged_cache is not None:
+        from video3d_tpu.models import paged_kv as _pkv
+
+        assert kv_cache is None, "paged_cache and kv_cache are exclusive"
+        assert inputs_embeds.shape[1] == 1, "paged path is decode-only"
+        paged_coords = _pkv.append_positions(paged_cache, paged_active)
+        inc = (1 if paged_active is None
+               else paged_active.astype(jnp.int32))
+        lens_after = paged_cache.lens + inc
+
     new_cols = ([], [], [], [])
     for i, lp in enumerate(params["layers"]):
-        kv = None
-        if kv_cache is not None:
+        kv = paged = None
+        if paged_cache is not None:
+            paged = (_pkv.layer_view(paged_cache, i),
+                     paged_cache.page_table, *paged_coords, lens_after)
+        elif kv_cache is not None:
             kv = (kv_cache.k[i], kv_cache.v[i])
             if kv_cache.k_scale is not None:
                 kv += (kv_cache.k_scale[i], kv_cache.v_scale[i])
-        x, nkv = layer(lp, x, cos, sin, cfg, kv, cache_positions, kv_len, attn_mask)
+        x, nkv = layer(lp, x, cos, sin, cfg, kv, cache_positions, kv_len,
+                       attn_mask, paged=paged)
         if nkv is not None:
             for col, part in zip(new_cols, nkv):
-                col.append(part)
+                if part is not None:
+                    col.append(part)
 
     x = _norm(x, params["norm"], cfg)
     new_cache = None
-    if new_cols[0]:
+    if new_cols[0] and paged_cache is not None:
+        stacked = [jnp.stack(c) if c else None for c in new_cols]
+        new_cache = paged_cache._replace(
+            k=stacked[0], v=stacked[1], lens=lens_after,
+            k_scale=stacked[2], v_scale=stacked[3])
+    elif new_cols[0]:
         stacked = [jnp.stack(c) if c else None for c in new_cols]
         new_cache = KVCache(*stacked)
     return x, new_cache
+
+
+def _homogeneous(layers) -> bool:
+    """True when every layer tree has the same structure AND every leaf the
+    same shape/dtype (scan-over-layers stacking requirement; False for
+    mixed dense/MoE stacks)."""
+    ref = jax.tree.structure(layers[0])
+    ref_leaves = [(l.shape, l.dtype) for l in jax.tree.leaves(layers[0])]
+    for lay in layers[1:]:
+        if jax.tree.structure(lay) != ref:
+            return False
+        if [(l.shape, l.dtype) for l in jax.tree.leaves(lay)] != ref_leaves:
+            return False
+    return True
 
 
 def lm_head(params: Params, hidden: jax.Array) -> jax.Array:

@@ -1,16 +1,21 @@
-"""On-device greedy maximum-coverage frame selection.
+"""On-device greedy maximum-coverage frame selection — EXACT.
 
 The reference precomputes the greedy set-cover order offline with Python
 sets over voxel tuples (max_coverage_sampling.py:68-94) — minutes per scene
-on CPU. Here the whole selection runs jitted on the TPU: voxel tuples are
-spatial-hashed into a fixed-size occupancy bitmap per frame (V, TABLE) and
-the greedy loop is a ``lax.fori_loop`` of masked popcount-argmax steps —
-O(max_frames * V * TABLE) vectorized bit math instead of Python set algebra.
+on CPU. Here the whole selection runs jitted on the TPU: the cover universe
+is the scene point-cloud voxel list itself, frame coverage is an exact
+membership bitmap over that list (linearized voxel ids + one sort + batched
+``searchsorted`` — a perfect, collision-free mapping, unlike the spatial
+hash this replaced), and the greedy loop is a ``lax.fori_loop`` of masked
+popcount-argmax steps — O(max_frames * V * M) vectorized bit math instead
+of Python set algebra, with M = |scene voxels| (typically 10-500k, far
+smaller than a hash table sized for a low collision rate).
 
 Deviation from the reference: ties are broken by lowest frame index instead
-of uniformly at random (identical coverage quality, deterministic), and hash
-collisions can merge distinct voxels (TABLE = 2^20 makes this negligible for
-ScanNet-scale scenes; the test cross-checks against exact host set-cover).
+of uniformly at random (identical coverage quality, deterministic). The
+membership itself is exact — device picks match the host set-cover
+bit-for-bit (tests/test_lora_dpo_mc.py cross-checks, including voxel pairs
+that collided under the old 2^20 spatial hash).
 """
 
 from __future__ import annotations
@@ -21,40 +26,69 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-TABLE_BITS = 20
-TABLE = 1 << TABLE_BITS
-
-_PRIMES = (73856093, 19349663, 83492791)  # standard 3D spatial hash
+_SENTINEL = jnp.int32(2**31 - 1)  # padded/invalid scene slots sort last
 
 
-def hash_voxels(vox: jax.Array, table_bits: int = TABLE_BITS) -> jax.Array:
-    """(..., 3) int voxel ids -> (...,) bucket in [0, 2^table_bits)."""
-    v = vox.astype(jnp.int32)
-    h = (v[..., 0] * _PRIMES[0]) ^ (v[..., 1] * _PRIMES[1]) ^ (v[..., 2] * _PRIMES[2])
-    return (h & (jnp.int32((1 << table_bits) - 1))).astype(jnp.int32)
+def _linear_ids(vox: jax.Array, lo: jax.Array, sizes: jax.Array
+                ) -> jax.Array:
+    """(..., 3) voxels -> (...,) exact linear id in the scene's bounding
+    grid, or -1 for voxels outside it (they cannot be scene members).
+
+    Exact as long as the scene bounding grid has < 2^31 cells — ScanNet at
+    0.1 m voxels is ~300^3 = 2.7e7, four decimal orders under the limit.
+    """
+    rel = vox.astype(jnp.int32) - lo
+    inside = jnp.all((rel >= 0) & (rel < sizes), axis=-1)
+    ids = (rel[..., 0] * sizes[1] + rel[..., 1]) * sizes[2] + rel[..., 2]
+    return jnp.where(inside, ids, jnp.int32(-1))
 
 
-def occupancy_bitmap(vox: jax.Array, valid: jax.Array = None,
-                     table_bits: int = TABLE_BITS) -> jax.Array:
-    """(N, 3) voxels -> (2^bits,) bool occupancy (optionally masked)."""
-    buckets = hash_voxels(vox.reshape(-1, 3), table_bits)
-    updates = jnp.ones(buckets.shape, bool) if valid is None \
-        else valid.reshape(-1)
-    occ = jnp.zeros((1 << table_bits,), bool)
-    return occ.at[buckets].max(updates)
+def scene_universe(scene_vox: jax.Array, scene_valid: jax.Array = None
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(M, 3) scene voxels -> (sorted linear ids (M,), lo (3,), sizes (3,)).
+
+    Padded/invalid entries become the int32 max sentinel, so they sort to
+    the tail and can never equal a frame pixel's id (frame ids are -1 or a
+    valid in-grid id < sizes-product). Duplicate scene voxels occupy
+    duplicate slots, but ``searchsorted`` (side='left') always resolves to
+    the FIRST slot, so each distinct voxel is counted exactly once.
+    """
+    flat = scene_vox.reshape(-1, 3).astype(jnp.int32)
+    if scene_valid is None:
+        valid = jnp.ones(flat.shape[:1], bool)
+    else:
+        valid = scene_valid.reshape(-1)
+    big = jnp.int32(2**30)
+    masked = jnp.where(valid[:, None], flat, big)
+    lo = masked.min(axis=0)
+    hi = jnp.where(valid[:, None], flat, -big).max(axis=0)
+    sizes = jnp.maximum(hi - lo + 1, 1)
+    ids = jnp.where(valid, _linear_ids(flat, lo, sizes), _SENTINEL)
+    return jnp.sort(ids), lo, sizes
 
 
-@functools.partial(jax.jit, static_argnames=("max_frames", "table_bits"))
+def membership_bitmap(vox: jax.Array, sorted_ids: jax.Array,
+                      lo: jax.Array, sizes: jax.Array) -> jax.Array:
+    """(N, 3) voxels -> (M,) bool: which scene-universe slots they cover."""
+    pids = _linear_ids(vox.reshape(-1, 3), lo, sizes)
+    m = sorted_ids.shape[0]
+    idx = jnp.searchsorted(sorted_ids, pids)
+    hit = (pids >= 0) & (idx < m) & (sorted_ids[jnp.minimum(idx, m - 1)]
+                                     == pids)
+    occ = jnp.zeros((m,), bool)
+    return occ.at[jnp.minimum(idx, m - 1)].max(hit)
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames",))
 def greedy_select_frames(frame_vox: jax.Array, scene_vox: jax.Array,
                          max_frames: int = 32,
-                         scene_valid: jax.Array = None,
-                         table_bits: int = TABLE_BITS
+                         scene_valid: jax.Array = None
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Greedy max-coverage ordering on device.
+    """Greedy max-coverage ordering on device (exact membership).
 
     Args:
       frame_vox: (V, N, 3) per-frame voxel ids (N = all pixels; duplicates
-        are fine — the bitmap dedups).
+        are fine — the membership bitmap dedups).
       scene_vox: (M, 3) scene point-cloud voxel ids (the cover universe).
       scene_valid: optional (M,) mask for padded scene voxels.
     Returns:
@@ -63,16 +97,15 @@ def greedy_select_frames(frame_vox: jax.Array, scene_vox: jax.Array,
        num_all int32 total coverable voxels = |union(frames) ∩ scene|).
     """
     V = frame_vox.shape[0]
-    scene_occ = occupancy_bitmap(scene_vox, scene_valid, table_bits)
+    sorted_ids, lo, sizes = scene_universe(scene_vox, scene_valid)
     frame_occ = jax.vmap(
-        lambda fv: occupancy_bitmap(fv, table_bits=table_bits))(frame_vox)
-    frame_occ = frame_occ & scene_occ[None]          # ∩ scene cloud
+        lambda fv: membership_bitmap(fv, sorted_ids, lo, sizes))(frame_vox)
 
     num_all = jnp.any(frame_occ, axis=0).sum().astype(jnp.int32)
 
     def body(i, state):
         used, taken, order, gains = state
-        new = frame_occ & ~used[None]                # (V, T)
+        new = frame_occ & ~used[None]                # (V, M)
         counts = new.sum(axis=1).astype(jnp.int32)   # (V,)
         counts = jnp.where(taken, -1, counts)
         pick = jnp.argmax(counts).astype(jnp.int32)  # first of ties
@@ -82,7 +115,7 @@ def greedy_select_frames(frame_vox: jax.Array, scene_vox: jax.Array,
         gains = gains.at[i].set(counts[pick])
         return used, taken, order, gains
 
-    init = (jnp.zeros((1 << table_bits,), bool),
+    init = (jnp.zeros(frame_occ.shape[1:], bool),
             jnp.zeros((V,), bool),
             jnp.full((max_frames,), -1, jnp.int32),
             jnp.zeros((max_frames,), jnp.int32))

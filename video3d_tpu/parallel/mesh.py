@@ -250,6 +250,37 @@ def param_shardings(params, mesh: Mesh):
     return build(params)
 
 
+def stacked_layer_constraint(stacked, prefix: str = "llm/layers/0"):
+    """Sharding-constrain a layer tree whose leaves carry a leading
+    layer-stack dim (models/qwen2.py scan-over-layers): the per-layer
+    _PARAM_RULES spec applies to dims 1.., the stack dim replicates. Without
+    this, ``jnp.stack`` of fsdp-sharded per-layer weights materializes the
+    stack REPLICATED on every device (~12.6 GiB for Qwen2-7B). No-op
+    outside a mesh."""
+    mesh = active_mesh()
+    if mesh is None:
+        return stacked
+
+    def build(tree, pfx):
+        if isinstance(tree, dict):
+            return {k: build(v, f"{pfx}/{k}") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [build(v, f"{pfx}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        spec = param_spec(pfx, tree.ndim - 1)
+        fixed = [None]                       # layer-stack dim replicated
+        for i, ax in enumerate(spec):
+            if ax is None:
+                fixed.append(None)
+            else:
+                fixed.append(ax if tree.shape[i + 1] % mesh.shape[ax] == 0
+                             else None)
+        return jax.lax.with_sharding_constraint(
+            tree, NamedSharding(mesh, P(*fixed)))
+
+    return build(stacked, prefix)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Shard the leading (batch) dim over (dp, fsdp); replicate the rest."""
     return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (ndim - 1))))

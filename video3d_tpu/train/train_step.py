@@ -33,9 +33,15 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 
 def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
-            remat: bool = True, force_chunked_ce: bool = False
+            remat: bool = True, force_chunked_ce: bool = False,
+            scan_layers: bool = True
             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    hidden, _ = lv3d.forward_hidden(params, cfg, batch, remat=remat)
+    # scan_layers defaults ON for training: numerically identical, but the
+    # unrolled 28-layer graph lets the scheduler keep every fsdp-gathered
+    # layer alive at once (+12 GiB peak on the v5e-8 recipe — measured,
+    # scripts/bench/train_memory_v5e8.py); the scan bounds it to one layer.
+    hidden, _ = lv3d.forward_hidden(params, cfg, batch, remat=remat,
+                                    scan_layers=scan_layers)
     # Static-shape dispatch (measured, BENCH_NOTES): materialized logits
     # cost one less lm_head matmul (~10% faster at L=2048) but need
     # O(L*vocab) f32 HBM x2 (logits + softmax) — impossible at the 151k
@@ -54,14 +60,15 @@ def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "remat",
-                                             "force_chunked_ce"),
+                                             "force_chunked_ce",
+                                             "scan_layers"),
                    donate_argnums=(0,))
 def train_step(state: TrainState, batch: lv3d.Batch, cfg: ModelConfig,
                tx: optax.GradientTransformation, remat: bool = True,
-               force_chunked_ce: bool = False):
+               force_chunked_ce: bool = False, scan_layers: bool = True):
     """One optimizer step. Returns (new_state, metrics)."""
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, batch, remat, force_chunked_ce)
+        state.params, cfg, batch, remat, force_chunked_ce, scan_layers)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)
