@@ -1,0 +1,116 @@
+"""Paged vs dense batched decode on the real chip (serve-layer cache).
+
+Steady-state S-slot decode throughput at 8 full-width (3584) layers —
+the serve benchmark configuration BENCH_NOTES uses for batcher numbers —
+comparing the dense per-slot cache (models/generate.py DecodeState) with
+the paged pool (models/paged_kv.py + kernels/paged_attention.py), and
+demonstrating the capacity win: the paged pool serves the same slots from
+a fraction of the dense HBM when budgets are heterogeneous.
+
+One process per run (remote-compile tunnel discipline): the dense and
+paged modes are separate invocations.
+
+Usage: python scripts/bench/paged_batcher.py dense|paged [--slots 8]
+       [--cache-len 4096] [--chunk 256] [--int8]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def make_cfg():
+    from video3d_tpu.config import ModelConfig
+
+    cfg = ModelConfig()
+    return dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, num_hidden_layers=8))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["dense", "paged"])
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--cache-len", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--int8", action="store_true")
+    a = ap.parse_args()
+
+    from video3d_tpu.models import generate, qwen2
+
+    cfg = make_cfg()
+    params = {"llm": qwen2.init_qwen2(jax.random.PRNGKey(0), cfg.llm,
+                                      dtype=jnp.bfloat16)}
+    S, page = a.slots, 128
+    cache_dtype = jnp.int8 if a.int8 else jnp.bfloat16
+    # heterogeneous live lengths: one long context, the rest short — the
+    # serving mix paging exists for
+    lens = np.full((S,), 512, np.int32)
+    lens[0] = a.cache_len - a.chunk - 8
+    print(f"devices: {jax.devices()}  lens={lens.tolist()}", flush=True)
+
+    if a.mode == "dense":
+        state = generate.empty_decode_state(cfg, S, a.cache_len,
+                                            cache_dtype=cache_dtype)
+        state = state._replace(pos=jnp.asarray(lens),
+                               done=jnp.zeros((S,), bool),
+                               next_logits=jnp.zeros_like(state.next_logits))
+        cache_gib = sum(x.size * x.dtype.itemsize
+                        for x in [state.cache.k, state.cache.v]) / 2**30
+        step = lambda st: generate.decode_chunk(
+            params, cfg, st, chunk=a.chunk, eos_token_id=-1)
+    else:
+        from video3d_tpu.models.paged_kv import (PageAllocator,
+                                                 pages_needed,
+                                                 set_slot_pages)
+
+        max_pages = a.cache_len // page
+        # pool sized for the ACTUAL mix (+chunk growth), not S x cache_len
+        total = 1 + sum(pages_needed(int(l) + a.chunk + 8, page)
+                        for l in lens)
+        state = generate.empty_paged_state(cfg, S, total, page, max_pages,
+                                           cache_dtype=cache_dtype)
+        alloc = PageAllocator(total)
+        cache = state.cache
+        for s in range(S):
+            n = pages_needed(int(lens[s]) + a.chunk + 8, page)
+            cache = set_slot_pages(cache, s, alloc.alloc(n))
+        cache = cache._replace(lens=jnp.asarray(lens))
+        state = state._replace(cache=cache, done=jnp.zeros((S,), bool),
+                               next_logits=jnp.zeros_like(state.next_logits))
+        cache_gib = sum(x.size * x.dtype.itemsize
+                        for x in [cache.k, cache.v]) / 2**30
+        dense_gib = cache_gib * (S * max_pages) / total
+        print(f"pool {total} pages = {cache_gib:.3f} GiB "
+              f"(dense rows would be {dense_gib:.3f} GiB)", flush=True)
+        step = lambda st: generate.paged_decode_chunk(
+            params, cfg, st, chunk=a.chunk, eos_token_id=-1)
+
+    print("compiling decode chunk...", flush=True)
+    state, toks = step(state)
+    _ = np.asarray(toks)[0, -1]           # sync
+    t0 = time.perf_counter()
+    state, toks = step(state)
+    _ = np.asarray(toks)[0, -1]
+    dt = time.perf_counter() - t0
+    tok_s = S * a.chunk / dt
+    print(json.dumps({
+        "mode": f"{a.mode}{'_int8' if a.int8 else ''}",
+        "slots": S, "chunk": a.chunk,
+        "ms_per_step": round(1e3 * dt / a.chunk, 3),
+        "tok_per_s_total": round(tok_s, 1),
+        "kv_hbm_gib": round(cache_gib, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

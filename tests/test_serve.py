@@ -133,10 +133,11 @@ class TestServe:
 
 
 class TestBatcherWorker:
-    def test_worker_with_continuous_batching(self, tmp_path_factory):
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_worker_with_continuous_batching(self, tmp_path_factory, paged):
         """serve_worker(num_slots=2): concurrent /worker_generate requests
-        run through the shared S-slot decode loop and match the sequential
-        engine answer."""
+        run through the shared S-slot decode loop (dense rows or the paged
+        page-pool cache) and match the sequential engine answer."""
         import threading
         import urllib.request
 
@@ -163,7 +164,7 @@ class TestBatcherWorker:
         port = free_port()
         worker, server = serve_worker(engine, "video3d-batched", port=port,
                                       background=True, heartbeat=False,
-                                      num_slots=2)
+                                      num_slots=2, paged=paged)
         try:
             addr = f"http://127.0.0.1:{port}"
             results = [None, None]

@@ -209,6 +209,133 @@ def decode_chunk(params, cfg: ModelConfig, state: DecodeState,
     return new_state, toks.T                      # (B, chunk)
 
 
+# ---------------------------------------------------------------------------
+# Paged-cache continuous decoding (models/paged_kv.py): the batcher state
+# whose HBM scales with total live tokens instead of slots x max_cache_len.
+# ---------------------------------------------------------------------------
+
+
+class PagedDecodeState(NamedTuple):
+    """S-slot streaming state over a shared page pool. Slot lengths live in
+    ``cache.lens`` (the single source of truth; == the dense state's pos)."""
+
+    next_logits: jax.Array   # (S, vocab)
+    cache: object            # models/paged_kv.PagedKVCache
+    done: jax.Array          # (S,)
+    step: jax.Array          # ()
+
+
+def empty_paged_state(cfg: ModelConfig, num_slots: int, num_pages: int,
+                      page_size: int, max_pages: int,
+                      cache_dtype=jnp.bfloat16,
+                      logits_dtype=jnp.float32) -> PagedDecodeState:
+    """All-done paged batcher state (serve/batcher.py paged mode)."""
+    from video3d_tpu.models.paged_kv import PagedKVCache
+
+    cache = PagedKVCache.zeros(cfg.llm, num_pages, page_size, num_slots,
+                               max_pages, dtype=cache_dtype)
+    return PagedDecodeState(
+        next_logits=jnp.zeros((num_slots, cfg.llm.vocab_size), logits_dtype),
+        cache=cache,
+        done=jnp.ones((num_slots,), bool),
+        step=jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n_pages",))
+def insert_paged_slot(state: PagedDecodeState, slot: jax.Array,
+                      sub: DecodeState, page_row: jax.Array,
+                      n_pages: int) -> PagedDecodeState:
+    """Graft a freshly-prefilled B=1 dense DecodeState into paged slot
+    ``slot``: its first ``n_pages`` pages (listed in ``page_row``, the
+    host-allocated (max_pages,) table row) receive the dense cache's
+    n_pages * page_size positions verbatim (int8 caches transplant values
+    AND scales — no requantization), ``lens[slot]`` becomes the true
+    prefill length. One jit per (bucket-length, pool) shape pair.
+    """
+    cache = state.cache
+    page = cache.page_size
+    L = sub.cache.k.shape[2]
+    assert L >= n_pages * page, (L, n_pages, page)
+    pages = page_row[:n_pages]
+
+    def scat(pool, dense, tail_dims):
+        # dense (layers, 1, L, KV, d) -> (layers, n, KV, page, d) at pages
+        lay = dense.shape[0]
+        blk = dense[:, 0, :n_pages * page].reshape(
+            lay, n_pages, page, *tail_dims)
+        if len(tail_dims) == 2:                       # (KV, hd) values
+            blk = blk.transpose(0, 1, 3, 2, 4)        # -> (lay,n,KV,page,hd)
+        else:                                         # (KV, 1) scales
+            blk = blk.transpose(0, 1, 3, 4, 2)        # -> (lay,n,KV,1,page)
+        return pool.at[:, pages].set(blk.astype(pool.dtype))
+
+    KV, hd = sub.cache.k.shape[3], sub.cache.k.shape[4]
+    new_cache = cache._replace(
+        k=scat(cache.k, sub.cache.k, (KV, hd)),
+        v=scat(cache.v, sub.cache.v, (KV, hd)),
+        page_table=cache.page_table.at[slot].set(page_row),
+        lens=cache.lens.at[slot].set(sub.pos[0]))
+    if cache.k_scale is not None:
+        new_cache = new_cache._replace(
+            k_scale=scat(cache.k_scale, sub.cache.k_scale, (KV, 1)),
+            v_scale=scat(cache.v_scale, sub.cache.v_scale, (KV, 1)))
+    return PagedDecodeState(
+        next_logits=state.next_logits.at[slot].set(
+            sub.next_logits[0].astype(state.next_logits.dtype)),
+        cache=new_cache,
+        done=state.done.at[slot].set(sub.done[0]),
+        step=state.step)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def release_paged_slot(state: PagedDecodeState,
+                       slot: jax.Array) -> PagedDecodeState:
+    """Force a slot done; the host frees its pages back to the allocator
+    (they are never dereferenced again: done rows append to the scratch
+    page and their length is frozen)."""
+    return state._replace(done=state.done.at[slot].set(True))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
+                                             "temperature", "top_p", "top_k"),
+                   donate_argnums=(2,))
+def paged_decode_chunk(params, cfg: ModelConfig, state: PagedDecodeState,
+                       chunk: int = 16, eos_token_id: int = 151645,
+                       temperature: float = 0.0, top_p: float = 1.0,
+                       top_k: int = 0,
+                       rng_key: Optional[jax.Array] = None
+                       ) -> Tuple[PagedDecodeState, jax.Array]:
+    """decode_chunk over the paged cache: same emission semantics (EOS
+    padding for done rows), but dead slots neither advance their length
+    nor touch their pages. The caller guarantees page capacity for
+    ``lens + chunk`` on every live slot (the paged batcher reserves the
+    full budget at admission)."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def body(carry, i):
+        s = carry
+        step_key = jax.random.fold_in(rng_key, s.step)
+        tok = sample_token(s.next_logits, step_key, temperature, top_p,
+                           top_k)
+        tok = jnp.where(s.done, eos_token_id, tok)
+        now_done = s.done | (tok == eos_token_id)
+        step_embeds = qwen2.embed_tokens(params["llm"], tok[:, None])
+        hidden, cache = qwen2.qwen2_forward(
+            params["llm"], cfg.llm, step_embeds,
+            _decode_position_ids(s.cache.lens[:, None]),
+            paged_cache=s.cache, paged_active=~s.done)
+        logits = qwen2.lm_head(params["llm"],
+                               hidden)[:, 0].astype(s.next_logits.dtype)
+        new = PagedDecodeState(next_logits=logits, cache=cache,
+                               done=now_done, step=s.step + 1)
+        return new, tok
+
+    new_state, toks = jax.lax.scan(body, state, jnp.arange(chunk))
+    return new_state, toks.T                      # (B, chunk)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "eos_token_id", "max_cache_len",
                                              "cache_dtype", "temperature",

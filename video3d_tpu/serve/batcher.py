@@ -7,9 +7,14 @@ the batch saturates bandwidth — measured 3.5x total throughput at B=8
 (BENCH_NOTES). This module keeps a persistent S-slot ``DecodeState`` and
 runs ONE jitted decode loop for all in-flight requests:
 
-  * slots are rows of the state (static shapes — the TPU-native answer to
-    vLLM-style continuous batching: no paging needed when every slot owns a
-    fixed-size cache row);
+  * slots are rows of the state (static shapes). Two cache layouts: dense
+    rows (every slot owns a fixed ``max_cache_len`` row — simplest, best
+    when budgets are uniform) or, with ``paged=True``, a shared page pool
+    (models/paged_kv.py): each request reserves only its own
+    prompt + max_new_tokens footprint, so heterogeneous budgets pack
+    tightly and the pool can be sized for the expected mix — the
+    vLLM-PagedAttention idea, TPU-first (scalar-prefetch kernel, static
+    tables, host free-list);
   * admission = a B=1 prefill (``start_decode``) grafted into a free row
     (``insert_decode_slot`` — pure row surgery, one jit for any slot);
   * completion/cancellation = ``release_decode_slot`` (flips ``done``;
@@ -33,8 +38,12 @@ from typing import Optional
 import numpy as np
 
 from video3d_tpu.models.generate import (decode_chunk, empty_decode_state,
+                                         empty_paged_state,
                                          insert_decode_slot,
-                                         release_decode_slot, start_decode)
+                                         insert_paged_slot,
+                                         paged_decode_chunk,
+                                         release_decode_slot,
+                                         release_paged_slot, start_decode)
 
 
 class BatchedRequest:
@@ -76,22 +85,38 @@ class ContinuousBatcher:
     Args:
       engine: the InferenceEngine whose params/config/preprocessing to use.
       num_slots: concurrent requests decoded per step (HBM: one cache row
-        each of ``max_cache_len``).
+        each of ``max_cache_len``, or page-pool shares in paged mode).
       chunk: decode steps per scheduler iteration — the streaming
         granularity and the admission latency bound.
-      max_cache_len: shared cache row length; defaults to the engine's
+      max_cache_len: per-request cache budget; defaults to the engine's
         largest prefill bucket + max_new_tokens.
+      paged: use the paged KV cache (models/paged_kv.py) instead of dense
+        rows — each request reserves only prompt-bucket + its own
+        max_new_tokens (+ chunk overshoot) worth of pages at admission, so
+        heterogeneous budgets pack tightly and ``total_pages`` can size
+        HBM for the expected mix instead of num_slots x worst-case.
+        Admissions that do not find enough free pages wait (deferred FIFO)
+        until running requests release theirs. Mutually exclusive with
+        speculative mode for now.
+      page_size: tokens per page (128 keeps the kernel lane-aligned).
+      total_pages: pool size; default num_slots * ceil((max_cache_len +
+        chunk) / page_size) + 1 (the dense-equivalent worst case).
     """
+
+    _DEFER = object()
 
     def __init__(self, engine, num_slots: int = 4, chunk: int = 8,
                  max_cache_len: Optional[int] = None,
-                 draft_params=None, draft_cfg=None):
+                 draft_params=None, draft_cfg=None,
+                 paged: bool = False, page_size: int = 128,
+                 total_pages: Optional[int] = None):
         self.engine = engine
         self.num_slots = num_slots
         self.chunk = chunk
         ecfg = engine.ecfg
         self.max_cache_len = max_cache_len or (max(ecfg.buckets)
                                                + ecfg.max_new_tokens)
+        self.paged = paged
         # speculative mode: explicit draft weights, or the engine's
         # early-exit self-draft knob — every slot then advances up to
         # spec_k+1 tokens per verify forward (models/speculative.py)
@@ -110,7 +135,29 @@ class ContinuousBatcher:
                 engine.params, k, draft_vocab=ecfg.speculative_draft_vocab)
             self.draft_cfg = spec.self_draft_config(engine.cfg.llm, k)
         self.spec = self.draft_params is not None
-        if self.spec:
+        if paged and self.spec:
+            raise ValueError("paged KV + speculative batching is not "
+                             "supported yet; pick one")
+        if paged:
+            from video3d_tpu.models.paged_kv import PageAllocator
+
+            # Reserve the FULL per-request footprint at admission (prompt
+            # bucket + max_new_tokens + chunk overshoot) so a chunk can
+            # never run out of pages mid-flight. The capacity win over the
+            # dense rows: each request reserves only ITS budget, and
+            # ``total_pages`` may be sized for the expected mix instead of
+            # num_slots x worst-case.
+            self.page_size = page_size
+            self.max_pages = -(-(self.max_cache_len + chunk) // page_size)
+            self.total_pages = total_pages or (
+                1 + num_slots * self.max_pages)
+            self.state = empty_paged_state(
+                engine.cfg, num_slots, self.total_pages, page_size,
+                self.max_pages, cache_dtype=engine._cache_dtype())
+            self._alloc = PageAllocator(self.total_pages)
+            self._slot_pages: list = [None] * num_slots
+            self._deferred: list = []   # admissions awaiting free pages
+        elif self.spec:
             from video3d_tpu.models.speculative import empty_spec_slots
 
             # +K+2 slack: verify blocks write past the accepted position
@@ -205,6 +252,11 @@ class ContinuousBatcher:
                     break
                 req.error = err
                 req._q.put(BatchedRequest._DONE)
+            if self.paged:
+                for req, _ in self._deferred:
+                    req.error = err
+                    req._q.put(BatchedRequest._DONE)
+                self._deferred.clear()
 
     # ------------- scheduler -------------
 
@@ -233,6 +285,40 @@ class ContinuousBatcher:
                     "route to a larger pool (serve/router.py)")
             if req.max_new_tokens > room:
                 req.max_new_tokens = room
+            if self.paged:
+                from video3d_tpu.models.paged_kv import pages_needed
+
+                page = self.page_size
+                L_bucket = int(batch.text_ids.shape[1])
+                prompt_pages = pages_needed(L_bucket, page)
+                need = min(
+                    pages_needed(L_bucket + req.max_new_tokens + self.chunk,
+                                 page),
+                    self.max_pages)
+                if need > self._alloc.num_pages - 1:
+                    raise ValueError(
+                        f"request footprint ({need} pages) exceeds the "
+                        f"page pool ({self._alloc.num_pages - 1} usable)")
+                if need > self._alloc.available:
+                    return self._DEFER        # wait for pages to free up
+                pages = self._alloc.alloc(need)
+                try:
+                    row = jnp.asarray(pages + [0] * (self.max_pages - need),
+                                      jnp.int32)
+                    sub = start_decode(eng.params, eng.cfg, batch,
+                                       max_cache_len=prompt_pages * page,
+                                       cache_dtype=eng._cache_dtype(),
+                                       vision_features=vision_features)
+                    self.state = insert_paged_slot(
+                        self.state, jnp.asarray(slot, jnp.int32), sub, row,
+                        n_pages=prompt_pages)
+                except BaseException:
+                    self._alloc.free(pages)
+                    raise
+                self._slot_pages[slot] = pages
+                self.slots[slot] = req
+                self.emitted[slot] = 0
+                return True
             if self.spec:
                 from video3d_tpu.models.speculative import (insert_spec_slot,
                                                             spec_start)
@@ -273,7 +359,13 @@ class ContinuousBatcher:
     def _finish(self, slot: int):
         import jax.numpy as jnp
 
-        if self.spec:
+        if self.paged:
+            self.state = release_paged_slot(self.state,
+                                            jnp.asarray(slot, jnp.int32))
+            if self._slot_pages[slot]:
+                self._alloc.free(self._slot_pages[slot])
+                self._slot_pages[slot] = None
+        elif self.spec:
             from video3d_tpu.models.speculative import release_spec_slot
 
             self.state = release_spec_slot(self.state,
@@ -303,21 +395,35 @@ class ContinuousBatcher:
                     self.state = empty_decode_state(
                         eng.cfg, self.num_slots, self.max_cache_len,
                         cache_dtype=eng._cache_dtype())
-                # ---- admit into free slots ----
+                # ---- admit into free slots (deferred-first FIFO) ----
                 for s in range(self.num_slots):
                     if self.slots[s] is None:
+                        if self.paged and self._deferred:
+                            req, prepared = self._deferred[0]
+                            if self._admit(s, req, prepared) is self._DEFER:
+                                break     # still not enough pages: keep FIFO
+                            self._deferred.pop(0)
+                            continue
                         try:
                             req, prepared = self._pending.get_nowait()
                         except queue.Empty:
                             break
-                        self._admit(s, req, prepared)
+                        if self._admit(s, req, prepared) is self._DEFER:
+                            self._deferred.append((req, prepared))
+                            break
             if all(r is None for r in self.slots):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
                 continue
             # ---- one decode chunk for every in-flight request ----
             try:
-                if self.spec:
+                if self.paged:
+                    self.state, toks = paged_decode_chunk(
+                        eng.params, eng.cfg, self.state, chunk=self.chunk,
+                        eos_token_id=eos, temperature=eng.ecfg.temperature,
+                        top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
+                    rows = np.asarray(toks).tolist()
+                elif self.spec:
                     from video3d_tpu.models.speculative import \
                         spec_decode_chunk
 
@@ -370,7 +476,16 @@ class ContinuousBatcher:
                             self.slots[s] = None
                             req.error = e
                             req._q.put(BatchedRequest._DONE)
-                    if self.spec:
+                    if self.paged:
+                        from video3d_tpu.models.paged_kv import PageAllocator
+
+                        self.state = empty_paged_state(
+                            eng.cfg, self.num_slots, self.total_pages,
+                            self.page_size, self.max_pages,
+                            cache_dtype=eng._cache_dtype())
+                        self._alloc = PageAllocator(self.total_pages)
+                        self._slot_pages = [None] * self.num_slots
+                    elif self.spec:
                         from video3d_tpu.models.speculative import \
                             empty_spec_slots
 

@@ -160,15 +160,19 @@ class _WorkerHandler(BaseHTTPRequestHandler):
 def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
                  port: int = 21002, controller_addr: Optional[str] = None,
                  background: bool = False, heartbeat: bool = True,
-                 num_slots: int = 0):
+                 num_slots: int = 0, paged: bool = False,
+                 page_size: int = 128, total_pages: Optional[int] = None):
     """``num_slots > 0`` enables continuous batching: concurrent requests
     share one S-slot decode loop (serve/batcher.py) instead of serializing
-    through the engine."""
+    through the engine. ``paged`` switches the shared cache to the page
+    pool (models/paged_kv.py) sized by ``total_pages``."""
     batcher = None
     if num_slots > 0:
         from video3d_tpu.serve.batcher import ContinuousBatcher
 
-        batcher = ContinuousBatcher(engine, num_slots=num_slots)
+        batcher = ContinuousBatcher(engine, num_slots=num_slots,
+                                    paged=paged, page_size=page_size,
+                                    total_pages=total_pages)
     worker_addr = f"http://{host}:{port}"
     worker = ModelWorker(engine, model_name, controller_addr, worker_addr,
                          heartbeat=heartbeat, batcher=batcher)
@@ -203,6 +207,11 @@ if __name__ == "__main__":
     parser.add_argument("--kv-cache-dtype", default="bfloat16",
                         choices=("bfloat16", "int8"))
     parser.add_argument("--spec-draft-layers", type=int, default=0)
+    parser.add_argument("--paged-kv", action="store_true",
+                        help="paged KV pool instead of dense cache rows")
+    parser.add_argument("--page-size", type=int, default=128)
+    parser.add_argument("--total-pages", type=int, default=0,
+                        help="page pool size (0 = dense-equivalent)")
     args = parser.parse_args()
 
     from video3d_tpu.config import DataConfig
@@ -226,4 +235,6 @@ if __name__ == "__main__":
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
     serve_worker(engine, name, host=args.host, port=args.port,
                  controller_addr=args.controller_address,
-                 num_slots=args.num_slots)
+                 num_slots=args.num_slots, paged=args.paged_kv,
+                 page_size=args.page_size,
+                 total_pages=args.total_pages or None)
