@@ -110,7 +110,19 @@ class InferenceEngine:
                  video_processor: VideoProcessor,
                  image_processor: Optional[SigLipImageProcessor] = None,
                  engine_cfg: Optional[EngineConfig] = None,
-                 device_geometry: Optional[bool] = None):
+                 device_geometry: Optional[bool] = None,
+                 mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip inference (tensor parallelism + batch dp): params
+            # live sharded per parallel/mesh.py rules (serving meshes are
+            # usually pure tp: create_mesh(tp=N)); every jitted engine call
+            # then traces under the mesh context so attention picks its
+            # shard_map kernel paths. The reference has no sharded-inference
+            # path (one GPU per eval process, llava/eval/model_*.py) — this
+            # is how a >16 GB model serves on a v5e pod slice at all.
+            from video3d_tpu.parallel.mesh import shard_params
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = model_cfg
         self.tokenizer = tokenizer
@@ -147,8 +159,40 @@ class InferenceEngine:
     def _cache_dtype(self):
         return jnp.int8 if self.ecfg.kv_cache_dtype == "int8" else jnp.bfloat16
 
+    def _mesh_ctx(self):
+        """Ambient-mesh context for jitted call sites (nullcontext when
+        single-device). Tracing under the mesh lets kernels/attention.py
+        pick its shard_map decode/flash wrappers; committed single-device
+        inputs are re-laid-out by :meth:`_shard_inputs` first."""
+        import contextlib
+
+        return self.mesh if self.mesh is not None else \
+            contextlib.nullcontext()
+
+    def _shard_inputs(self, batch, vision_features):
+        """Lay the (tiny) host batch out for the mesh: batch dims over
+        dp/fsdp when they divide, everything else replicated. Needed because
+        scene-cached features may be committed to one device from a
+        pre-mesh jit, and committed mismatched inputs make jit raise."""
+        if self.mesh is None:
+            return batch, vision_features
+        import jax
+
+        from video3d_tpu.parallel.mesh import replicated, shard_batch
+
+        batch = type(batch)(*shard_batch(list(batch), self.mesh))
+        if vision_features is not None:
+            vision_features = jax.tree.map(
+                lambda x: jax.device_put(x, replicated(self.mesh)),
+                vision_features)
+        return batch, vision_features
 
     def _generate(self, batch, vision_features=None, cfg=None):
+        batch, vision_features = self._shard_inputs(batch, vision_features)
+        with self._mesh_ctx():
+            return self._generate_impl(batch, vision_features, cfg)
+
+    def _generate_impl(self, batch, vision_features=None, cfg=None):
         """generate_greedy / generate_beam / generate_speculative dispatch.
 
         ``cfg`` overrides the model config for this call only (the

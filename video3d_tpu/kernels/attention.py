@@ -124,6 +124,46 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         on_tpu = False
     B, L, H = q.shape[0], q.shape[1], q.shape[2]
     S, KV, hd = k.shape[1], k.shape[2], k.shape[3]
+    if (score_bias is None and mask is None and q_positions is not None
+            and L == 1 and kv_len is not None and not _MANUAL_MODE):
+        # tensor/data-parallel decode (parallel/inference.py): heads over
+        # tp, batch over dp/fsdp. GQA stays shard-local (q heads
+        # [i*H/tp:(i+1)*H/tp) attend kv heads [i*KV/tp:(i+1)*KV/tp) —
+        # contiguous blocks, same grouping _broadcast_kv uses), so the
+        # whole per-token attention runs without any collective; only the
+        # surrounding projections reduce over tp. Inside the shard_map the
+        # recursive mha call picks the fused kernel on TPU and the jnp
+        # reference on CPU meshes.
+        mesh = _active_mesh()
+        if mesh is not None:
+            batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
+            n_batch = int(np.prod([mesh.shape[a] for a in batch_axes])) \
+                if batch_axes else 1
+            n_tp = mesh.shape.get("tp", 1)
+            if ((n_batch > 1 or n_tp > 1) and B % max(n_batch, 1) == 0
+                    and H % n_tp == 0 and KV % n_tp == 0):
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                bspec = batch_axes if len(batch_axes) > 1 else \
+                    (batch_axes[0] if batch_axes else None)
+                tp = "tp" if n_tp > 1 else None
+                hspec = P(bspec, None, tp, None)
+                # None args are empty pytrees: P() placeholder spec is fine
+                sspec = P() if k_scale is None else hspec
+
+                def local(qs, ks, vs, qp, kl, kss, vss):
+                    with manual_sharding():
+                        return mha(qs, ks, vs, causal=causal,
+                                   q_positions=qp, kv_len=kl,
+                                   k_scale=kss, v_scale=vss)
+
+                return shard_map(
+                    local, mesh=mesh,
+                    in_specs=(hspec, hspec, hspec, P(bspec, None),
+                              P(bspec), sspec, sspec),
+                    out_specs=hspec, check_vma=False)(
+                        q, k, v, q_positions, kv_len, k_scale, v_scale)
     if (on_tpu and not _DISABLE_DECODE_KERNEL and score_bias is None
             and mask is None and q_positions is not None and L == 1
             and kv_len is not None and hd % 128 == 0 and S % 128 == 0
