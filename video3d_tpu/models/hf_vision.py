@@ -16,8 +16,9 @@ Covers the remaining reference tower wrappers (SURVEY.md M4):
     and then slices ``[:, 1:]`` — the batch dim (open_clip_encoder.py:84,
     66-69, an upstream bug); we implement the evident intent: drop the CLS
     token.
-  * ``ImageBindWrapper`` requires the external ``imagebind`` package (absent
-    here, as for the reference) — the dispatch raises with that explanation.
+  * ``ImageBindWrapper`` (multimodal_encoder/imagebind.py): the vision
+    modality runs through the native trunk in models/imagebind.py — no
+    external package needed, unlike the reference.
 
 ``build_vision_tower`` mirrors the reference dispatch rules
 (multimodal_encoder/builder.py:13-38).
@@ -283,10 +284,17 @@ def build_vision_tower(vision_tower: str, cfg: Optional[VisionConfig] = None,
                 select_feature=select_feature),
             lambda s: convert_open_clip(s, dtype=dtype), c)
     if name in ("imagebind_huge",):
-        raise NotImplementedError(
-            "ImageBindWrapper needs the external 'imagebind' package "
-            "(multimodal_encoder/imagebind.py:1-9), which is not installed "
-            "in this environment (nor in the reference's).")
+        # native ImageBind-Huge vision path (multimodal_encoder/imagebind.py
+        # ImageBindWrapper) — no external package needed; (B, 1, 1024)
+        # L2-normalized joint embeddings, hidden_size 1024
+        # (imagebind.py:71-73). Audio modality: models/imagebind.py header.
+        from video3d_tpu.models import imagebind as ib
+
+        c = ib.ImageBindConfig()
+        return VisionTower(
+            "imagebind",
+            lambda p, x: ib.imagebind_vision_forward(p, x, c),
+            lambda s: ib.convert_imagebind(s, c, dtype=dtype), None)
     if os.path.exists(name) or name.startswith("openai") \
             or name.startswith("laion") or "ShareGPT4V" in name:
         c = cfg or VisionConfig()
