@@ -118,3 +118,31 @@ class TestTensorParallelInference:
         m_scores, m_obj = eng.ground(rec)
         np.testing.assert_allclose(m_scores, s_scores, rtol=2e-2, atol=2e-2)
         np.testing.assert_array_equal(m_obj, s_obj)
+
+    def test_tp_stream_matches_single(self, env):
+        """Streaming decode under the mesh: chunked decode_chunk calls run
+        inside the mesh context; final text matches."""
+        info, *_, single = env
+        mesh = create_mesh(tp=2, devices=jax.devices()[:2])
+        eng = _mesh_engine(env, mesh)
+        chunks = list(eng.generate_answer_stream(question(info), chunk=2))
+        assert chunks[-1] == single.generate_answer(question(info))
+
+    def test_tp_batcher_matches_single(self, env):
+        """Continuous batching over a TP-sharded engine: the scheduler
+        thread enters the mesh context, so admissions and the shared
+        decode chunk trace under the mesh."""
+        from video3d_tpu.serve.batcher import ContinuousBatcher
+
+        info, *_, single = env
+        mesh = create_mesh(tp=2, devices=jax.devices()[:2])
+        eng = _mesh_engine(env, mesh)
+        records = [question(info, 0), question(info, 1)]
+        want = [single.generate_answer(r) for r in records]
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2)
+        try:
+            handles = [batcher.submit(r) for r in records]
+            got = [h.result(eng._decode_text, timeout=300) for h in handles]
+        finally:
+            batcher.shutdown()
+        assert got == want

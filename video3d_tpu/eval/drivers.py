@@ -465,30 +465,33 @@ class InferenceEngine:
 
         batch, vision_features = self._prepare_generation(
             record, box_input, coord_token_id)
+        batch, vision_features = self._shard_inputs(batch, vision_features)
         L = batch.text_ids.shape[1]
-        state = start_decode(
-            self.params, self.cfg, batch,
-            max_cache_len=L + self.ecfg.max_new_tokens,
-            cache_dtype=self._cache_dtype(), vision_features=vision_features)
+        with self._mesh_ctx():
+            state = start_decode(
+                self.params, self.cfg, batch,
+                max_cache_len=L + self.ecfg.max_new_tokens,
+                cache_dtype=self._cache_dtype(),
+                vision_features=vision_features)
 
-        emitted: list = []
-        remaining = self.ecfg.max_new_tokens
-        while remaining > 0:
-            state, toks = decode_chunk(
-                self.params, self.cfg, state, chunk=chunk,
-                eos_token_id=self.ecfg.eos_token_id,
-                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
-                top_k=self.ecfg.top_k)
-            row = np.asarray(toks)[0].tolist()
-            for t in row:
-                if t == self.ecfg.eos_token_id or remaining <= 0:
-                    remaining = 0
+            emitted: list = []
+            remaining = self.ecfg.max_new_tokens
+            while remaining > 0:
+                state, toks = decode_chunk(
+                    self.params, self.cfg, state, chunk=chunk,
+                    eos_token_id=self.ecfg.eos_token_id,
+                    temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+                    top_k=self.ecfg.top_k)
+                row = np.asarray(toks)[0].tolist()
+                for t in row:
+                    if t == self.ecfg.eos_token_id or remaining <= 0:
+                        remaining = 0
+                        break
+                    emitted.append(t)
+                    remaining -= 1
+                yield self._decode_text(emitted)
+                if bool(np.asarray(state.done).all()):
                     break
-                emitted.append(t)
-                remaining -= 1
-            yield self._decode_text(emitted)
-            if bool(np.asarray(state.done).all()):
-                break
 
     def generate_answer_video_file(self, prompt: str, video_path: str,
                                    video_fps: int = 1,

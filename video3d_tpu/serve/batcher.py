@@ -379,6 +379,14 @@ class ContinuousBatcher:
             req._q.put(BatchedRequest._DONE)
 
     def _loop(self):
+        # The mesh context is thread-local; enter it on the scheduler
+        # thread so admissions (start_decode) and the shared decode chunk
+        # trace under the engine's mesh when one is attached
+        # (multi-chip serving, eval/drivers.py InferenceEngine(mesh=...)).
+        with self.engine._mesh_ctx():
+            self._loop_impl()
+
+    def _loop_impl(self):
         eng = self.engine
         eos = eng.ecfg.eos_token_id
         while not self._stop.is_set():

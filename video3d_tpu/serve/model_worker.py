@@ -212,6 +212,13 @@ if __name__ == "__main__":
     parser.add_argument("--page-size", type=int, default=128)
     parser.add_argument("--total-pages", type=int, default=0,
                         help="page pool size (0 = dense-equivalent)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree (shard heads/mlp over "
+                             "tp chips; required for models > one chip's "
+                             "HBM). tp*dp chips are used.")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="replicate over dp groups; batch dims shard "
+                             "across them")
     args = parser.parse_args()
 
     from video3d_tpu.config import DataConfig
@@ -220,6 +227,15 @@ if __name__ == "__main__":
     from video3d_tpu.models.builder import load_pretrained_model
 
     tokenizer, params, cfg, _ = load_pretrained_model(args.model_path)
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        # serving mesh: pure tp x dp (fsdp pinned to 1 — ZeRO gathers per
+        # layer are a training trade, wrong for latency-bound decode)
+        import jax
+
+        from video3d_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(dp=args.dp, fsdp=1, tp=args.tp,
+                           devices=jax.devices()[: args.dp * args.tp])
     engine = InferenceEngine(
         params, cfg, tokenizer,
         VideoProcessor(DataConfig(video_folder=args.video_folder,
@@ -231,7 +247,8 @@ if __name__ == "__main__":
             eos_token_id=tokenizer.eos_token_id,
             max_frames=args.max_frame_num,
             kv_cache_dtype=args.kv_cache_dtype,
-            speculative_draft_layers=args.spec_draft_layers))
+            speculative_draft_layers=args.spec_draft_layers),
+        mesh=mesh)
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
     serve_worker(engine, name, host=args.host, port=args.port,
                  controller_addr=args.controller_address,

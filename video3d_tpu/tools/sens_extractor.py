@@ -92,7 +92,7 @@ def export_scene(sens_path: str, output_dir: str, fast: bool = False) -> int:
         with open(stem + ".jpg", "wb") as f:   # already jpeg bytes
             f.write(color)
         depth_img = stream.decompress_depth(depth)
-        Image.fromarray(depth_img.astype(np.uint16), mode="I;16").save(stem + ".png")
+        Image.fromarray(depth_img.astype(np.uint16)).save(stem + ".png")
         np.savetxt(stem + ".txt", pose)
         written += 1
     stream.close()
