@@ -146,3 +146,43 @@ class TestTensorParallelInference:
         finally:
             batcher.shutdown()
         assert got == want
+
+
+class TestMeshComposition:
+    def test_tp_int8_matches_single_int8(self, env):
+        """int8 weight quantization composes with TP sharding: the
+        {"q", "scale"} leaf dicts are ordinary pytrees, so shard_params
+        lays the int8 matrices out by the same partition rules."""
+        from video3d_tpu.models.quant import quantize_tree
+
+        info, params, tok, vp, ip, ecfg, _ = env
+        qparams = quantize_tree(params)
+        single = InferenceEngine(qparams, CFG, tok, vp, ip, ecfg)
+        mesh = create_mesh(tp=2, devices=jax.devices()[:2])
+        eng = InferenceEngine(qparams, CFG, tok, vp, ip, ecfg, mesh=mesh)
+        assert eng.generate_answer(question(info)) == \
+            single.generate_answer(question(info))
+
+    def test_tp_spec_batcher_matches_single(self, env):
+        """Speculative continuous batching under the mesh (spec_start /
+        spec_decode_chunk trace inside the scheduler thread's mesh
+        context) still equals sequential greedy."""
+        from dataclasses import replace as dc_replace
+
+        from video3d_tpu.serve.batcher import ContinuousBatcher
+
+        info, params, tok, vp, ip, ecfg, single = env
+        spec_ecfg = dc_replace(ecfg, speculative_draft_layers=1,
+                               speculative_k=2)
+        mesh = create_mesh(tp=2, devices=jax.devices()[:2])
+        eng = InferenceEngine(params, CFG, tok, vp, ip, spec_ecfg, mesh=mesh)
+        records = [question(info, 0), question(info, 1)]
+        want = [single.generate_answer(r) for r in records]
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2)
+        assert batcher.spec
+        try:
+            handles = [batcher.submit(r) for r in records]
+            got = [h.result(eng._decode_text, timeout=300) for h in handles]
+        finally:
+            batcher.shutdown()
+        assert got == want
