@@ -16,6 +16,9 @@ process killed mid-compile can wedge the tunnel — see
   decode   ms/token at 28 layers: start_decode(prefill 2048) then one
            jitted 128-step decode chunk, int8 weights + int8 KV + fused
            decode-attention kernel. Timed on the 2nd chunk call.
+  spec     speculative decode at 28 layers: int8 target + early-exit
+           self-draft (--draft-k layers, --draft-vocab head truncation),
+           alpha~1 ceiling. Timed on the 2nd spec_decode_chunk call.
   memory   AOT compile-only HBM feasibility: lower+compile the full-depth
            forward at bf16 and at int8 and print XLA's memory analysis.
            On TPU, buffer assignment beyond HBM fails AT COMPILE TIME, so a
@@ -40,10 +43,29 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# persistent compile cache (same as bench.py): spec_start at 28 layers
+# compiles ~9 min cold through the tunnel, instantly warm
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _full_cfg():
+    import os
+
     from video3d_tpu.config import ModelConfig, VisionConfig, LLMConfig
 
+    if os.environ.get("V3D_BENCH_TINY"):      # CPU smoke-test of the harness
+        import dataclasses
+
+        return ModelConfig(
+            vision=dataclasses.replace(VisionConfig(), num_hidden_layers=1),
+            llm=dataclasses.replace(LLMConfig(), num_hidden_layers=4,
+                                    hidden_size=256, intermediate_size=512,
+                                    num_attention_heads=4,
+                                    num_key_value_heads=2, head_dim=64,
+                                    mrope_section=(16, 8, 8),
+                                    vocab_size=2048))
     return ModelConfig(vision=VisionConfig(), llm=LLMConfig())
 
 
@@ -226,6 +248,80 @@ def run_decode(bf16: bool = False):
                               "chunk (<1% inflation)"}))
 
 
+def run_spec(draft_vocab: int = 0, draft_k: int = 1):
+    """Speculative decode at PRODUCTION depth: 28-layer int8 target +
+    early-exit self-draft (first ``draft_k`` layers + the shared lm_head,
+    optionally truncated to ``draft_vocab`` columns), int8 KV, K=7 draft
+    tokens, B=1, alpha~1 ceiling (every target layer past the draft exit
+    has its residual writes zeroed -> target logits == draft logits ->
+    all drafts accepted; the 8-layer harness in BENCH_NOTES established
+    both endpoints, this measures the full-depth ceiling).
+
+    Serving path: spec_start + spec_decode_chunk with one slot — the same
+    functions the continuous batcher drives."""
+    from video3d_tpu.models import speculative as spec
+    from video3d_tpu.models.quant import quantize_tree
+    import dataclasses
+    import __graft_entry__ as ge
+
+    cfg = _full_cfg()
+    params = init_vision_and_glue(cfg, jax.random.PRNGKey(0))
+    params["llm"] = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))
+
+    # zero the residual writes of layers >= draft_k (int8 leaves: zero q)
+    for lay in params["llm"]["layers"][draft_k:]:
+        for leaf in (lay["attn"]["wo"], lay["mlp"]["w_down"]):
+            if isinstance(leaf, dict):
+                leaf["q"] = jnp.zeros_like(leaf["q"])
+
+    K = 7
+    draft_params = spec.self_draft_params(
+        {"llm": params["llm"]}, draft_k, draft_vocab=draft_vocab)
+    draft_cfg = spec.self_draft_config(cfg.llm, draft_k)
+
+    V, L = 8, 2048
+    batch = ge._make_batch(cfg, B=1, V=V, L=L)
+    print(f"compiling spec_start (prefill 2048, 28L int8 + {draft_k}L "
+          f"draft, draft_vocab={draft_vocab or 'full'})...", flush=True)
+    t0 = time.perf_counter()
+    slots = spec.empty_spec_slots(cfg, draft_cfg, 1, 4096,
+                                  cache_dtype=jnp.int8)
+    sub, first = spec.spec_start(params, draft_params, cfg, draft_cfg,
+                                 batch, max_cache_len=4096,
+                                 cache_dtype=jnp.int8)
+    slots = spec.insert_spec_slot(slots, jnp.asarray(0, jnp.int32), sub)
+    _ = int(np.asarray(first)[0])
+    print(f"  prefill done in {time.perf_counter() - t0:.0f}s "
+          "(incl compile)", flush=True)
+
+    iters = 16
+    print(f"compiling spec_decode_chunk ({iters} iters, K={K})...",
+          flush=True)
+
+    def chunk(slots):
+        return spec.spec_decode_chunk(params, draft_params, cfg, draft_cfg,
+                                      slots, iters=iters,
+                                      num_draft_tokens=K, eos_token_id=-1)
+
+    slots, emit, keep = chunk(slots)
+    _ = int(np.asarray(keep).sum())
+    t0 = time.perf_counter()
+    slots, emit, keep = chunk(slots)
+    kept = int(np.asarray(keep).sum())
+    dt = time.perf_counter() - t0
+    ms_tok = 1e3 * dt / max(kept, 1)
+    # kept per iteration = 1 correction/bonus + accepted drafts (of K)
+    alpha = (kept / iters - 1) / K
+    print(json.dumps({
+        "mode": f"spec28L_int8_k{draft_k}"
+                + (f"_dv{draft_vocab}" if draft_vocab else ""),
+        "ms_per_token": round(ms_tok, 2),
+        "tok_per_s": round(1e3 / ms_tok, 1),
+        "tokens_kept": kept, "iters": iters,
+        "acceptance": round(alpha, 3),
+        "note": "alpha~1 ceiling (tail residual writes zeroed)"}))
+
+
 def run_memory():
     """Compile-only HBM feasibility of the full-depth forward.
 
@@ -281,14 +377,18 @@ def run_memory():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["prefill", "decode", "memory"])
+    ap.add_argument("mode", choices=["prefill", "decode", "spec", "memory"])
     ap.add_argument("--w8a8", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--draft-vocab", type=int, default=0)
+    ap.add_argument("--draft-k", type=int, default=1)
     a = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
     if a.mode == "prefill":
         run_prefill(a.w8a8)
     elif a.mode == "decode":
         run_decode(bf16=a.bf16)
+    elif a.mode == "spec":
+        run_spec(draft_vocab=a.draft_vocab, draft_k=a.draft_k)
     else:
         run_memory()
