@@ -322,6 +322,65 @@ def run_spec(draft_vocab: int = 0, draft_k: int = 1):
         "note": "alpha~1 ceiling (tail residual writes zeroed)"}))
 
 
+def run_spec_batch(num_slots: int = 8, draft_k: int = 1):
+    """Speculative CONTINUOUS-BATCH throughput at production depth: the
+    serve/batcher.py hot loop (spec_decode_chunk over S slots) with the
+    28-layer int8 target. HBM: int8 KV 117 MB/slot + ~9.3 GB weights ->
+    8 slots fit one v5e. alpha~1 ceiling as in run_spec."""
+    from video3d_tpu.models import speculative as spec
+    import __graft_entry__ as ge
+
+    cfg = _full_cfg()
+    params = init_vision_and_glue(cfg, jax.random.PRNGKey(0))
+    params["llm"] = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))
+    for lay in params["llm"]["layers"][draft_k:]:
+        for leaf in (lay["attn"]["wo"], lay["mlp"]["w_down"]):
+            if isinstance(leaf, dict):
+                leaf["q"] = jnp.zeros_like(leaf["q"])
+
+    K = 7
+    draft_params = spec.self_draft_params({"llm": params["llm"]}, draft_k)
+    draft_cfg = spec.self_draft_config(cfg.llm, draft_k)
+
+    V, L = 8, 2048
+    batch = ge._make_batch(cfg, B=1, V=V, L=L)
+    slots = spec.empty_spec_slots(cfg, draft_cfg, num_slots, 4096,
+                                  cache_dtype=jnp.int8)
+    print(f"prefilling {num_slots} slots (28L int8)...", flush=True)
+    t0 = time.perf_counter()
+    for s in range(num_slots):
+        sub, first = spec.spec_start(params, draft_params, cfg, draft_cfg,
+                                     batch, max_cache_len=4096,
+                                     cache_dtype=jnp.int8)
+        slots = spec.insert_spec_slot(slots, jnp.asarray(s, jnp.int32), sub)
+        _ = int(np.asarray(first)[0])
+    print(f"  {num_slots} prefills in {time.perf_counter() - t0:.0f}s "
+          "(incl compile)", flush=True)
+
+    iters = 16
+    print(f"compiling spec_decode_chunk (S={num_slots}, {iters} iters, "
+          f"K={K})...", flush=True)
+
+    def chunk(slots):
+        return spec.spec_decode_chunk(params, draft_params, cfg, draft_cfg,
+                                      slots, iters=iters,
+                                      num_draft_tokens=K, eos_token_id=-1)
+
+    slots, emit, keep = chunk(slots)
+    _ = int(np.asarray(keep).sum())
+    t0 = time.perf_counter()
+    slots, emit, keep = chunk(slots)
+    kept = int(np.asarray(keep).sum())
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": f"specbatch28L_int8_S{num_slots}_k{draft_k}",
+        "total_tok_per_s": round(kept / dt, 1),
+        "tokens_kept": kept, "iters": iters, "slots": num_slots,
+        "ms_per_token_per_slot": round(1e3 * dt / max(kept, 1) * num_slots,
+                                       2),
+        "note": "alpha~1 ceiling; serve/batcher.py hot path"}))
+
+
 def run_memory():
     """Compile-only HBM feasibility of the full-depth forward.
 
@@ -377,11 +436,13 @@ def run_memory():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["prefill", "decode", "spec", "memory"])
+    ap.add_argument("mode", choices=["prefill", "decode", "spec",
+                                     "spec-batch", "memory"])
     ap.add_argument("--w8a8", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--draft-vocab", type=int, default=0)
     ap.add_argument("--draft-k", type=int, default=1)
+    ap.add_argument("--num-slots", type=int, default=8)
     a = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
     if a.mode == "prefill":
@@ -390,5 +451,7 @@ if __name__ == "__main__":
         run_decode(bf16=a.bf16)
     elif a.mode == "spec":
         run_spec(draft_vocab=a.draft_vocab, draft_k=a.draft_k)
+    elif a.mode == "spec-batch":
+        run_spec_batch(num_slots=a.num_slots, draft_k=a.draft_k)
     else:
         run_memory()

@@ -122,6 +122,30 @@ class TestEvalCli:
         assert len(records) == 1
         assert isinstance(records[0]["pred_response"], str)
 
+    def test_eval_w8a8_and_tp(self, env, tmp_path, monkeypatch):
+        """--w8a8 (dynamic-activation int8, implies int8 weights) and
+        --tp 2 (engine sharded over a 2-device serving mesh) drive the
+        eval end-to-end."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        qfile = str(tmp_path / "qw.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": "q0_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat is here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what",
+                             "answers": ["chair"]}}], f)
+        afile = str(tmp_path / "aw.jsonl")
+        cli.main(["eval-scanqa", "--model-path", ckpt,
+                  "--question-file", qfile, "--answer-file", afile,
+                  "--max-new-tokens", "4", "--w8a8", "--tp", "2",
+                  *data_flags(root)])
+        records = [json.loads(l) for l in open(afile)]
+        assert len(records) == 1
+        assert isinstance(records[0]["pred_response"], str)
+
     def test_eval_rank_world_striping(self, env, tmp_path, monkeypatch):
         root, info, ckpt = env
         monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())

@@ -160,8 +160,29 @@ class TestMeshComposition:
         single = InferenceEngine(qparams, CFG, tok, vp, ip, ecfg)
         mesh = create_mesh(tp=2, devices=jax.devices()[:2])
         eng = InferenceEngine(qparams, CFG, tok, vp, ip, ecfg, mesh=mesh)
+        # the int8 payloads must be genuinely partitioned (the {q, scale}
+        # nesting must inherit the weight's rule, not fall to replicate) —
+        # tp serving of a >one-chip model depends on it
+        wq = eng.params["llm"]["layers"][0]["attn"]["wq"]
+        assert wq["q"].sharding.spec == jax.sharding.PartitionSpec(
+            "fsdp", "tp")
+        assert not wq["q"].sharding.is_fully_replicated
         assert eng.generate_answer(question(info)) == \
             single.generate_answer(question(info))
+
+    def test_tp_int8_kv_matches_single(self, env):
+        """int8 KV cache under TP: the per-token (B, S, KV, 1) scale
+        tensors shard over tp on the kv-head dim inside the shard_map
+        decode wrapper."""
+        from dataclasses import replace as dc_replace
+
+        info, params, tok, vp, ip, ecfg, single = env
+        kv_ecfg = dc_replace(ecfg, kv_cache_dtype="int8")
+        ref = InferenceEngine(params, CFG, tok, vp, ip, kv_ecfg)
+        mesh = create_mesh(tp=2, devices=jax.devices()[:2])
+        eng = InferenceEngine(params, CFG, tok, vp, ip, kv_ecfg, mesh=mesh)
+        assert eng.generate_answer(question(info)) == \
+            ref.generate_answer(question(info))
 
     def test_tp_spec_batcher_matches_single(self, env):
         """Speculative continuous batching under the mesh (spec_start /

@@ -172,15 +172,19 @@ def cmd_eval(args, task: str):
 
     params, model_cfg = _load_model(args)
     if getattr(args, "load_in_8bit", False) or getattr(args, "load_in_4bit",
-                                                       False):
+                                                       False) \
+            or getattr(args, "w8a8", False):
         # reference bitsandbytes branches (model/builder.py quantization
         # kwargs, train_3d.py load_in_{8,4}bit): weight-only quantization
         # of the LLM projections + lm_head (models/quant.py; int4 streams
-        # through the pallas matvec kernel)
+        # through the pallas matvec kernel). --w8a8 additionally marks the
+        # int8 weights for dynamic-activation int8 matmuls.
         from video3d_tpu.models.quant import quantize_tree
 
-        params = quantize_tree(params,
-                               bits=4 if args.load_in_4bit else 8)
+        params = quantize_tree(
+            params, bits=4 if args.load_in_4bit else 8,
+            act="int8" if getattr(args, "w8a8", False)
+            and not args.load_in_4bit else "none")
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
     tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
@@ -190,8 +194,15 @@ def cmd_eval(args, task: str):
             [json.loads(l) for l in f]
     questions = questions[args.rank::args.world]
 
+    mesh = None
+    if getattr(args, "tp", 1) > 1 or getattr(args, "dp", 1) > 1:
+        from video3d_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(dp=args.dp, fsdp=1, tp=args.tp,
+                           devices=jax.devices()[: args.dp * args.tp])
     engine = drivers.InferenceEngine(
         params, model_cfg, tokenizer, VideoProcessor(data_cfg),
+        mesh=mesh,
         engine_cfg=drivers.EngineConfig(
             max_new_tokens=args.max_new_tokens,
             eos_token_id=tokenizer.eos_token_id,
@@ -265,6 +276,14 @@ def main(argv=None):
         # weight-only quantization (reference load_in_{8,4}bit flags)
         pe.add_argument("--load-in-8bit", action="store_true")
         pe.add_argument("--load-in-4bit", action="store_true")
+        # dynamic-activation int8 matmuls on top of int8 weights (an HBM
+        # lever: measured 1.54x on the 7B prefill chain, BENCH_NOTES);
+        # implies --load-in-8bit
+        pe.add_argument("--w8a8", action="store_true")
+        # multi-chip inference: shard over a tp x dp serving mesh
+        # (tp*dp chips; required when the model exceeds one chip's HBM)
+        pe.add_argument("--tp", type=int, default=1)
+        pe.add_argument("--dp", type=int, default=1)
         # reference generate kwargs (model_scanqa.py:176-180, :228-230)
         pe.add_argument("--temperature", type=float, default=0.0)
         pe.add_argument("--top-p", type=float, default=1.0)

@@ -225,27 +225,59 @@ def _iter_with_paths(tree, prefix=""):
 
 
 def param_shardings(params, mesh: Mesh):
-    """Pytree of NamedShardings matching ``params``' structure."""
-    flat = dict(_iter_with_paths(params))
+    """Pytree of NamedShardings matching ``params``' structure.
 
-    def build(tree, prefix=""):
-        if isinstance(tree, dict):
-            return {k: build(v, f"{prefix}/{k}" if prefix else str(k)) for k, v in tree.items()}
-        if isinstance(tree, (list, tuple)):
-            out = [build(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
-            return type(tree)(out) if isinstance(tree, tuple) else out
-        spec = param_spec(prefix, getattr(tree, "ndim", 0))
+    Quantized weights shard like their bf16 counterparts: an int8
+    ``{"q", "scale"}`` dict (or :class:`~video3d_tpu.models.quant.W8A8Weight`)
+    at path ``.../wq`` takes the ``wq`` rule on ``q`` and follows the
+    output-dim axis on its ``(1, out)`` scale row — without this the
+    ``$``-anchored rules never match the nested leaves and int8 models
+    would silently replicate, defeating tensor-parallel serving of
+    >one-chip models. Other custom pytree nodes (e.g. Int4Weight, whose
+    packed layout does not partition cleanly) replicate their leaves."""
+
+    def fit(leaf, spec):
         # Drop axes that don't divide the dim evenly -> replicate that dim.
-        if hasattr(tree, "shape"):
+        if hasattr(leaf, "shape"):
             fixed = []
             for i, ax in enumerate(spec):
                 if ax is None:
                     fixed.append(None)
                     continue
-                size = mesh.shape[ax]
-                fixed.append(ax if tree.shape[i] % size == 0 else None)
+                fixed.append(ax if leaf.shape[i] % mesh.shape[ax] == 0
+                             else None)
             spec = P(*fixed) if fixed else P()
         return NamedSharding(mesh, spec)
+
+    def quant_pair(q, scale, prefix):
+        wspec = param_spec(prefix, getattr(q, "ndim", 2))
+        out_ax = wspec[-1] if len(wspec) >= 2 else None
+        sspec = P(*([None] * (getattr(scale, "ndim", 2) - 1)), out_ax)
+        return fit(q, wspec), fit(scale, sspec)
+
+    def build(tree, prefix=""):
+        if isinstance(tree, dict):
+            if set(tree) == {"q", "scale"}:
+                q_sh, s_sh = quant_pair(tree["q"], tree["scale"], prefix)
+                return {"q": q_sh, "scale": s_sh}
+            return {k: build(v, f"{prefix}/{k}" if prefix else str(k)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [build(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        if tree is not None and not hasattr(tree, "shape") \
+                and not isinstance(tree, (int, float, complex, bool, str)):
+            # registered pytree node (W8A8Weight / Int4Weight / ...)
+            from video3d_tpu.models.quant import W8A8Weight
+
+            children, treedef = jax.tree_util.tree_flatten(
+                tree, is_leaf=lambda x: x is not tree)
+            if not (len(children) == 1 and children[0] is tree):
+                if isinstance(tree, W8A8Weight):
+                    built = list(quant_pair(tree.q, tree.scale, prefix))
+                else:
+                    built = [NamedSharding(mesh, P()) for _ in children]
+                return jax.tree_util.tree_unflatten(treedef, built)
+        return fit(tree, param_spec(prefix, getattr(tree, "ndim", 0)))
 
     return build(params)
 
@@ -297,15 +329,21 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a batch pytree: leading dim over (dp, fsdp)."""
+    """Device-put a batch pytree: leading dim over (dp, fsdp).
+
+    Tolerates meshes without dp/fsdp axes (e.g. a hand-built pure-tp
+    serving mesh): everything is then replicated."""
+    batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
+    total = int(np.prod([mesh.shape[a] for a in batch_axes])) \
+        if batch_axes else 1
+
     def put(x):
         if x is None:
             return None
         nd = getattr(x, "ndim", 0)
-        if nd == 0:
+        if nd == 0 or total == 1 or x.shape[0] % total != 0:
             return jax.device_put(x, replicated(mesh))
-        total = mesh.shape["dp"] * mesh.shape["fsdp"]
-        if x.shape[0] % total != 0:
-            return jax.device_put(x, replicated(mesh))
-        return jax.device_put(x, batch_sharding(mesh, nd))
+        spec = batch_axes if len(batch_axes) > 1 else batch_axes[0]
+        return jax.device_put(
+            x, NamedSharding(mesh, P(spec, *([None] * (nd - 1)))))
     return jax.tree.map(put, batch)
