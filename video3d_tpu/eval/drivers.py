@@ -612,6 +612,18 @@ class InferenceEngine:
         questions. Decode is HBM-bound (weight reads dominate), so batching
         multiplies throughput at nearly constant latency.
         """
+        batch = self.prepare_answers_batch(records, box_inputs,
+                                           coord_token_id)
+        return self.answers_from_batch(batch, len(records))
+
+    def prepare_answers_batch(self, records: Sequence[dict],
+                              box_inputs: Optional[Sequence] = None,
+                              coord_token_id=None):
+        """Host half of :meth:`generate_answers_batch` (video IO, geometry
+        preprocessing, tokenization, splice planning) — split out so the
+        eval loop can pipeline it against the previous batch's device work
+        (run_generative prefetch; the reference's loop is fully serial,
+        model_scanqa.py:129-206)."""
         B = len(records)
         mc = self.cfg
         g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
@@ -651,6 +663,10 @@ class InferenceEngine:
             coord_mask=jnp.asarray(plan.coord_mask),
             box_input=(jnp.asarray(np.stack(boxes).astype(np.float32))
                        if has_box else None))
+        return batch
+
+    def answers_from_batch(self, batch, B: int) -> List[str]:
+        """Device half of :meth:`generate_answers_batch`."""
         res = self._generate(batch)
         out = []
         for b in range(B):
@@ -783,33 +799,61 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
 
     ``batch_size > 1`` runs batched prefill+decode (decode is HBM-bound, so
     this multiplies throughput at ~constant step latency).
+
+    Host/device pipelining (beyond the reference's fully serial loop): one
+    worker thread prepares batch i+1 (video IO, geometry, tokenization,
+    splice plan) while the device generates batch i — numpy/PIL release
+    the GIL for the heavy parts, so the two halves genuinely overlap.
     """
-    times = []
-    for s in range(0, len(questions), batch_size):
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not questions:
+        return []
+
+    def prep(s):
         chunk = list(questions[s:s + batch_size])
         box_inputs = [np.asarray(l["box_input"][:3], np.float32)
                       if l.get("box_input") is not None else None
                       for l in chunk]
-        t0 = time.time()
         if batch_size == 1:
-            texts = [engine.generate_answer(chunk[0], box_input=box_inputs[0],
-                                            coord_token_id=coord_token_id)]
+            prepared = engine._prepare_generation(
+                chunk[0], box_inputs[0], coord_token_id)
         else:
-            texts = engine.generate_answers_batch(
+            prepared = engine.prepare_answers_batch(
                 chunk, box_inputs=box_inputs, coord_token_id=coord_token_id)
-        dt = (time.time() - t0) / len(chunk)
-        for line, text in zip(chunk, texts):
-            times.append(dt)
-            gt = (line.get("annotations", [line["conversations"][1]["value"]])
-                  if gt_from_annotations else line["conversations"][1]["value"])
-            _append_jsonl(answer_file, {
-                "dataset": line["metadata"]["dataset"],
-                "sample_id": line["id"],
-                "prompt": line["conversations"][0]["value"],
-                "pred_response": text,
-                "gt_response": gt,
-                "question_type": line["metadata"].get("question_type"),
-            })
+        return chunk, prepared
+
+    times = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(prep, 0)
+        for s in range(0, len(questions), batch_size):
+            chunk, prepared = fut.result()
+            if s + batch_size < len(questions):
+                fut = ex.submit(prep, s + batch_size)
+            t0 = time.time()
+            if batch_size == 1:
+                batch, vision_features = prepared
+                res = engine._generate(batch,
+                                       vision_features=vision_features)
+                toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+                texts = [engine._decode_text(toks)]
+            else:
+                texts = engine.answers_from_batch(prepared, len(chunk))
+            dt = (time.time() - t0) / len(chunk)
+            for line, text in zip(chunk, texts):
+                times.append(dt)
+                gt = (line.get("annotations",
+                               [line["conversations"][1]["value"]])
+                      if gt_from_annotations
+                      else line["conversations"][1]["value"])
+                _append_jsonl(answer_file, {
+                    "dataset": line["metadata"]["dataset"],
+                    "sample_id": line["id"],
+                    "prompt": line["conversations"][0]["value"],
+                    "pred_response": text,
+                    "gt_response": gt,
+                    "question_type": line["metadata"].get("question_type"),
+                })
     return times
 
 
