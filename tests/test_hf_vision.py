@@ -187,8 +187,8 @@ class TestBuilderDispatch:
         assert hv.build_vision_tower("hf:some/vit", TINY).family == "hf"
         assert hv.build_vision_tower("open_clip_hub:ViT-H-14",
                                      TINY).family == "open_clip"
-        with pytest.raises(NotImplementedError):
-            hv.build_vision_tower("imagebind_huge", TINY)
+        assert hv.build_vision_tower("imagebind_huge",
+                                     TINY).family == "imagebind"
         assert hv.build_vision_tower("openai/clip-vit", TINY,
                                      use_s2=True).family == "clip_s2"
         with pytest.raises(ValueError):

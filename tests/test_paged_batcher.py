@@ -139,12 +139,24 @@ class TestPagedBatcher:
         finally:
             batcher.shutdown()
 
-    def test_spec_plus_paged_rejected(self, env):
+    def test_spec_plus_paged_composes(self, env):
+        """paged + speculative construct together (round 2; full behavior
+        coverage in tests/test_paged_spec.py) and reservations include the
+        K+2 verify write-ahead."""
         info, engine, tok = env
         import dataclasses
 
         eng2 = InferenceEngine(
             engine.params, engine.cfg, tok, engine.vp, engine.ip,
-            dataclasses.replace(engine.ecfg, speculative_draft_layers=1))
-        with pytest.raises(ValueError, match="paged"):
-            ContinuousBatcher(eng2, num_slots=1, paged=True)
+            dataclasses.replace(engine.ecfg, speculative_draft_layers=1,
+                                speculative_k=3))
+        b = ContinuousBatcher(eng2, num_slots=1, paged=True)
+        try:
+            assert b.spec and b.paged
+            from video3d_tpu.models.speculative import PagedSpecSlots
+            assert isinstance(b.state, PagedSpecSlots)
+            # max_pages covers cache_len + chunk + K+2 write-ahead
+            assert b.max_pages * b.page_size >= \
+                b.max_cache_len + b.chunk + 3 + 2
+        finally:
+            b.shutdown()

@@ -713,6 +713,12 @@ class InferenceEngine:
         """Batched :meth:`ground`: one prefill scores B queries (the
         reference grounds one at a time; queries per scene are plentiful in
         ScanRefer/Multi3DRefer so the prefill amortizes)."""
+        return self.ground_from_prepared(self.prepare_ground_batch(records))
+
+    def prepare_ground_batch(self, records: Sequence[dict]):
+        """Host half of :meth:`ground_batch` (IO/tokenize/splice/masks) —
+        split out so the grounding runners can pipeline it against the
+        previous batch's device prefill (same pattern as run_generative)."""
         assert self.ecfg.ground_token_id is not None
         B = len(records)
         mc = self.cfg
@@ -764,12 +770,17 @@ class InferenceEngine:
             hits = np.nonzero(plan.labels[b] == self.ecfg.ground_token_id)[0]
             slots[b] = int(hits[0]) if len(hits) else int(plan.seq_len[b]) - 1
 
+        return (batch, jnp.asarray(np.stack(coords_l)), jnp.asarray(obj),
+                jnp.asarray(valid), jnp.asarray(slots), counts, objects_l)
+
+    def ground_from_prepared(self, prepared
+                             ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Device half of :meth:`ground_batch`."""
+        batch, coords, obj, valid, slots, counts, objects_l = prepared
         scores = np.asarray(lv3d.grounding_forward_batch(
-            self.params, self.cfg, batch,
-            jnp.asarray(np.stack(coords_l)), jnp.asarray(obj),
-            jnp.asarray(valid), jnp.asarray(slots)))
+            self.params, self.cfg, batch, coords, obj, valid, slots))
         return [(np.concatenate([scores[b, :counts[b]], scores[b, -1:]]),
-                 objects_l[b][:counts[b]]) for b in range(B)]
+                 objects_l[b][:counts[b]]) for b in range(len(counts))]
 
 
 # ---------------------------------------------------------------------------
@@ -871,6 +882,38 @@ def run_scan2cap(engine, questions, answer_file, coord_token_id):
                           coord_token_id=coord_token_id)
 
 
+def _run_grounding(engine: InferenceEngine, questions: Sequence[dict],
+                   batch_size: int, emit) -> List[float]:
+    """Shared ScanRefer/Multi3DRefer loop with host/device pipelining:
+    one worker thread prepares batch i+1 while the device scores batch i
+    (batch_size 1 routes through the B=1 batched path — numerics-identical
+    to :meth:`InferenceEngine.ground`, asserted by
+    tests/test_drivers.py::test_ground_batch_matches_single)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not questions:
+        return []
+
+    def prep(s0):
+        chunk = list(questions[s0:s0 + batch_size])
+        return chunk, engine.prepare_ground_batch(chunk)
+
+    times = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(prep, 0)
+        for s0 in range(0, len(questions), batch_size):
+            chunk, prepared = fut.result()
+            if s0 + batch_size < len(questions):
+                fut = ex.submit(prep, s0 + batch_size)
+            t0 = time.time()
+            results = engine.ground_from_prepared(prepared)
+            dt = (time.time() - t0) / len(chunk)
+            for line, (scores, objects) in zip(chunk, results):
+                times.append(dt)
+                emit(line, scores, objects)
+    return times
+
+
 def run_scanrefer(engine: InferenceEngine, questions: Sequence[dict],
                   answer_file: str, batch_size: int = 1) -> List[float]:
     """Argmax grounding box (model_scanrefer.py:163-190).
@@ -878,17 +921,10 @@ def run_scanrefer(engine: InferenceEngine, questions: Sequence[dict],
     ``batch_size > 1`` scores several queries per prefill
     (InferenceEngine.ground_batch).
     """
-    times = []
-    for s0 in range(0, len(questions), batch_size):
-        chunk = list(questions[s0:s0 + batch_size])
-        t0 = time.time()
-        results = (engine.ground_batch(chunk) if batch_size > 1
-                   else [engine.ground(chunk[0])])
-        dt = (time.time() - t0) / len(chunk)
-        for line, (scores, objects) in zip(chunk, results):
-            times.append(dt)
-            _emit_scanrefer(answer_file, line, scores, objects)
-    return times
+    return _run_grounding(
+        engine, questions, batch_size,
+        lambda line, scores, objects:
+            _emit_scanrefer(answer_file, line, scores, objects))
 
 
 def _emit_scanrefer(answer_file, line, scores, objects):
@@ -930,21 +966,14 @@ def run_vqa(engine: InferenceEngine, questions: Sequence[dict],
 def run_multi3drefer(engine: InferenceEngine, questions: Sequence[dict],
                      answer_file: str, batch_size: int = 1) -> List[float]:
     """Dump all scores + objects (model_multi3drefer.py:163-180)."""
-    times = []
-    for s0 in range(0, len(questions), batch_size):
-        chunk = list(questions[s0:s0 + batch_size])
-        t0 = time.time()
-        results = (engine.ground_batch(chunk) if batch_size > 1
-                   else [engine.ground(chunk[0])])
-        dt = (time.time() - t0) / len(chunk)
-        for line, (scores, objects) in zip(chunk, results):
-            times.append(dt)
-            _append_jsonl(answer_file, {
-                "dataset": line["metadata"]["dataset"],
-                "sample_id": line["id"],
-                "scores": scores.tolist(),
-                "objects": objects.tolist(),
-                "gt_response": line.get("box", []),
-                "question_type": line["metadata"].get("question_type"),
-            })
-    return times
+    def emit(line, scores, objects):
+        _append_jsonl(answer_file, {
+            "dataset": line["metadata"]["dataset"],
+            "sample_id": line["id"],
+            "scores": scores.tolist(),
+            "objects": objects.tolist(),
+            "gt_response": line.get("box", []),
+            "question_type": line["metadata"].get("question_type"),
+        })
+
+    return _run_grounding(engine, questions, batch_size, emit)

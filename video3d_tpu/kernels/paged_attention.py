@@ -254,3 +254,47 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, kv_len,
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bkgs,bksd->bkgd", p, v)
     return o.reshape(B, 1, H, hd).astype(q.dtype)
+
+
+def paged_attention_multi(q, k_pages, v_pages, page_table, q_positions,
+                          sm_scale=None, k_scale=None, v_scale=None):
+    """Multi-query paged attention: L queries per slot with per-query
+    causal lengths (query at global position p attends keys 0..p). The
+    speculative verify forward uses this for its K+1-token block
+    (models/speculative.py paged path) — the block is appended first, so
+    key validity is exactly ``s <= q_position``.
+
+    Gather-based (one dense copy of each slot's pages): the KV read itself
+    is unavoidable; the extra copy costs ~2x KV traffic, which is noise
+    next to the weight reads that dominate verify at 7B scale
+    (BENCH_NOTES full-depth section). A scalar-prefetch multi-query kernel
+    can replace this without changing the call site.
+
+    q: (B, L, H, hd); q_positions: (B, L) global token positions.
+    """
+    B, L, H, hd = q.shape
+    P, KV, page, _ = k_pages.shape
+    maxp = page_table.shape[1]
+    G = H // KV
+    scale = sm_scale if sm_scale is not None else hd ** -0.5
+
+    def dense(pool, spool):
+        g = pool[page_table]                          # (B, maxp, KV, page, hd)
+        g = g.transpose(0, 2, 1, 3, 4).reshape(B, KV, maxp * page, hd)
+        g = g.astype(jnp.float32)
+        if spool is not None:
+            s = spool[page_table]                     # (B, maxp, KV, 1, page)
+            s = s.transpose(0, 2, 1, 4, 3).reshape(B, KV, maxp * page, 1)
+            g = g * s
+        return g
+
+    k = dense(k_pages, k_scale)
+    v = dense(v_pages, v_scale)
+    qf = q.astype(jnp.float32).reshape(B, L, KV, G, hd) * scale
+    s = jnp.einsum("blkgd,bksd->blkgs", qf, k)     # (B, L, KV, G, S)
+    pos = jnp.arange(maxp * page)[None, None, None, None, :]
+    ok = pos <= q_positions[:, :, None, None, None]
+    s = jnp.where(ok, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("blkgs,bksd->blkgd", p, v)
+    return o.reshape(B, L, H, hd).astype(q.dtype)

@@ -253,33 +253,10 @@ def insert_paged_slot(state: PagedDecodeState, slot: jax.Array,
     AND scales — no requantization), ``lens[slot]`` becomes the true
     prefill length. One jit per (bucket-length, pool) shape pair.
     """
-    cache = state.cache
-    page = cache.page_size
-    L = sub.cache.k.shape[2]
-    assert L >= n_pages * page, (L, n_pages, page)
-    pages = page_row[:n_pages]
+    from video3d_tpu.models.paged_kv import transplant_dense
 
-    def scat(pool, dense, tail_dims):
-        # dense (layers, 1, L, KV, d) -> (layers, n, KV, page, d) at pages
-        lay = dense.shape[0]
-        blk = dense[:, 0, :n_pages * page].reshape(
-            lay, n_pages, page, *tail_dims)
-        if len(tail_dims) == 2:                       # (KV, hd) values
-            blk = blk.transpose(0, 1, 3, 2, 4)        # -> (lay,n,KV,page,hd)
-        else:                                         # (KV, 1) scales
-            blk = blk.transpose(0, 1, 3, 4, 2)        # -> (lay,n,KV,1,page)
-        return pool.at[:, pages].set(blk.astype(pool.dtype))
-
-    KV, hd = sub.cache.k.shape[3], sub.cache.k.shape[4]
-    new_cache = cache._replace(
-        k=scat(cache.k, sub.cache.k, (KV, hd)),
-        v=scat(cache.v, sub.cache.v, (KV, hd)),
-        page_table=cache.page_table.at[slot].set(page_row),
-        lens=cache.lens.at[slot].set(sub.pos[0]))
-    if cache.k_scale is not None:
-        new_cache = new_cache._replace(
-            k_scale=scat(cache.k_scale, sub.cache.k_scale, (KV, 1)),
-            v_scale=scat(cache.v_scale, sub.cache.v_scale, (KV, 1)))
+    new_cache = transplant_dense(state.cache, sub.cache, slot, page_row,
+                                 n_pages, sub.pos[0])
     return PagedDecodeState(
         next_logits=state.next_logits.at[slot].set(
             sub.next_logits[0].astype(state.next_logits.dtype)),

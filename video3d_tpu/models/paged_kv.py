@@ -118,6 +118,49 @@ def set_slot_pages(cache: PagedKVCache, slot: int,
     return cache._replace(page_table=table)
 
 
+def transplant_dense(cache: PagedKVCache, dense, slot, page_row: jax.Array,
+                     n_pages: int, length) -> PagedKVCache:
+    """Copy a freshly-prefilled B=1 dense cache (models/qwen2.py KVCache)
+    into ``slot``'s first ``n_pages`` pages verbatim (int8 caches
+    transplant values AND scales — no requantization), install the page
+    row and set ``lens[slot] = length``. Shared by the plain paged insert
+    (models/generate.py insert_paged_slot) and the paged speculative
+    insert (models/speculative.py)."""
+    page = cache.page_size
+    L = dense.k.shape[2]
+    assert L >= n_pages * page, (L, n_pages, page)
+    pages = page_row[:n_pages]
+
+    def scat(pool, dn, tail_dims):
+        # dense (layers, 1, L, KV, d) -> pages. NB the predecessor keyed
+        # this branch on len(tail_dims) == 2, which is true for BOTH
+        # (KV, hd) values and (KV, 1) scales — the int8 scale transplant
+        # produced (.., page, 1) against a (.., 1, page) pool and the
+        # whole int8 paged insert path raised at trace time (latent until
+        # tests/test_paged_spec.py covered it; bf16 never calls this on
+        # scales). Distinguish by the actual trailing dim instead.
+        lay = dn.shape[0]
+        blk = dn[:, 0, :n_pages * page].reshape(
+            lay, n_pages, page, *tail_dims)
+        if tail_dims[-1] != 1:                        # (KV, hd) values
+            blk = blk.transpose(0, 1, 3, 2, 4)        # -> (lay,n,KV,page,hd)
+        else:                                         # (KV, 1) scales
+            blk = blk.transpose(0, 1, 3, 4, 2)        # -> (lay,n,KV,1,page)
+        return pool.at[:, pages].set(blk.astype(pool.dtype))
+
+    KV, hd = dense.k.shape[3], dense.k.shape[4]
+    out = cache._replace(
+        k=scat(cache.k, dense.k, (KV, hd)),
+        v=scat(cache.v, dense.v, (KV, hd)),
+        page_table=cache.page_table.at[slot].set(page_row),
+        lens=cache.lens.at[slot].set(length))
+    if cache.k_scale is not None:
+        out = out._replace(
+            k_scale=scat(cache.k_scale, dense.k_scale, (KV, 1)),
+            v_scale=scat(cache.v_scale, dense.v_scale, (KV, 1)))
+    return out
+
+
 def _quantize_kv(x: jax.Array):
     """(..., hd) -> int8 values + (..., 1) f32 scales (same symmetric
     per-token-per-head rule as models/qwen2.py:_quantize_kv)."""
@@ -184,13 +227,34 @@ def append_positions(cache: PagedKVCache,
     return pids, off
 
 
+def append_positions_multi(cache: PagedKVCache, L: int,
+                           active: Optional[jax.Array] = None):
+    """(pids, off) scatter coordinates, both (S, L), for appending ``L``
+    consecutive tokens per slot at positions ``lens[s] .. lens[s]+L-1``
+    (page boundaries inside the block are handled per token). Dead slots
+    redirect to the scratch page like :func:`append_positions`. Used by
+    the speculative verify forward, which writes its K+1-token block in
+    one pass (models/speculative.py paged path)."""
+    page = cache.page_size
+    pos = cache.lens[:, None] + jnp.arange(L)[None]     # (S, L)
+    pidx = jnp.minimum(pos // page, cache.max_pages - 1)
+    off = pos % page
+    pids = jnp.take_along_axis(cache.page_table, pidx, axis=1)   # (S, L)
+    if active is not None:
+        pids = jnp.where(active[:, None], pids, 0)
+        off = jnp.where(active[:, None], off, 0)
+    return pids, off
+
+
 def append_layer_kv(pools, k_new: jax.Array, v_new: jax.Array,
                     pids: jax.Array, off: jax.Array):
-    """Scatter one token per slot into ONE layer's pools.
+    """Scatter new tokens into ONE layer's pools.
 
     pools: (k_pages, v_pages, k_scale|None, v_scale|None) with k_pages
-    (P, KV, page, hd); k_new/v_new (S, KV, hd); pids/off (S,) from
-    :func:`append_positions`. Returns the updated 4-tuple.
+    (P, KV, page, hd); k_new/v_new (S, KV, hd) with pids/off (S,) from
+    :func:`append_positions` — or (S, L, KV, hd) with (S, L) coordinates
+    from :func:`append_positions_multi` (the same advanced-index scatter
+    covers both ranks). Returns the updated 4-tuple.
     """
     k_pages, v_pages, ks_pages, vs_pages = pools
     if ks_pages is not None:

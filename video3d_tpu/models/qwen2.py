@@ -217,9 +217,24 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
 
         assert score_bias is None, "paged decode does not support ALiBi"
         pools, page_table, pids, off, lens_after = paged
-        pools = append_layer_kv(pools, k[:, 0], v[:, 0], pids, off)
-        attn = paged_mha(q, pools[0], pools[1], page_table, lens_after,
-                         k_scale=pools[2], v_scale=pools[3])
+        if q.shape[1] == 1:
+            pools = append_layer_kv(pools, k[:, 0], v[:, 0], pids, off)
+            attn = paged_mha(q, pools[0], pools[1], page_table, lens_after,
+                             k_scale=pools[2], v_scale=pools[3])
+        else:
+            # multi-token block (speculative verify): append all L tokens
+            # ((S, L) coordinates), then per-query causal attention at
+            # global positions lens_after - L .. lens_after - 1
+            from video3d_tpu.kernels.paged_attention import \
+                paged_attention_multi
+
+            L = q.shape[1]
+            pools = append_layer_kv(pools, k, v, pids, off)
+            q_positions = (lens_after[:, None] - L
+                           + jnp.arange(L)[None])
+            attn = paged_attention_multi(
+                q, pools[0], pools[1], page_table, q_positions,
+                k_scale=pools[2], v_scale=pools[3])
         new_kv = pools
     elif kv is not None:
         k_cache, v_cache = kv[0], kv[1]
@@ -310,10 +325,13 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
         through the Pallas flash kernel.
       kv_cache: optional KVCache; ``prefill=True`` marks the cache fill pass
         (slots 0..L-1), which attends on the raw K/V flash path.
-      paged_cache: optional models/paged_kv.PagedKVCache for single-token
-        decode (L == 1, B == num_slots; mutually exclusive with kv_cache).
-        ``paged_active`` (B,) bool masks dead slots: their append lands on
-        the sacrificial scratch page and their length does not advance.
+      paged_cache: optional models/paged_kv.PagedKVCache for decode
+        (B == num_slots; mutually exclusive with kv_cache). L == 1 is the
+        plain decode step; L > 1 appends the whole block at positions
+        lens..lens+L-1 with per-query causal attention — the speculative
+        verify pass. ``paged_active`` (B,) bool masks dead slots: their
+        append lands on the sacrificial scratch page and their length does
+        not advance.
       scan_layers: run the stack as ONE ``lax.scan`` over stacked layer
         params (cache-free paths only). Numerically identical to the
         unrolled loop; structurally bounds the fsdp all-gather liveness to
@@ -376,10 +394,17 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
         from video3d_tpu.models import paged_kv as _pkv
 
         assert kv_cache is None, "paged_cache and kv_cache are exclusive"
-        assert inputs_embeds.shape[1] == 1, "paged path is decode-only"
-        paged_coords = _pkv.append_positions(paged_cache, paged_active)
-        inc = (1 if paged_active is None
-               else paged_active.astype(jnp.int32))
+        Lp = inputs_embeds.shape[1]
+        if Lp == 1:
+            paged_coords = _pkv.append_positions(paged_cache, paged_active)
+            inc = (1 if paged_active is None
+                   else paged_active.astype(jnp.int32))
+        else:
+            # multi-token decode block (speculative verify)
+            paged_coords = _pkv.append_positions_multi(
+                paged_cache, Lp, paged_active)
+            inc = (Lp if paged_active is None
+                   else Lp * paged_active.astype(jnp.int32))
         lens_after = paged_cache.lens + inc
 
     new_cols = ([], [], [], [])

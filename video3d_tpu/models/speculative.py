@@ -121,9 +121,15 @@ class SpecResult(NamedTuple):
 def spec_prefill(params, draft_params, cfg: ModelConfig,
                  draft_cfg: LLMConfig, batch: lv3d.Batch,
                  max_cache_len: int, cache_dtype=jnp.bfloat16,
-                 vision_features: Optional[jax.Array] = None):
+                 vision_features: Optional[jax.Array] = None,
+                 draft_max_cache_len: Optional[int] = None):
     """Shared vision encode + splice, then prefill BOTH models' caches.
-    Returns (next_logits (B, vocab), target_cache, draft_cache)."""
+    Returns (next_logits (B, vocab), target_cache, draft_cache).
+
+    ``draft_max_cache_len`` sizes the draft cache independently — the
+    paged serving path transplants the target cache into pages right after
+    prefill (only prompt-footprint dense rows are needed) while the draft
+    cache stays dense for the request's whole budget."""
     B, L = batch.text_ids.shape
     if vision_features is None:
         vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
@@ -136,8 +142,8 @@ def spec_prefill(params, draft_params, cfg: ModelConfig,
     pos3 = lv3d._position_ids_3d(batch, cfg)
     fill_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
 
-    def _prefill(p, c: LLMConfig):
-        cache = qwen2.KVCache.zeros(c, B, max_cache_len, dtype=cache_dtype)
+    def _prefill(p, c: LLMConfig, mcl: int):
+        cache = qwen2.KVCache.zeros(c, B, mcl, dtype=cache_dtype)
         hidden, cache = qwen2.qwen2_forward(
             p, c, embeds, pos3, kv_cache=cache,
             cache_positions=fill_positions, kv_len=batch.seq_len,
@@ -146,8 +152,9 @@ def spec_prefill(params, draft_params, cfg: ModelConfig,
                                    (batch.seq_len - 1)[:, None, None], axis=1)
         return qwen2.lm_head(p, last)[:, 0], cache
 
-    next_logits, t_cache = _prefill(params["llm"], cfg.llm)
-    _, d_cache = _prefill(draft_params, draft_cfg)
+    next_logits, t_cache = _prefill(params["llm"], cfg.llm, max_cache_len)
+    _, d_cache = _prefill(draft_params, draft_cfg,
+                          draft_max_cache_len or max_cache_len)
     return next_logits, t_cache, d_cache
 
 
@@ -164,6 +171,31 @@ def spec_iteration(params, draft_params, cfg: ModelConfig,
     ``emit[:, j]`` are valid for j <= a; callers apply their own EOS /
     budget truncation and advance cur/pos from the kept prefix.
     """
+    d, q_probs, d_cache = _draft_block(draft_params, draft_cfg, cur, pos,
+                                       d_cache, base_key, K, temperature,
+                                       top_p, top_k)
+
+    # ---- one target forward over [cur, d_1..d_K] ----
+    block = jnp.concatenate([cur[:, None], d], axis=1)        # (B, K+1)
+    bpos = pos[:, None] + jnp.arange(K + 1)[None]
+    emb = qwen2.embed_tokens(params["llm"], block)
+    h, t_cache = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
+        kv_cache=t_cache, cache_positions=bpos, kv_len=pos + K + 1)
+    t_logits = qwen2.lm_head(params["llm"], h)                # (B, K+1, V)
+    emit, a = _accept_block(base_key, d, q_probs, t_logits, K,
+                            temperature, top_p, top_k)
+    return emit, a, t_cache, d_cache
+
+
+def _draft_block(draft_params, draft_cfg: LLMConfig, cur, pos, d_cache,
+                 base_key, K: int, temperature: float, top_p: float,
+                 top_k: int):
+    """K+1 sequential draft forwards from ``cur`` at ``pos`` (the K+1-th
+    only fills the draft KV). Returns (d (B, K) proposed tokens,
+    q_probs (K+1, B, V') stacked draft distributions — empty trailing dim
+    when greedy — and the advanced draft cache). Shared by the dense and
+    paged speculative paths."""
     sampled = temperature > 0.0
 
     def draft_step(carry, i):
@@ -185,18 +217,16 @@ def spec_iteration(params, draft_params, cfg: ModelConfig,
 
     (_, d_cache), (drafts, q_probs) = jax.lax.scan(
         draft_step, (cur, d_cache), jnp.arange(K + 1))
-    d = drafts.T[:, :K]                                       # (B, K)
+    return drafts.T[:, :K], q_probs, d_cache
 
-    # ---- one target forward over [cur, d_1..d_K] ----
-    block = jnp.concatenate([cur[:, None], d], axis=1)        # (B, K+1)
-    bpos = pos[:, None] + jnp.arange(K + 1)[None]
-    emb = qwen2.embed_tokens(params["llm"], block)
-    h, t_cache = qwen2.qwen2_forward(
-        params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
-        kv_cache=t_cache, cache_positions=bpos, kv_len=pos + K + 1)
-    t_logits = qwen2.lm_head(params["llm"], h)                # (B, K+1, V)
 
-    if sampled:
+def _accept_block(base_key, d, q_probs, t_logits, K: int,
+                  temperature: float, top_p: float, top_k: int):
+    """Greedy / chain-rejection acceptance of one verify block. Shared by
+    the dense (:func:`spec_iteration`) and paged
+    (:func:`paged_spec_decode_chunk`) verify paths so acceptance semantics
+    can never diverge."""
+    if temperature > 0.0:
         B_, Kp1, V = t_logits.shape
         t_probs = jax.nn.softmax(
             warp_logits(t_logits.reshape(B_ * Kp1, V), temperature,
@@ -207,14 +237,12 @@ def spec_iteration(params, draft_params, cfg: ModelConfig,
             # zero-pad q — a subset-support proposal is still a valid q,
             # the residual resample covers tokens the draft cannot propose
             q = jnp.pad(q, ((0, 0), (0, 0), (0, V - q.shape[-1])))
-        emit, a = rejection_sample_block(
+        return rejection_sample_block(
             jax.random.fold_in(base_key, K + 1), d, q, t_probs)
-    else:
-        t = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
-        match = d == t[:, :K]                                 # (B, K)
-        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-        emit = t
-    return emit, a, t_cache, d_cache
+    t = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+    match = d == t[:, :K]                                     # (B, K)
+    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    return t, a
 
 
 def accept_truncate(emit, a, done, eos_token_id: int, K: int):
@@ -375,20 +403,22 @@ def empty_spec_slots(cfg: ModelConfig, draft_cfg: LLMConfig, num_slots: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "max_cache_len", "cache_dtype", "temperature",
-    "top_p", "top_k"))
+    "top_p", "top_k", "draft_max_cache_len"))
 def spec_start(params, draft_params, cfg: ModelConfig, draft_cfg: LLMConfig,
                batch: lv3d.Batch, max_cache_len: int,
                cache_dtype=jnp.bfloat16, temperature: float = 0.0,
                top_p: float = 1.0, top_k: int = 0,
                rng_key: Optional[jax.Array] = None,
-               vision_features: Optional[jax.Array] = None):
+               vision_features: Optional[jax.Array] = None,
+               draft_max_cache_len: Optional[int] = None):
     """Prefill both models for one request (B=1) and emit the FIRST token.
     Returns (SpecSlots with one slot, first_token (B,))."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     next_logits, t_cache, d_cache = spec_prefill(
         params, draft_params, cfg, draft_cfg, batch, max_cache_len,
-        cache_dtype, vision_features)
+        cache_dtype, vision_features,
+        draft_max_cache_len=draft_max_cache_len)
     cur0 = sample_token(next_logits, rng_key, temperature, top_p, top_k)
     return SpecSlots(cur=cur0, pos=batch.seq_len,
                      done=cur0 == -1,          # never: real done is host-side
@@ -457,4 +487,126 @@ def spec_decode_chunk(params, draft_params, cfg: ModelConfig,
 
     slots, (emit, keep) = jax.lax.scan(body, slots, None, length=iters)
     # scan stacks on the leading axis -> (iters, S, K+1); host wants S-major
+    return slots, emit.transpose(1, 0, 2), keep.transpose(1, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Paged target cache + speculation (serve/batcher.py paged spec mode):
+# the target KV lives in the shared page pool (models/paged_kv.py) so
+# heterogeneous request budgets pack tightly, while the tiny early-exit
+# draft cache stays dense. The verify pass appends its K+1-token block with
+# one multi-token paged forward (qwen2_forward paged L>1 path) and rolls
+# ``lens`` back to the accepted prefix — rejected positions are simply
+# overwritten by the next round's block, exactly like the dense path's
+# in-place scatter. Neither vLLM-style paging nor speculation exists in the
+# reference (HF dense cache + one token per forward).
+# ---------------------------------------------------------------------------
+
+
+class PagedSpecSlots(NamedTuple):
+    """S-slot speculative state over a paged target cache. The slot's
+    position (== tokens cached) is ``cache.lens`` — single source of truth,
+    mirroring PagedDecodeState."""
+
+    cur: jax.Array           # (S,) last emitted token per slot
+    done: jax.Array          # (S,)
+    cache: object            # models/paged_kv.PagedKVCache (target)
+    d_cache: qwen2.KVCache   # dense draft cache (S rows)
+    n_iter: jax.Array        # ()
+
+
+def empty_paged_spec_slots(cfg: ModelConfig, draft_cfg: LLMConfig,
+                           num_slots: int, num_pages: int, page_size: int,
+                           max_pages: int, draft_max_cache_len: int,
+                           cache_dtype=jnp.bfloat16) -> PagedSpecSlots:
+    from video3d_tpu.models.paged_kv import PagedKVCache
+
+    return PagedSpecSlots(
+        cur=jnp.zeros((num_slots,), jnp.int32),
+        done=jnp.ones((num_slots,), bool),
+        cache=PagedKVCache.zeros(cfg.llm, num_pages, page_size, num_slots,
+                                 max_pages, dtype=cache_dtype),
+        d_cache=qwen2.KVCache.zeros(draft_cfg, num_slots,
+                                    draft_max_cache_len, dtype=cache_dtype),
+        n_iter=jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n_pages",))
+def insert_paged_spec_slot(slots: PagedSpecSlots, slot: jax.Array,
+                           sub: SpecSlots, page_row: jax.Array,
+                           n_pages: int) -> PagedSpecSlots:
+    """Graft a spec_start result (B=1): the dense target cache transplants
+    into the slot's pages; the draft cache grafts into its dense row."""
+    from video3d_tpu.models.paged_kv import transplant_dense
+
+    graft = lambda big, small: big.at[:, slot].set(small[:, 0])
+    return PagedSpecSlots(
+        cur=slots.cur.at[slot].set(sub.cur[0]),
+        done=slots.done.at[slot].set(False),
+        cache=transplant_dense(slots.cache, sub.t_cache, slot, page_row,
+                               n_pages, sub.pos[0]),
+        d_cache=jax.tree.map(graft, slots.d_cache, sub.d_cache),
+        n_iter=slots.n_iter)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def release_paged_spec_slot(slots: PagedSpecSlots,
+                            slot: jax.Array) -> PagedSpecSlots:
+    """Force a slot done; the host frees its pages (never dereferenced
+    again: done rows append to the scratch page, lens frozen)."""
+    return slots._replace(done=slots.done.at[slot].set(True))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "iters", "num_draft_tokens", "eos_token_id",
+    "temperature", "top_p", "top_k"), donate_argnums=(4,))
+def paged_spec_decode_chunk(params, draft_params, cfg: ModelConfig,
+                            draft_cfg: LLMConfig, slots: PagedSpecSlots,
+                            iters: int = 4, num_draft_tokens: int = 4,
+                            eos_token_id: int = 151645,
+                            temperature: float = 0.0, top_p: float = 1.0,
+                            top_k: int = 0,
+                            rng_key: Optional[jax.Array] = None):
+    """:func:`spec_decode_chunk` over the paged target cache — identical
+    emission semantics (same _draft_block/_accept_block/accept_truncate
+    helpers), so greedy output is bit-identical to the dense speculative
+    path and to vanilla greedy."""
+    K = num_draft_tokens
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def body(s: PagedSpecSlots, _):
+        base_key = jax.random.fold_in(rng_key, s.n_iter)
+        pos = s.cache.lens
+        d, q_probs, d_cache = _draft_block(
+            draft_params, draft_cfg, s.cur, pos, s.d_cache, base_key, K,
+            temperature, top_p, top_k)
+
+        # ---- one paged multi-token target forward over [cur, d_1..d_K] ----
+        block = jnp.concatenate([s.cur[:, None], d], axis=1)  # (S, K+1)
+        bpos = pos[:, None] + jnp.arange(K + 1)[None]
+        emb = qwen2.embed_tokens(params["llm"], block)
+        h, cache = qwen2.qwen2_forward(
+            params["llm"], cfg.llm, emb, _decode_position_ids(bpos),
+            paged_cache=s.cache, paged_active=~s.done)
+        t_logits = qwen2.lm_head(params["llm"], h)            # (S, K+1, V)
+
+        emit, a = _accept_block(base_key, d, q_probs, t_logits, K,
+                                temperature, top_p, top_k)
+        keep, is_eos, _ = accept_truncate(emit, a, s.done, eos_token_id, K)
+        n_keep = jnp.sum(keep, axis=1).astype(jnp.int32)
+        new_done = s.done | jnp.any(keep & is_eos, axis=1)
+        last_idx = jnp.maximum(n_keep - 1, 0)
+        cur = jnp.where(new_done | (n_keep == 0), eos_token_id,
+                        jnp.take_along_axis(emit, last_idx[:, None],
+                                            axis=1)[:, 0])
+        # roll lens back from pos+K+1 to the accepted prefix; next round's
+        # block overwrites the rejected positions in place
+        cache = cache._replace(lens=jnp.where(s.done, pos, pos + n_keep))
+        new = PagedSpecSlots(cur=cur, done=new_done, cache=cache,
+                             d_cache=d_cache, n_iter=s.n_iter + 1)
+        return new, (emit, keep)
+
+    slots, (emit, keep) = jax.lax.scan(body, slots, None, length=iters)
     return slots, emit.transpose(1, 0, 2), keep.transpose(1, 0, 2)

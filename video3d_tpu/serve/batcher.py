@@ -96,8 +96,12 @@ class ContinuousBatcher:
         heterogeneous budgets pack tightly and ``total_pages`` can size
         HBM for the expected mix instead of num_slots x worst-case.
         Admissions that do not find enough free pages wait (deferred FIFO)
-        until running requests release theirs. Mutually exclusive with
-        speculative mode for now.
+        until running requests release theirs. Composes with speculative
+        mode: the paged target cache takes the verify blocks through the
+        multi-token paged forward (models/speculative.py
+        paged_spec_decode_chunk) while the tiny early-exit draft cache
+        stays dense; per-request page reservations then include the K+2
+        verify write-ahead.
       page_size: tokens per page (128 keeps the kernel lane-aligned).
       total_pages: pool size; default num_slots * ceil((max_cache_len +
         chunk) / page_size) + 1 (the dense-equivalent worst case).
@@ -135,25 +139,37 @@ class ContinuousBatcher:
                 engine.params, k, draft_vocab=ecfg.speculative_draft_vocab)
             self.draft_cfg = spec.self_draft_config(engine.cfg.llm, k)
         self.spec = self.draft_params is not None
-        if paged and self.spec:
-            raise ValueError("paged KV + speculative batching is not "
-                             "supported yet; pick one")
         if paged:
             from video3d_tpu.models.paged_kv import PageAllocator
 
             # Reserve the FULL per-request footprint at admission (prompt
-            # bucket + max_new_tokens + chunk overshoot) so a chunk can
-            # never run out of pages mid-flight. The capacity win over the
-            # dense rows: each request reserves only ITS budget, and
+            # bucket + max_new_tokens + chunk overshoot; + the K+2 verify
+            # write-ahead in speculative mode) so a chunk can never run
+            # out of pages mid-flight. The capacity win over the dense
+            # rows: each request reserves only ITS budget, and
             # ``total_pages`` may be sized for the expected mix instead of
             # num_slots x worst-case.
+            overshoot = chunk + (ecfg.speculative_k + 2 if self.spec else 0)
             self.page_size = page_size
-            self.max_pages = -(-(self.max_cache_len + chunk) // page_size)
+            self.max_pages = -(-(self.max_cache_len + overshoot)
+                               // page_size)
             self.total_pages = total_pages or (
                 1 + num_slots * self.max_pages)
-            self.state = empty_paged_state(
-                engine.cfg, num_slots, self.total_pages, page_size,
-                self.max_pages, cache_dtype=engine._cache_dtype())
+            if self.spec:
+                from video3d_tpu.models.speculative import \
+                    empty_paged_spec_slots
+
+                # draft cache stays dense (tiny: draft_k layers) with the
+                # same verify slack as the dense spec mode
+                self.state = empty_paged_spec_slots(
+                    engine.cfg, self.draft_cfg, num_slots,
+                    self.total_pages, page_size, self.max_pages,
+                    self.max_cache_len + ecfg.speculative_k + 2,
+                    cache_dtype=engine._cache_dtype())
+            else:
+                self.state = empty_paged_state(
+                    engine.cfg, num_slots, self.total_pages, page_size,
+                    self.max_pages, cache_dtype=engine._cache_dtype())
             self._alloc = PageAllocator(self.total_pages)
             self._slot_pages: list = [None] * num_slots
             self._deferred: list = []   # admissions awaiting free pages
@@ -276,7 +292,10 @@ class ContinuousBatcher:
             # pre-growth and this subtraction cancel exactly, leaving
             # room == nominal_cache_len - prompt — identical to the
             # non-speculative path's budget semantics.
-            slack = eng.ecfg.speculative_k + 2 if self.spec else 0
+            # (in paged mode the K+2 write-ahead is budgeted into the page
+            # reservation instead — max_cache_len was never pre-grown)
+            slack = (eng.ecfg.speculative_k + 2
+                     if self.spec and not self.paged else 0)
             room = self.max_cache_len - int(batch.text_ids.shape[1]) - slack
             if room <= 0:
                 raise ValueError(
@@ -291,8 +310,10 @@ class ContinuousBatcher:
                 page = self.page_size
                 L_bucket = int(batch.text_ids.shape[1])
                 prompt_pages = pages_needed(L_bucket, page)
+                overshoot = self.chunk + (
+                    eng.ecfg.speculative_k + 2 if self.spec else 0)
                 need = min(
-                    pages_needed(L_bucket + req.max_new_tokens + self.chunk,
+                    pages_needed(L_bucket + req.max_new_tokens + overshoot,
                                  page),
                     self.max_pages)
                 if need > self._alloc.num_pages - 1:
@@ -305,19 +326,46 @@ class ContinuousBatcher:
                 try:
                     row = jnp.asarray(pages + [0] * (self.max_pages - need),
                                       jnp.int32)
-                    sub = start_decode(eng.params, eng.cfg, batch,
-                                       max_cache_len=prompt_pages * page,
-                                       cache_dtype=eng._cache_dtype(),
-                                       vision_features=vision_features)
-                    self.state = insert_paged_slot(
-                        self.state, jnp.asarray(slot, jnp.int32), sub, row,
-                        n_pages=prompt_pages)
+                    if self.spec:
+                        from video3d_tpu.models.speculative import (
+                            insert_paged_spec_slot, spec_start)
+
+                        sub, first = spec_start(
+                            eng.params, self.draft_params, eng.cfg,
+                            self.draft_cfg, batch,
+                            max_cache_len=prompt_pages * page,
+                            cache_dtype=eng._cache_dtype(),
+                            temperature=eng.ecfg.temperature,
+                            top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k,
+                            vision_features=vision_features,
+                            draft_max_cache_len=self.state.d_cache.k.shape[2])
+                        self.state = insert_paged_spec_slot(
+                            self.state, jnp.asarray(slot, jnp.int32), sub,
+                            row, n_pages=prompt_pages)
+                    else:
+                        sub = start_decode(eng.params, eng.cfg, batch,
+                                           max_cache_len=prompt_pages * page,
+                                           cache_dtype=eng._cache_dtype(),
+                                           vision_features=vision_features)
+                        self.state = insert_paged_slot(
+                            self.state, jnp.asarray(slot, jnp.int32), sub,
+                            row, n_pages=prompt_pages)
                 except BaseException:
                     self._alloc.free(pages)
                     raise
                 self._slot_pages[slot] = pages
                 self.slots[slot] = req
                 self.emitted[slot] = 0
+                if self.spec:
+                    # the prefill itself emits the first token
+                    tok0 = int(first[0])
+                    if tok0 == eng.ecfg.eos_token_id \
+                            or req.max_new_tokens == 0:
+                        self._finish(slot)
+                    else:
+                        req.tokens.append(tok0)
+                        self.emitted[slot] = 1
+                        req._q.put(1)
                 return True
             if self.spec:
                 from video3d_tpu.models.speculative import (insert_spec_slot,
@@ -360,8 +408,15 @@ class ContinuousBatcher:
         import jax.numpy as jnp
 
         if self.paged:
-            self.state = release_paged_slot(self.state,
-                                            jnp.asarray(slot, jnp.int32))
+            if self.spec:
+                from video3d_tpu.models.speculative import \
+                    release_paged_spec_slot
+
+                self.state = release_paged_spec_slot(
+                    self.state, jnp.asarray(slot, jnp.int32))
+            else:
+                self.state = release_paged_slot(
+                    self.state, jnp.asarray(slot, jnp.int32))
             if self._slot_pages[slot]:
                 self._alloc.free(self._slot_pages[slot])
                 self._slot_pages[slot] = None
@@ -400,9 +455,19 @@ class ContinuousBatcher:
                           f"{eng.ecfg.speculative_min_acceptance}; demoting "
                           "to plain continuous batching")
                     self.spec = False
-                    self.state = empty_decode_state(
-                        eng.cfg, self.num_slots, self.max_cache_len,
-                        cache_dtype=eng._cache_dtype())
+                    if self.paged:
+                        self.state = empty_paged_state(
+                            eng.cfg, self.num_slots, self.total_pages,
+                            self.page_size, self.max_pages,
+                            cache_dtype=eng._cache_dtype())
+                        from video3d_tpu.models.paged_kv import \
+                            PageAllocator
+                        self._alloc = PageAllocator(self.total_pages)
+                        self._slot_pages = [None] * self.num_slots
+                    else:
+                        self.state = empty_decode_state(
+                            eng.cfg, self.num_slots, self.max_cache_len,
+                            cache_dtype=eng._cache_dtype())
                 # ---- admit into free slots (deferred-first FIFO) ----
                 for s in range(self.num_slots):
                     if self.slots[s] is None:
@@ -425,17 +490,19 @@ class ContinuousBatcher:
                 continue
             # ---- one decode chunk for every in-flight request ----
             try:
-                if self.paged:
+                if self.paged and not self.spec:
                     self.state, toks = paged_decode_chunk(
                         eng.params, eng.cfg, self.state, chunk=self.chunk,
                         eos_token_id=eos, temperature=eng.ecfg.temperature,
                         top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k)
                     rows = np.asarray(toks).tolist()
                 elif self.spec:
-                    from video3d_tpu.models.speculative import \
-                        spec_decode_chunk
+                    from video3d_tpu.models.speculative import (
+                        paged_spec_decode_chunk, spec_decode_chunk)
 
-                    self.state, emit, keep = spec_decode_chunk(
+                    chunk_fn = (paged_spec_decode_chunk if self.paged
+                                else spec_decode_chunk)
+                    self.state, emit, keep = chunk_fn(
                         eng.params, self.draft_params, eng.cfg,
                         self.draft_cfg, self.state, iters=self.chunk,
                         num_draft_tokens=eng.ecfg.speculative_k,
@@ -487,10 +554,21 @@ class ContinuousBatcher:
                     if self.paged:
                         from video3d_tpu.models.paged_kv import PageAllocator
 
-                        self.state = empty_paged_state(
-                            eng.cfg, self.num_slots, self.total_pages,
-                            self.page_size, self.max_pages,
-                            cache_dtype=eng._cache_dtype())
+                        if self.spec:
+                            from video3d_tpu.models.speculative import \
+                                empty_paged_spec_slots
+
+                            self.state = empty_paged_spec_slots(
+                                eng.cfg, self.draft_cfg, self.num_slots,
+                                self.total_pages, self.page_size,
+                                self.max_pages,
+                                self.state.d_cache.k.shape[2],
+                                cache_dtype=eng._cache_dtype())
+                        else:
+                            self.state = empty_paged_state(
+                                eng.cfg, self.num_slots, self.total_pages,
+                                self.page_size, self.max_pages,
+                                cache_dtype=eng._cache_dtype())
                         self._alloc = PageAllocator(self.total_pages)
                         self._slot_pages = [None] * self.num_slots
                     elif self.spec:
