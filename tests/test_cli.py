@@ -99,6 +99,30 @@ class TestEvalCli:
         assert len(records) == 2
         assert all(isinstance(r["pred_response"], str) for r in records)
 
+    def test_eval_prefix_cache_flag(self, env, tmp_path, monkeypatch):
+        """--prefix-cache: answers through the CLI are identical with the
+        scene-prefix KV cache on (default) and off."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        qfile = str(tmp_path / "questions.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": f"q{i}_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": f"<image>\nquestion {i} here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what",
+                             "answers": ["chair"]}} for i in range(3)], f)
+        answers = {}
+        for n in ("0", "4"):
+            afile = str(tmp_path / f"answers_pc{n}.jsonl")
+            cli.main(["eval-scanqa", "--model-path", ckpt,
+                      "--question-file", qfile, "--answer-file", afile,
+                      "--max-new-tokens", "4", "--prefix-cache", n,
+                      *data_flags(root)])
+            answers[n] = [json.loads(l)["pred_response"] for l in open(afile)]
+        assert answers["0"] == answers["4"]
+
     def test_eval_load_in_4bit(self, env, tmp_path, monkeypatch):
         """--load-in-4bit: quantize_tree(bits=4) runs on the loaded params
         and the eval completes through the int4 matmul dispatch."""

@@ -1,0 +1,195 @@
+"""Scene-prefix KV cache (EngineConfig.prefix_cache_scenes): every question
+on a scene shares the spliced prefix (system + user header + vision block),
+so its KV is question-independent and later questions prefill only their
+suffix (models/generate.py start_decode_prefix). Tests: answers identical
+with and without the cache, video IO + tower genuinely skipped on hits, the
+per-question <coord> box PE still applied in the suffix, LRU eviction, and
+fallback paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from video3d_tpu.config import DataConfig, ModelConfig, PosEmbedType, replace
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.video_processor import VideoProcessor
+from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
+from video3d_tpu.models import llava_video3d as lv3d
+
+from fixtures import FakeTokenizer, make_fake_scene
+
+CFG = ModelConfig.tiny()
+
+
+def _question(info, text="what color is the chair", i=0):
+    return {
+        "id": f"q{i}_0", "video": info["sample_idx"],
+        "conversations": [
+            {"from": "human", "value": f"<image>\n{text}"},
+            {"from": "gpt", "value": "brown"}],
+        "metadata": {"dataset": "scanqa", "question_type": "what"},
+    }
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    infos = [make_fake_scene(root, scene_id=f"scene{i:04d}_00", n_frames=3,
+                             extend=(i > 0)) for i in range(3)]
+    data_cfg = DataConfig(video_folder=root,
+                          annotation_dir=os.path.join(root, "embodiedscan"),
+                          metadata_dir=os.path.join(root, "metadata"),
+                          frames_upbound=3)
+    return infos, data_cfg
+
+
+def _engine(data_cfg, prefix_scenes, cfg=CFG, **ecfg_kw):
+    tok = FakeTokenizer()
+    params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+    return InferenceEngine(
+        params, cfg, tok, VideoProcessor(data_cfg),
+        SigLipImageProcessor(size=(cfg.vision.image_size,) * 2),
+        EngineConfig(max_new_tokens=4, eos_token_id=tok.eos_token_id,
+                     max_frames=3, buckets=(256,), stop_str="",
+                     suffix_buckets=(32, 64),
+                     prefix_cache_scenes=prefix_scenes, **ecfg_kw))
+
+
+class TestPrefixCache:
+    def test_answers_identical_and_work_skipped(self, scene, monkeypatch):
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        cached = _engine(data_cfg, 4)
+
+        calls = {"tower": 0, "io": 0}
+        orig_tower = lv3d.encode_video_pooled
+        orig_io = VideoProcessor.process_3d_video
+
+        def counting_tower(*a, **k):
+            calls["tower"] += 1
+            return orig_tower(*a, **k)
+
+        def counting_io(*a, **k):
+            calls["io"] += 1
+            return orig_io(*a, **k)
+
+        monkeypatch.setattr(lv3d, "encode_video_pooled", counting_tower)
+        monkeypatch.setattr(VideoProcessor, "process_3d_video", counting_io)
+
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there",
+             "where is the lamp"])]
+        plain_answers = [plain.generate_answer(q) for q in qs]
+        calls["tower"] = calls["io"] = 0
+        cached_answers = [cached.generate_answer(q) for q in qs]
+        assert cached_answers == plain_answers
+        # full work only for the first question; hits skip IO AND the tower
+        assert calls["tower"] == 1
+        assert calls["io"] <= 1
+        assert cached.prefix_cache_stats == [2, 1]
+
+    def test_mrope_answers_identical(self, scene):
+        infos, data_cfg = scene
+        cfg = replace(CFG, world_3d=replace(CFG.world_3d,
+                                            pos_embed=PosEmbedType.MROPE))
+        plain = _engine(data_cfg, 0, cfg=cfg)
+        cached = _engine(data_cfg, 4, cfg=cfg)
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what is left of the bed", "is the door open"])]
+        assert [cached.generate_answer(q) for q in qs] == \
+            [plain.generate_answer(q) for q in qs]
+        assert cached.prefix_cache_stats == [1, 1]
+
+    def test_sampled_answers_identical(self, scene):
+        """Sampled decode folds the same rng key by step in both paths."""
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0, temperature=0.9, top_k=5)
+        cached = _engine(data_cfg, 4, temperature=0.9, top_k=5)
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there"])]
+        assert [cached.generate_answer(q) for q in qs] == \
+            [plain.generate_answer(q) for q in qs]
+
+    def test_coord_box_applied_in_suffix(self, scene):
+        """Scan2Cap: the <coord> token sits in the question suffix, so its
+        per-question box PE must flow through the prefix-cached path —
+        different boxes, (potentially) different answers, and exact
+        agreement with the uncached engine."""
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        cached = _engine(data_cfg, 4)
+        for eng in (plain, cached):
+            eng.tokenizer.add_tokens(["<coord>"], special_tokens=True)
+        coord_id = plain.tokenizer.vocab["<coord>"]
+        q = _question(infos[0], text="describe the object at <coord>")
+        b1 = np.asarray([0.0, 0.0, 0.0], np.float32)
+        b2 = np.asarray([3.0, 3.0, 1.0], np.float32)
+        # first call misses (harvests prefix), second hits
+        a1 = cached.generate_answer(q, box_input=b1, coord_token_id=coord_id)
+        a2 = cached.generate_answer(q, box_input=b2, coord_token_id=coord_id)
+        assert cached.prefix_cache_stats == [1, 1]
+        assert a1 == plain.generate_answer(q, box_input=b1,
+                                           coord_token_id=coord_id)
+        assert a2 == plain.generate_answer(q, box_input=b2,
+                                           coord_token_id=coord_id)
+
+    def test_streaming_matches(self, scene):
+        infos, data_cfg = scene
+        cached = _engine(data_cfg, 4)
+        q0 = _question(infos[0])
+        full = cached.generate_answer(q0)
+        q1 = _question(infos[0], text="how many tables are there", i=1)
+        expect = cached.generate_answer(q1)
+        # stream the same question through the prefix-hit path
+        chunks = list(cached.generate_answer_stream(q1, chunk=2))
+        assert chunks[-1] == expect
+        assert cached.prefix_cache_stats[0] >= 2
+
+    def test_lru_eviction(self, scene):
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 2)
+        for info in infos:                   # 3 distinct scenes -> evict 1st
+            eng.generate_answer(_question(info))
+        assert len(eng._prefix_cache) == 2
+        assert infos[0]["sample_idx"] not in eng._prefix_cache
+        eng.generate_answer(_question(infos[0]))
+        assert eng.prefix_cache_stats == [0, 4]
+        eng.generate_answer(_question(infos[0]))
+        assert eng.prefix_cache_stats == [1, 4]
+
+    def test_prompt_prefix_mismatch_falls_back(self, scene):
+        """A question whose PRE-image tokens differ (e.g. extra_prompt
+        changed between calls) must not reuse the stored prefix."""
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 2)
+        eng.generate_answer(_question(infos[0]))
+        eng.ecfg.extra_prompt = "Answer briefly. "
+        # the pre-image ids now differ only if extra_prompt precedes <image>;
+        # with <image> first the prefix still matches — craft a record whose
+        # image token is NOT first instead
+        q = _question(infos[0], i=1)
+        q["conversations"][0]["value"] = "look carefully\n<image>\nwhere"
+        eng.generate_answer(q)
+        assert eng.prefix_cache_stats[1] == 2     # second was a miss too
+
+    def test_oversized_suffix_falls_back(self, scene):
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 2)
+        eng.generate_answer(_question(infos[0]))
+        q = _question(infos[0], text="why " * 80, i=1)   # > largest bucket
+        eng.generate_answer(q)                            # falls back, works
+        assert eng.prefix_cache_stats == [0, 2]
+
+    def test_int8_kv_prefix_runs(self, scene):
+        """int8 KV: the prefix is reused quantized (same values decode
+        reads); the path must run and produce a plausible answer."""
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 4, kv_cache_dtype="int8")
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there"])]
+        answers = [eng.generate_answer(q) for q in qs]
+        assert eng.prefix_cache_stats == [1, 1]
+        assert all(isinstance(a, str) for a in answers)

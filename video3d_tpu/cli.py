@@ -215,7 +215,8 @@ def cmd_eval(args, task: str):
             speculative_draft_layers=args.spec_draft_layers,
             speculative_k=args.spec_k,
             speculative_draft_vocab=args.spec_draft_vocab,
-            scene_cache_scenes=args.scene_cache))
+            scene_cache_scenes=args.scene_cache,
+            prefix_cache_scenes=args.prefix_cache))
     if task == "scan2cap":
         times = drivers.run_generative(
             engine, questions, args.answer_file, gt_from_annotations=True,
@@ -298,6 +299,11 @@ def main(argv=None):
         # scene-level vision-feature LRU (answers identical; the tower runs
         # once per scene instead of once per question). 0 disables.
         pe.add_argument("--scene-cache", type=int, default=8)
+        # scene-PREFIX KV LRU (answers identical at bf16 KV): later
+        # questions on a scene prefill only their suffix against the cached
+        # prefix KV — skips video IO, geometry, the tower and ~95% of
+        # prefill FLOPs (models/generate.py start_decode_prefix). 0 disables.
+        pe.add_argument("--prefix-cache", type=int, default=4)
 
     args = parser.parse_args(argv)
     if args.cmd == "train":

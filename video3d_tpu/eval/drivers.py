@@ -16,7 +16,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -88,11 +88,34 @@ class EngineConfig:
     # ~zero in steady state. 0 = off. HBM cost per scene:
     # max_frames * tokens_per_frame * D * 2 bytes (~12 MB at 32x210x3584).
     scene_cache_scenes: int = 0
+    # scene-PREFIX KV cache (beyond-reference): every question on a scene
+    # shares the spliced prefix (system + user header + vision block,
+    # ~1700 of ~1750 prefill tokens), and causal attention makes its KV
+    # question-independent. An LRU of N scene prefixes lets later questions
+    # prefill only their suffix (question + assistant header) into a fresh
+    # cache seeded with the prefix — skipping video IO, geometry, the tower
+    # AND ~95% of prefill FLOPs (models/generate.py start_decode_prefix).
+    # bf16 answers are identical to the full-prefill path
+    # (tests/test_prefix_cache.py). HBM per scene:
+    # prefix_len * layers * 2 * kv_width bytes (~98 MB at 7B/1712 tokens).
+    # 0 = off. Engine-path only (greedy/sampled, single device).
+    prefix_cache_scenes: int = 0
+    # suffix prefill buckets (compiled once per bucket size)
+    suffix_buckets: Tuple[int, ...] = (64, 128, 256, 512)
 
 
 SPATIAL_INSTRUCTION = ("The video captures 3D spatial information of a scene. "
                        "Please focus on the spatial relationships in the video "
                        "and answer the following questions.")
+
+
+class _PrefixEntry(NamedTuple):
+    """Scene-prefix KV cache entry (EngineConfig.prefix_cache_scenes)."""
+
+    cache: object          # qwen2.KVCache slice (layers, 1, P, KV, hd)
+    prefix_len: int        # P — spliced index one past the vision block
+    num_frames: int        # V used when the prefix was built
+    ids_prefix: tuple      # prompt token ids up to AND incl. the <image> slot
 
 
 class InferenceEngine:
@@ -149,6 +172,10 @@ class InferenceEngine:
         self._scene_cache: "OrderedDict" = OrderedDict()
         self._cache_lock = Lock()
         self.scene_cache_stats = [0, 0]       # [hits, misses]
+        # scene-prefix KV cache: video_id -> _PrefixEntry (LRU over
+        # ecfg.prefix_cache_scenes; same lock discipline)
+        self._prefix_cache: "OrderedDict" = OrderedDict()
+        self.prefix_cache_stats = [0, 0]      # [hits, misses]
 
     def set_draft_model(self, draft_params, draft_cfg):
         """Attach standalone draft weights (same vocab + hidden size) for
@@ -440,6 +467,130 @@ class InferenceEngine:
                                      coord_token_id)
         return batch, None
 
+    # ------------- scene-prefix KV cache -------------
+
+    def _prefix_cache_on(self, record) -> bool:
+        """Whether this request can use the scene-prefix KV path: engine
+        greedy/sampled decode, single device (mesh inputs need resharding),
+        non-llava3d (its vision block is question-seeded), no beam (beam
+        prefill reshapes the cache) and no speculation (separate cache
+        machinery) — those paths fall back to a full prefill."""
+        return (self.ecfg.prefix_cache_scenes > 0 and self.mesh is None
+                and not self.cfg.world_3d.llava3d
+                and self.ecfg.num_beams == 1
+                and self.draft_params is None
+                and self.ecfg.speculative_draft_layers == 0
+                and isinstance(record.get("video"), str))
+
+    def _build_suffix_batch(self, ids, entry: _PrefixEntry, box_input,
+                            coord_token_id):
+        """Full splice plan -> suffix-only Batch for start_decode_prefix,
+        or None when the suffix doesn't fit the engine's suffix buckets /
+        truncation cut into the prefix (caller falls back to full prefill)."""
+        from video3d_tpu.models.splice import slice_suffix_plan
+
+        mc = self.cfg
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        T = mc.tokens_per_frame
+        V = entry.num_frames
+        total = len(ids) + V * T
+        L = pick_bucket(total + self.ecfg.max_new_tokens, self.ecfg.buckets)
+        plan = build_splice_plan(
+            [ids], None, [V], tokens_per_frame=T, max_len=L, grid_side=g,
+            coord_token_id=coord_token_id,
+            truncate_to=mc.tokenizer_model_max_length)
+        suffix_true = int(plan.seq_len[0]) - entry.prefix_len
+        if suffix_true <= 0:
+            return None
+        Ls = next((b for b in self.ecfg.suffix_buckets if suffix_true <= b),
+                  None)
+        if Ls is None:
+            return None
+        suf = slice_suffix_plan(plan, entry.prefix_len, Ls)
+        if suf is None:
+            return None
+        box = self._discretize_box(box_input)
+        batch = lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(suf.text_ids), kind=jnp.asarray(suf.kind),
+            vision_index=jnp.asarray(suf.vision_index),
+            labels=jnp.asarray(suf.labels),
+            position_ids=jnp.asarray(suf.position_ids),
+            mrope_position_ids=jnp.asarray(suf.mrope_position_ids),
+            seq_len=jnp.asarray(suf.seq_len),
+            coord_mask=jnp.asarray(suf.coord_mask),
+            box_input=(jnp.asarray(box[None].astype(np.float32))
+                       if box is not None else None))
+        return batch, L
+
+    def _store_prefix(self, key: str, ids, img: int, batch, state) -> None:
+        """Slice the scene prefix out of a freshly-prefilled DecodeState and
+        LRU-insert it. Must run BEFORE the state is donated to a decode
+        call (generate_from_state/decode_chunk donate their state)."""
+        from video3d_tpu.models import qwen2
+        from video3d_tpu.models.splice import KIND_VISION
+
+        kind0 = np.asarray(batch.kind[0])
+        vis = np.nonzero(kind0 == KIND_VISION)[0]
+        if len(vis) == 0:
+            return
+        P = int(vis[-1]) + 1
+        T = self.cfg.tokens_per_frame
+        V = int((kind0 == KIND_VISION).sum()) // T
+        cache = state.cache
+        if P >= cache.k.shape[2]:
+            return
+        pre = qwen2.KVCache(
+            cache.k[:, :, :P], cache.v[:, :, :P],
+            None if cache.k_scale is None else cache.k_scale[:, :, :P],
+            None if cache.v_scale is None else cache.v_scale[:, :, :P])
+        entry = _PrefixEntry(cache=pre, prefix_len=P, num_frames=V,
+                             ids_prefix=tuple(ids[:img + 1]))
+        with self._cache_lock:
+            self._prefix_cache[key] = entry
+            while len(self._prefix_cache) > self.ecfg.prefix_cache_scenes:
+                self._prefix_cache.popitem(last=False)
+
+    def _start_state(self, record, box_input=None, coord_token_id=None):
+        """DecodeState for one request, reusing the scene-prefix KV when
+        possible (hit: suffix-only prefill, no video IO / geometry / tower;
+        miss: full prefill, then harvest the prefix for later questions)."""
+        from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+        from video3d_tpu.models.generate import (start_decode,
+                                                 start_decode_prefix)
+
+        ecfg = self.ecfg
+        ids = self._tokenize_prompt(record)
+        img = ids.index(IMAGE_TOKEN_INDEX) if IMAGE_TOKEN_INDEX in ids else -1
+        key = record.get("video")
+        entry = None
+        if img >= 0:
+            with self._cache_lock:
+                entry = self._prefix_cache.get(key)
+                if entry is not None:
+                    self._prefix_cache.move_to_end(key)
+        if entry is not None and tuple(ids[:img + 1]) == entry.ids_prefix:
+            built = self._build_suffix_batch(ids, entry, box_input,
+                                             coord_token_id)
+            if built is not None:
+                suffix_batch, L = built
+                self.prefix_cache_stats[0] += 1
+                return start_decode_prefix(
+                    self.params, self.cfg, suffix_batch, entry.cache,
+                    prefix_len=entry.prefix_len,
+                    max_cache_len=L + ecfg.max_new_tokens,
+                    cache_dtype=self._cache_dtype())
+        batch, vision_features = self._prepare_generation(
+            record, box_input, coord_token_id)
+        state = start_decode(
+            self.params, self.cfg, batch,
+            max_cache_len=int(batch.text_ids.shape[1]) + ecfg.max_new_tokens,
+            cache_dtype=self._cache_dtype(), vision_features=vision_features)
+        if img >= 0 and isinstance(key, str):
+            self.prefix_cache_stats[1] += 1
+            self._store_prefix(key, ids, img, batch, state)
+        return state
+
     def _decode_text(self, toks) -> str:
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         if self.ecfg.stop_str and text.endswith(self.ecfg.stop_str):
@@ -448,6 +599,18 @@ class InferenceEngine:
 
     def generate_answer(self, record, box_input=None,
                         coord_token_id=None) -> str:
+        if self._prefix_cache_on(record):
+            from video3d_tpu.models.generate import generate_from_state
+
+            state = self._start_state(record, box_input, coord_token_id)
+            res = generate_from_state(
+                self.params, self.cfg, state,
+                max_new_tokens=self.ecfg.max_new_tokens,
+                eos_token_id=self.ecfg.eos_token_id,
+                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+                top_k=self.ecfg.top_k)
+            toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+            return self._decode_text(toks)
         batch, vision_features = self._prepare_generation(
             record, box_input, coord_token_id)
         res = self._generate(batch, vision_features=vision_features)
@@ -463,17 +626,21 @@ class InferenceEngine:
         chunk calls — the prefill runs once."""
         from video3d_tpu.models.generate import decode_chunk, start_decode
 
-        batch, vision_features = self._prepare_generation(
-            record, box_input, coord_token_id)
-        batch, vision_features = self._shard_inputs(batch, vision_features)
-        L = batch.text_ids.shape[1]
+        if self._prefix_cache_on(record):
+            state = self._start_state(record, box_input, coord_token_id)
+        else:
+            batch, vision_features = self._prepare_generation(
+                record, box_input, coord_token_id)
+            batch, vision_features = self._shard_inputs(batch,
+                                                        vision_features)
+            L = batch.text_ids.shape[1]
+            with self._mesh_ctx():
+                state = start_decode(
+                    self.params, self.cfg, batch,
+                    max_cache_len=L + self.ecfg.max_new_tokens,
+                    cache_dtype=self._cache_dtype(),
+                    vision_features=vision_features)
         with self._mesh_ctx():
-            state = start_decode(
-                self.params, self.cfg, batch,
-                max_cache_len=L + self.ecfg.max_new_tokens,
-                cache_dtype=self._cache_dtype(),
-                vision_features=vision_features)
-
             emitted: list = []
             remaining = self.ecfg.max_new_tokens
             while remaining > 0:
@@ -826,23 +993,31 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
         box_inputs = [np.asarray(l["box_input"][:3], np.float32)
                       if l.get("box_input") is not None else None
                       for l in chunk]
-        if batch_size == 1:
+        if batch_size == 1 and engine._prefix_cache_on(chunk[0]):
+            # scene-prefix KV path: the hit does no video IO / tower work,
+            # so the whole request (suffix prefill + decode) runs in the
+            # timed section — same timing semantics as _generate below
+            prepared = None
+        elif batch_size == 1:
             prepared = engine._prepare_generation(
                 chunk[0], box_inputs[0], coord_token_id)
         else:
             prepared = engine.prepare_answers_batch(
                 chunk, box_inputs=box_inputs, coord_token_id=coord_token_id)
-        return chunk, prepared
+        return chunk, box_inputs, prepared
 
     times = []
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(prep, 0)
         for s in range(0, len(questions), batch_size):
-            chunk, prepared = fut.result()
+            chunk, box_inputs, prepared = fut.result()
             if s + batch_size < len(questions):
                 fut = ex.submit(prep, s + batch_size)
             t0 = time.time()
-            if batch_size == 1:
+            if batch_size == 1 and prepared is None:
+                texts = [engine.generate_answer(chunk[0], box_inputs[0],
+                                                coord_token_id)]
+            elif batch_size == 1:
                 batch, vision_features = prepared
                 res = engine._generate(batch,
                                        vision_features=vision_features)

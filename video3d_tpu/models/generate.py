@@ -127,6 +127,137 @@ def start_decode(params, cfg: ModelConfig, batch: lv3d.Batch,
                        step=jnp.zeros((), jnp.int32))
 
 
+def _write_prefix(cache: qwen2.KVCache, prefix: qwen2.KVCache) -> qwen2.KVCache:
+    """Copy a (layers, B, P, KV, hd) prefix slice into the head of a fresh
+    cache (prefix-KV reuse). Dtypes must already match (the prefix was
+    sliced from a cache of the same ``cache_dtype``)."""
+    def put(big, pre):
+        return jax.lax.dynamic_update_slice(big, pre, (0, 0, 0, 0, 0))
+
+    k, v = put(cache.k, prefix.k), put(cache.v, prefix.v)
+    if cache.k_scale is not None:
+        return qwen2.KVCache(k, v, put(cache.k_scale, prefix.k_scale),
+                             put(cache.v_scale, prefix.v_scale))
+    return qwen2.KVCache(k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_len",
+                                             "max_cache_len", "cache_dtype"))
+def start_decode_prefix(params, cfg: ModelConfig, batch: lv3d.Batch,
+                        prefix: qwen2.KVCache, prefix_len: int,
+                        max_cache_len: int,
+                        cache_dtype=jnp.bfloat16) -> DecodeState:
+    """Prefill only a question SUFFIX against a cached scene-prefix KV.
+
+    Video-3D-LLM workloads ask ~50-200 questions per scene; every question
+    shares the same spliced prefix (system + user header + the V*210-token
+    vision block — ScanQA val: ~1700 of ~1750 prefill tokens), and causal
+    attention makes the prefix KV question-independent. The reference
+    re-prefills the full sequence per question (model_scanqa.py:173-186);
+    here the engine caches the prefix KV once per scene and each later
+    question prefills just its suffix (question + assistant header) into a
+    fresh cache seeded with the prefix — skipping video IO, geometry, the
+    tower AND ~95% of prefill FLOPs.
+
+    Args:
+      batch: SUFFIX slice of the full splice plan (``slice_suffix_plan``):
+        ``text_ids``/``kind``/... are (B, Ls) covering spliced positions
+        [prefix_len, prefix_len + Ls); ``batch.seq_len`` stays the TOTAL
+        true length. The suffix must contain no vision tokens.
+      prefix: (layers, B, prefix_len, KV, hd) cache slice, same dtype family
+        as ``cache_dtype`` (int8 prefixes carry scales).
+    Returns:
+      DecodeState identical (bf16 cache: bit-identical logits up to reduction
+      order) to full-prefill ``start_decode`` — decode proceeds unchanged.
+    """
+    B, Ls = batch.text_ids.shape
+    cache = qwen2.KVCache.zeros(cfg.llm, B, max_cache_len, dtype=cache_dtype)
+    cache = _write_prefix(cache, prefix)
+
+    D = params["llm"]["embed_tokens"].shape[-1]
+    dummy_vis = jnp.zeros((B, 1, D), params["llm"]["embed_tokens"].dtype)
+    embeds = lv3d.assemble_embeds(params, cfg, dummy_vis, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+    pos3 = lv3d._position_ids_3d(batch, cfg)
+    cache_positions = prefix_len + jnp.broadcast_to(
+        jnp.arange(Ls)[None], (B, Ls))
+    # prefill=False routes attention through the cached-KV path
+    # (q_positions causal masking — the speculative-verify machinery), so
+    # suffix queries see prefix keys + their own causal block.
+    hidden, cache = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
+        cache_positions=cache_positions, kv_len=batch.seq_len)
+    last = jnp.take_along_axis(
+        hidden, (batch.seq_len - 1 - prefix_len)[:, None, None], axis=1)
+    next_logits = qwen2.lm_head(params["llm"], last)[:, 0]
+    return DecodeState(next_logits=next_logits, cache=cache,
+                       pos=batch.seq_len, done=jnp.zeros((B,), bool),
+                       step=jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
+                                             "eos_token_id", "temperature",
+                                             "top_p", "top_k"),
+                   donate_argnums=(2,))
+def generate_from_state(params, cfg: ModelConfig, state: DecodeState,
+                        max_new_tokens: int = 512,
+                        eos_token_id: int = 151645,
+                        temperature: float = 0.0, top_p: float = 1.0,
+                        top_k: int = 0,
+                        rng_key: Optional[jax.Array] = None
+                        ) -> GenerateResult:
+    """The decode phase of :func:`generate_greedy` from an existing
+    DecodeState (full or prefix-cached prefill) — same while_loop, same
+    rng folding, so greedy/sampled emissions match generate_greedy exactly
+    for a state produced by ``start_decode``."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    B = state.next_logits.shape[0]
+
+    class State(NamedTuple):
+        step: jax.Array
+        tokens: jax.Array
+        done: jax.Array
+        lengths: jax.Array
+        inner: DecodeState
+
+    init = State(step=jnp.zeros((), jnp.int32),
+                 tokens=jnp.full((B, max_new_tokens), eos_token_id, jnp.int32),
+                 done=state.done,
+                 lengths=jnp.zeros((B,), jnp.int32),
+                 inner=state)
+
+    def cond(s: State):
+        return (s.step < max_new_tokens) & ~jnp.all(s.done)
+
+    def body(s: State):
+        step_key = jax.random.fold_in(rng_key, s.step)
+        tok = sample_token(s.inner.next_logits, step_key, temperature, top_p,
+                           top_k)
+        tok = jnp.where(s.done, eos_token_id, tok)
+        tokens = s.tokens.at[:, s.step].set(tok)
+        now_done = s.done | (tok == eos_token_id)
+        lengths = jnp.where(s.done, s.lengths,
+                            jnp.where(tok == eos_token_id, s.lengths,
+                                      s.lengths + 1))
+        pos = s.inner.pos
+        step_embeds = qwen2.embed_tokens(params["llm"], tok[:, None])
+        hidden, cache = qwen2.qwen2_forward(
+            params["llm"], cfg.llm, step_embeds,
+            _decode_position_ids(pos[:, None]),
+            kv_cache=s.inner.cache, cache_positions=pos[:, None],
+            kv_len=pos + 1)
+        logits = qwen2.lm_head(params["llm"], hidden)[:, 0].astype(
+            s.inner.next_logits.dtype)
+        inner = DecodeState(next_logits=logits, cache=cache, pos=pos + 1,
+                            done=now_done, step=s.inner.step + 1)
+        return State(s.step + 1, tokens, now_done, lengths, inner)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return GenerateResult(tokens=final.tokens, lengths=final.lengths)
+
+
 def empty_decode_state(cfg: ModelConfig, num_slots: int, max_cache_len: int,
                        cache_dtype=jnp.bfloat16,
                        logits_dtype=jnp.float32) -> DecodeState:

@@ -177,3 +177,54 @@ def build_splice_plan(
                       labels=labels, position_ids=position_ids,
                       mrope_position_ids=mrope_ids, seq_len=seq_len,
                       coord_mask=coord_mask)
+
+
+def vision_end(plan: SplicePlan, b: int = 0) -> int:
+    """Spliced index one past the last vision token of sample ``b`` (the
+    scene-prefix length for prefix-KV caching), or 0 when the sample has no
+    vision block."""
+    vis = np.nonzero(plan.kind[b] == KIND_VISION)[0]
+    return int(vis[-1]) + 1 if len(vis) else 0
+
+
+def slice_suffix_plan(plan: SplicePlan, prefix_len: int,
+                      suffix_max_len: int) -> Optional[SplicePlan]:
+    """Slice spliced positions [prefix_len, prefix_len + suffix_max_len) out
+    of a full plan — the question suffix fed to
+    ``generate.start_decode_prefix`` against a cached scene-prefix KV.
+
+    ``seq_len`` stays the TOTAL true length (the suffix forward needs the
+    absolute kv_len / last-token position). Returns None when any sample's
+    true sequence ends inside the prefix (truncation cut into the vision
+    block — caller must fall back to a full prefill) or when a vision token
+    would land in the suffix.
+    """
+    B, L = plan.text_ids.shape
+    Ls = suffix_max_len
+    if np.any(plan.seq_len <= prefix_len):
+        return None
+    if np.any(plan.seq_len - prefix_len > Ls):
+        return None
+    if np.any(plan.kind[:, prefix_len:] == KIND_VISION):
+        return None
+
+    def sl(a: np.ndarray, fill=0) -> np.ndarray:
+        out = np.full((B, Ls) + a.shape[2:], fill, a.dtype)
+        m = min(Ls, L - prefix_len)
+        if m > 0:
+            out[:, :m] = a[:, prefix_len:prefix_len + m]
+        return out
+
+    # pad slots keep increasing positions (same convention as the full plan)
+    pos = sl(plan.position_ids)
+    m = min(Ls, L - prefix_len)
+    if m < Ls:
+        pos[:, m:] = prefix_len + np.arange(m, Ls)[None]
+    return SplicePlan(
+        text_ids=sl(plan.text_ids), kind=sl(plan.kind, KIND_PAD),
+        vision_index=sl(plan.vision_index),
+        labels=sl(plan.labels, IGNORE_INDEX),
+        position_ids=pos,
+        mrope_position_ids=sl(plan.mrope_position_ids),
+        seq_len=plan.seq_len.copy(),
+        coord_mask=sl(plan.coord_mask, False))
