@@ -81,6 +81,34 @@ class TestContinuousBatcher:
         for a, b in zip(chunks, chunks[1:]):
             assert b.startswith(a)
 
+    def test_prefix_cache_matches_sequential(self, env, tmp_path_factory):
+        """Batched answers with the scene-prefix KV cache (dense and paged
+        admission through engine.start_request) == the plain engine's."""
+        info, engine, tok = env
+        import dataclasses
+
+        records = [_record(info, q) for q in
+                   ("what color is the chair", "how many tables",
+                    "where is the lamp", "is the door open")]
+        want = [engine.generate_answer(r) for r in records]
+
+        pengine = InferenceEngine(
+            engine.params, engine.cfg, tok, engine.vp, engine.ip,
+            dataclasses.replace(engine.ecfg, prefix_cache_scenes=2,
+                                suffix_buckets=(32, 64)))
+        for paged in (False, True):
+            batcher = ContinuousBatcher(pengine, num_slots=2, chunk=2,
+                                        paged=paged)
+            try:
+                handles = [batcher.submit(r) for r in records]
+                got = [h.result(pengine._decode_text, timeout=300)
+                       for h in handles]
+            finally:
+                batcher.shutdown()
+            assert got == want, f"paged={paged}"
+        # at least one admission reused the prefix across the two rounds
+        assert pengine.prefix_cache_stats[0] >= 2
+
     def test_bad_request_fails_without_poisoning_slots(self, env):
         info, engine, tok = env
         batcher = ContinuousBatcher(engine, num_slots=1, chunk=2)

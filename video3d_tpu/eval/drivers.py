@@ -551,45 +551,72 @@ class InferenceEngine:
             while len(self._prefix_cache) > self.ecfg.prefix_cache_scenes:
                 self._prefix_cache.popitem(last=False)
 
-    def _start_state(self, record, box_input=None, coord_token_id=None):
-        """DecodeState for one request, reusing the scene-prefix KV when
-        possible (hit: suffix-only prefill, no video IO / geometry / tower;
-        miss: full prefill, then harvest the prefix for later questions)."""
+    def prepare_request(self, record, box_input=None, coord_token_id=None):
+        """Host-side request prep for the prefix-aware path: tokenize, look
+        up the scene-prefix KV, and either build the suffix batch (hit) or
+        run the full preparation (miss). Thread-safe (the batcher's prep
+        pool calls it); device prefill happens in :meth:`start_request`."""
         from video3d_tpu.constants import IMAGE_TOKEN_INDEX
-        from video3d_tpu.models.generate import (start_decode,
-                                                 start_decode_prefix)
 
-        ecfg = self.ecfg
         ids = self._tokenize_prompt(record)
         img = ids.index(IMAGE_TOKEN_INDEX) if IMAGE_TOKEN_INDEX in ids else -1
         key = record.get("video")
-        entry = None
         if img >= 0:
             with self._cache_lock:
                 entry = self._prefix_cache.get(key)
                 if entry is not None:
                     self._prefix_cache.move_to_end(key)
-        if entry is not None and tuple(ids[:img + 1]) == entry.ids_prefix:
-            built = self._build_suffix_batch(ids, entry, box_input,
-                                             coord_token_id)
-            if built is not None:
-                suffix_batch, L = built
-                self.prefix_cache_stats[0] += 1
-                return start_decode_prefix(
-                    self.params, self.cfg, suffix_batch, entry.cache,
-                    prefix_len=entry.prefix_len,
-                    max_cache_len=L + ecfg.max_new_tokens,
-                    cache_dtype=self._cache_dtype())
+            if entry is not None and tuple(ids[:img + 1]) == entry.ids_prefix:
+                built = self._build_suffix_batch(ids, entry, box_input,
+                                                 coord_token_id)
+                if built is not None:
+                    suffix_batch, L = built
+                    return {"mode": "prefix", "batch": suffix_batch,
+                            "entry": entry, "bucket": L,
+                            "total": int(suffix_batch.seq_len[0])}
         batch, vision_features = self._prepare_generation(
             record, box_input, coord_token_id)
+        return {"mode": "full", "batch": batch, "vf": vision_features,
+                "ids": ids, "img": img, "key": key,
+                "bucket": int(batch.text_ids.shape[1]),
+                "total": int(batch.seq_len[0])}
+
+    def start_request(self, prep, max_cache_len: Optional[int] = None):
+        """Prefill a :meth:`prepare_request` result into a DecodeState.
+
+        ``max_cache_len`` overrides the cache size (the continuous batcher
+        passes its row length); default is bucket + max_new_tokens. On a
+        full-prefill miss the scene prefix is harvested for later
+        questions."""
+        from video3d_tpu.models.generate import (start_decode,
+                                                 start_decode_prefix)
+
+        ecfg = self.ecfg
+        mcl = (max_cache_len if max_cache_len is not None
+               else prep["bucket"] + ecfg.max_new_tokens)
+        if prep["mode"] == "prefix":
+            entry = prep["entry"]
+            self.prefix_cache_stats[0] += 1
+            return start_decode_prefix(
+                self.params, self.cfg, prep["batch"], entry.cache,
+                prefix_len=entry.prefix_len, max_cache_len=mcl,
+                cache_dtype=self._cache_dtype())
         state = start_decode(
-            self.params, self.cfg, batch,
-            max_cache_len=int(batch.text_ids.shape[1]) + ecfg.max_new_tokens,
-            cache_dtype=self._cache_dtype(), vision_features=vision_features)
-        if img >= 0 and isinstance(key, str):
+            self.params, self.cfg, prep["batch"], max_cache_len=mcl,
+            cache_dtype=self._cache_dtype(), vision_features=prep["vf"])
+        if (self.ecfg.prefix_cache_scenes > 0 and prep["img"] >= 0
+                and isinstance(prep["key"], str)):
             self.prefix_cache_stats[1] += 1
-            self._store_prefix(key, ids, img, batch, state)
+            self._store_prefix(prep["key"], prep["ids"], prep["img"],
+                               prep["batch"], state)
         return state
+
+    def _start_state(self, record, box_input=None, coord_token_id=None):
+        """DecodeState for one request, reusing the scene-prefix KV when
+        possible (hit: suffix-only prefill, no video IO / geometry / tower;
+        miss: full prefill, then harvest the prefix for later questions)."""
+        return self.start_request(
+            self.prepare_request(record, box_input, coord_token_id))
 
     def _decode_text(self, toks) -> str:
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()

@@ -221,8 +221,17 @@ class ContinuousBatcher:
 
         def prepare():
             try:
-                prepared = self.engine._prepare_generation(
-                    req.record, req.box_input, req.coord_token_id)
+                if not self.spec and \
+                        self.engine._prefix_cache_on(req.record):
+                    # scene-prefix KV path (dict result): a hit skips video
+                    # IO/geometry/tower here and ~95% of the admission
+                    # prefill in _admit (engine.start_request). Speculative
+                    # mode keeps its own prefill machinery (spec_start).
+                    prepared = self.engine.prepare_request(
+                        req.record, req.box_input, req.coord_token_id)
+                else:
+                    prepared = self.engine._prepare_generation(
+                        req.record, req.box_input, req.coord_token_id)
                 if self._stop.is_set():
                     raise RuntimeError("batcher shut down")
                 self._pending.put((req, prepared))
@@ -283,7 +292,15 @@ class ContinuousBatcher:
 
         eng = self.engine
         try:
-            batch, vision_features = prepared
+            if isinstance(prepared, dict):
+                # prefix-aware prep (engine.prepare_request); prefill runs
+                # through engine.start_request against this batcher's rows
+                batch, vision_features = prepared["batch"], \
+                    prepared.get("vf")
+                bucket = prepared["bucket"]
+            else:
+                batch, vision_features = prepared
+                bucket = int(batch.text_ids.shape[1])
             # clamp the budget to the cache row: positions past
             # max_cache_len would silently drop KV writes.
             # NOTE not a double-count with __init__'s `max_cache_len += K+2`:
@@ -296,10 +313,10 @@ class ContinuousBatcher:
             # reservation instead — max_cache_len was never pre-grown)
             slack = (eng.ecfg.speculative_k + 2
                      if self.spec and not self.paged else 0)
-            room = self.max_cache_len - int(batch.text_ids.shape[1]) - slack
+            room = self.max_cache_len - bucket - slack
             if room <= 0:
                 raise ValueError(
-                    f"prompt bucket {int(batch.text_ids.shape[1])} does not "
+                    f"prompt bucket {bucket} does not "
                     f"fit this batcher's cache rows ({self.max_cache_len}); "
                     "route to a larger pool (serve/router.py)")
             if req.max_new_tokens > room:
@@ -308,7 +325,7 @@ class ContinuousBatcher:
                 from video3d_tpu.models.paged_kv import pages_needed
 
                 page = self.page_size
-                L_bucket = int(batch.text_ids.shape[1])
+                L_bucket = bucket
                 prompt_pages = pages_needed(L_bucket, page)
                 overshoot = self.chunk + (
                     eng.ecfg.speculative_k + 2 if self.spec else 0)
@@ -343,10 +360,15 @@ class ContinuousBatcher:
                             self.state, jnp.asarray(slot, jnp.int32), sub,
                             row, n_pages=prompt_pages)
                     else:
-                        sub = start_decode(eng.params, eng.cfg, batch,
-                                           max_cache_len=prompt_pages * page,
-                                           cache_dtype=eng._cache_dtype(),
-                                           vision_features=vision_features)
+                        if isinstance(prepared, dict):
+                            sub = eng.start_request(
+                                prepared, max_cache_len=prompt_pages * page)
+                        else:
+                            sub = start_decode(
+                                eng.params, eng.cfg, batch,
+                                max_cache_len=prompt_pages * page,
+                                cache_dtype=eng._cache_dtype(),
+                                vision_features=vision_features)
                         self.state = insert_paged_slot(
                             self.state, jnp.asarray(slot, jnp.int32), sub,
                             row, n_pages=prompt_pages)
@@ -390,10 +412,14 @@ class ContinuousBatcher:
                     self.emitted[slot] = 1
                     req._q.put(1)
                 return True
-            sub = start_decode(eng.params, eng.cfg, batch,
-                               max_cache_len=self.max_cache_len,
-                               cache_dtype=eng._cache_dtype(),
-                               vision_features=vision_features)
+            if isinstance(prepared, dict):
+                sub = eng.start_request(prepared,
+                                        max_cache_len=self.max_cache_len)
+            else:
+                sub = start_decode(eng.params, eng.cfg, batch,
+                                   max_cache_len=self.max_cache_len,
+                                   cache_dtype=eng._cache_dtype(),
+                                   vision_features=vision_features)
             self.state = insert_decode_slot(self.state,
                                             jnp.asarray(slot, jnp.int32), sub)
             self.slots[slot] = req

@@ -207,6 +207,12 @@ if __name__ == "__main__":
     parser.add_argument("--kv-cache-dtype", default="bfloat16",
                         choices=("bfloat16", "int8"))
     parser.add_argument("--spec-draft-layers", type=int, default=0)
+    parser.add_argument("--scene-cache", type=int, default=8,
+                        help="scene-level vision-feature LRU (0 disables)")
+    parser.add_argument("--prefix-cache", type=int, default=4,
+                        help="scene-PREFIX KV LRU: later questions on a "
+                             "scene prefill only their suffix (0 disables; "
+                             "single-device, non-speculative paths)")
     parser.add_argument("--paged-kv", action="store_true",
                         help="paged KV pool instead of dense cache rows")
     parser.add_argument("--page-size", type=int, default=128)
@@ -247,7 +253,9 @@ if __name__ == "__main__":
             eos_token_id=tokenizer.eos_token_id,
             max_frames=args.max_frame_num,
             kv_cache_dtype=args.kv_cache_dtype,
-            speculative_draft_layers=args.spec_draft_layers),
+            speculative_draft_layers=args.spec_draft_layers,
+            scene_cache_scenes=args.scene_cache,
+            prefix_cache_scenes=args.prefix_cache),
         mesh=mesh)
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
     serve_worker(engine, name, host=args.host, port=args.port,
