@@ -183,6 +183,59 @@ class TestPrefixCache:
         eng.generate_answer(q)                            # falls back, works
         assert eng.prefix_cache_stats == [0, 2]
 
+    def test_grounding_matches(self, scene):
+        """ground() through the prefix path (cached prefix KV + cached
+        object features + suffix-only forward) == the plain path's scores;
+        the second query on a scene is a hit with no video IO."""
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        cached = _engine(data_cfg, 4)
+        for eng in (plain, cached):
+            eng.ecfg.ground_token_id = eng.tokenizer.vocab["<ground>"]
+            eng.ecfg.max_objects = 8
+        qs = [{
+            "id": f"g{i}", "video": infos[0]["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": f"<image>\nfind object {i}"},
+                {"from": "gpt", "value": "<ground>"}],
+            "metadata": {"dataset": "scanrefer", "question_type": "unique"},
+        } for i in range(3)]
+        want = [plain.ground(q) for q in qs]
+        got = [cached.ground(q) for q in qs]
+        assert cached.prefix_cache_stats == [2, 1]
+        for (s1, o1), (s2, o2) in zip(want, got):
+            np.testing.assert_array_equal(o1, o2)
+            # cache-precision agreement: the prefix path reads the
+            # bf16-stored prefix KV, the plain grounding forward attends
+            # raw (f32 in this fixture) K/V without a cache
+            np.testing.assert_allclose(s2, s1, rtol=2e-3, atol=1e-4)
+            assert int(np.argmax(s2)) == int(np.argmax(s1))
+
+    def test_generative_then_grounding_share_prefix(self, scene):
+        """A generative miss harvests the prefix; a grounding query on the
+        same scene still needs its own object features but can reuse the
+        prefix KV when the pre-image ids match (and vice versa) — at
+        minimum it must stay correct when both paths interleave."""
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        cached = _engine(data_cfg, 4)
+        for eng in (plain, cached):
+            eng.ecfg.ground_token_id = eng.tokenizer.vocab["<ground>"]
+            eng.ecfg.max_objects = 8
+        gq = {
+            "id": "g0", "video": infos[0]["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "<image>\nfind the chair"},
+                {"from": "gpt", "value": "<ground>"}],
+            "metadata": {"dataset": "scanrefer", "question_type": "unique"},
+        }
+        q = _question(infos[0])
+        assert cached.generate_answer(q) == plain.generate_answer(q)
+        s_plain, o_plain = plain.ground(gq)
+        s_cached, o_cached = cached.ground(gq)
+        np.testing.assert_array_equal(o_plain, o_cached)
+        np.testing.assert_allclose(s_cached, s_plain, rtol=2e-3, atol=1e-4)
+
     def test_int8_kv_prefix_runs(self, scene):
         """int8 KV: the prefix is reused quantized (same values decode
         reads); the path must run and produce a plausible answer."""

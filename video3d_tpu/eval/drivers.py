@@ -176,6 +176,10 @@ class InferenceEngine:
         # ecfg.prefix_cache_scenes; same lock discipline)
         self._prefix_cache: "OrderedDict" = OrderedDict()
         self.prefix_cache_stats = [0, 0]      # [hits, misses]
+        # grounding companion cache: video_id -> (obj_feats, valid,
+        # objects np, n) — the question-independent object features
+        # (lv3d._grounding_object_features), harvested with the prefix
+        self._ground_obj_cache: "OrderedDict" = OrderedDict()
 
     def set_draft_model(self, draft_params, draft_cfg):
         """Attach standalone draft weights (same vocab + hidden size) for
@@ -523,9 +527,9 @@ class InferenceEngine:
                        if box is not None else None))
         return batch, L
 
-    def _store_prefix(self, key: str, ids, img: int, batch, state) -> None:
-        """Slice the scene prefix out of a freshly-prefilled DecodeState and
-        LRU-insert it. Must run BEFORE the state is donated to a decode
+    def _store_prefix(self, key: str, ids, img: int, batch, cache) -> None:
+        """Slice the scene prefix out of a freshly-prefilled KV cache and
+        LRU-insert it. Must run BEFORE the cache is donated to a decode
         call (generate_from_state/decode_chunk donate their state)."""
         from video3d_tpu.models import qwen2
         from video3d_tpu.models.splice import KIND_VISION
@@ -537,7 +541,6 @@ class InferenceEngine:
         P = int(vis[-1]) + 1
         T = self.cfg.tokens_per_frame
         V = int((kind0 == KIND_VISION).sum()) // T
-        cache = state.cache
         if P >= cache.k.shape[2]:
             return
         pre = qwen2.KVCache(
@@ -608,7 +611,7 @@ class InferenceEngine:
                 and isinstance(prep["key"], str)):
             self.prefix_cache_stats[1] += 1
             self._store_prefix(prep["key"], prep["ids"], prep["img"],
-                               prep["batch"], state)
+                               prep["batch"], state.cache)
         return state
 
     def _start_state(self, record, box_input=None, coord_token_id=None):
@@ -870,15 +873,19 @@ class InferenceEngine:
 
     # ------------- discriminative (grounding) -------------
 
-    def ground(self, record) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (scores (N_valid+1,), objects (N_valid, 6))."""
-        assert self.ecfg.ground_token_id is not None
+    def _ground_tokenize(self, record):
         question = {"from": "human", "value": self._question_text(record)}
         answer = record["conversations"][1]
         tok = preprocess_qwen([[question, answer]], self.tokenizer,
                               has_image=True)
-        ids = tok["input_ids"][0].tolist()
-        labels = tok["labels"][0].tolist()
+        return tok["input_ids"][0].tolist(), tok["labels"][0].tolist()
+
+    def ground(self, record) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores (N_valid+1,), objects (N_valid, 6))."""
+        assert self.ecfg.ground_token_id is not None
+        if self._prefix_cache_on(record):
+            return self._ground_prefix(record)
+        ids, labels = self._ground_tokenize(record)
         vd, V, images, coords_full, patch, _ = self._video_arrays(
             record["video"], need_full_coords=True)
         batch, plan = self._build_batch(ids, labels, V, images, patch)
@@ -900,6 +907,100 @@ class InferenceEngine:
             jnp.asarray(slot))
         scores = np.asarray(scores)
         # compact: real objects then zero-target (reference scores layout)
+        return np.concatenate([scores[:n], scores[-1:]]), objects[:n]
+
+    def _ground_prefix(self, record) -> Tuple[np.ndarray, np.ndarray]:
+        """:meth:`ground` through the scene-prefix KV cache: the prefix KV,
+        the object proposals AND their masked-mean features are all
+        question-independent, so a hit prefills only the query suffix
+        (which contains the <ground> token) and scores the cached object
+        features — no video IO, full-res coords, masks, tower, or full
+        prefill. ScanRefer/Multi3DRefer ask dozens of queries per scene."""
+        from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+        from video3d_tpu.models.generate import ground_suffix
+        from video3d_tpu.models.splice import slice_suffix_plan
+
+        ids, labels = self._ground_tokenize(record)
+        img = ids.index(IMAGE_TOKEN_INDEX) if IMAGE_TOKEN_INDEX in ids else -1
+        key = record.get("video")
+        mc = self.cfg
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        T = mc.tokens_per_frame
+        entry = obj_entry = None
+        if img >= 0:
+            with self._cache_lock:
+                entry = self._prefix_cache.get(key)
+                obj_entry = self._ground_obj_cache.get(key)
+                if entry is not None:
+                    self._prefix_cache.move_to_end(key)
+        if (entry is not None and obj_entry is not None
+                and tuple(ids[:img + 1]) == entry.ids_prefix):
+            V = entry.num_frames
+            P = entry.prefix_len
+            total = len(ids) + V * T
+            L = pick_bucket(total, self.ecfg.buckets)
+            plan = build_splice_plan(
+                [ids], [labels], [V], tokens_per_frame=T, max_len=L,
+                grid_side=g, truncate_to=mc.tokenizer_model_max_length)
+            hits = np.nonzero(plan.labels[0] == self.ecfg.ground_token_id)[0]
+            slot = int(hits[0]) if len(hits) else int(plan.seq_len[0]) - 1
+            suffix_true = int(plan.seq_len[0]) - P
+            Ls = next((b for b in self.ecfg.suffix_buckets
+                       if suffix_true <= b), None)
+            if Ls is not None and slot >= P:
+                suf = slice_suffix_plan(plan, P, Ls)
+                if suf is not None:
+                    obj_feats, valid_j, objects, n = obj_entry
+                    batch = lv3d.Batch(
+                        images=None, patch_coords=None,
+                        text_ids=jnp.asarray(suf.text_ids),
+                        kind=jnp.asarray(suf.kind),
+                        vision_index=jnp.asarray(suf.vision_index),
+                        labels=jnp.asarray(suf.labels),
+                        position_ids=jnp.asarray(suf.position_ids),
+                        mrope_position_ids=jnp.asarray(
+                            suf.mrope_position_ids),
+                        seq_len=jnp.asarray(suf.seq_len),
+                        coord_mask=jnp.asarray(suf.coord_mask))
+                    scores = np.asarray(ground_suffix(
+                        self.params, self.cfg, batch, entry.cache,
+                        prefix_len=P, max_cache_len=P + Ls,
+                        cache_dtype=self._cache_dtype(),
+                        obj_feats=obj_feats, object_valid=valid_j,
+                        ground_slot=jnp.asarray(slot)))
+                    self.prefix_cache_stats[0] += 1
+                    return (np.concatenate([scores[:n], scores[-1:]]),
+                            objects[:n])
+        # miss (or unusable suffix): full grounding forward, harvesting the
+        # prefix KV + object features for later queries on this scene
+        vd, V, images, coords_full, patch, _ = self._video_arrays(
+            record["video"], need_full_coords=True)
+        batch, plan = self._build_batch(ids, labels, V, images, patch)
+        objects = np.asarray(vd["objects"], np.float32).reshape(-1, 6)
+        N = self.ecfg.max_objects
+        obj = np.zeros((N, 6), np.float32)
+        valid = np.zeros((N,), bool)
+        n = min(len(objects), N)
+        obj[:n] = objects[:n]
+        valid[:n] = True
+        hits = np.nonzero(plan.labels[0] == self.ecfg.ground_token_id)[0]
+        slot = int(hits[0]) if len(hits) else int(plan.seq_len[0]) - 1
+        L = int(batch.text_ids.shape[1])
+        valid_j = jnp.asarray(valid)
+        scores, cache, obj_feats = lv3d.grounding_forward_cached(
+            self.params, self.cfg, batch, jnp.asarray(coords_full[0]),
+            jnp.asarray(obj), valid_j, jnp.asarray(slot),
+            max_cache_len=L, cache_dtype=self._cache_dtype())
+        if img >= 0 and isinstance(key, str):
+            self.prefix_cache_stats[1] += 1
+            self._store_prefix(key, ids, img, batch, cache)
+            with self._cache_lock:
+                self._ground_obj_cache[key] = (obj_feats, valid_j,
+                                               objects, n)
+                while len(self._ground_obj_cache) > \
+                        self.ecfg.prefix_cache_scenes:
+                    self._ground_obj_cache.popitem(last=False)
+        scores = np.asarray(scores)
         return np.concatenate([scores[:n], scores[-1:]]), objects[:n]
 
     def ground_batch(self, records: Sequence[dict]
@@ -1098,6 +1199,10 @@ def _run_grounding(engine: InferenceEngine, questions: Sequence[dict],
 
     def prep(s0):
         chunk = list(questions[s0:s0 + batch_size])
+        if batch_size == 1 and engine._prefix_cache_on(chunk[0]):
+            # scene-prefix grounding path: a hit does no host video work,
+            # so the whole query runs in the timed section via ground()
+            return chunk, None
         return chunk, engine.prepare_ground_batch(chunk)
 
     times = []
@@ -1108,7 +1213,10 @@ def _run_grounding(engine: InferenceEngine, questions: Sequence[dict],
             if s0 + batch_size < len(questions):
                 fut = ex.submit(prep, s0 + batch_size)
             t0 = time.time()
-            results = engine.ground_from_prepared(prepared)
+            if prepared is None:
+                results = [engine.ground(chunk[0])]
+            else:
+                results = engine.ground_from_prepared(prepared)
             dt = (time.time() - t0) / len(chunk)
             for line, (scores, objects) in zip(chunk, results):
                 times.append(dt)

@@ -196,6 +196,45 @@ def start_decode_prefix(params, cfg: ModelConfig, batch: lv3d.Batch,
                        step=jnp.zeros((), jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "prefix_len",
+                                             "max_cache_len", "cache_dtype"))
+def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
+                  prefix: qwen2.KVCache, prefix_len: int, max_cache_len: int,
+                  cache_dtype, obj_feats: jax.Array, object_valid: jax.Array,
+                  ground_slot: jax.Array) -> jax.Array:
+    """Grounding scores via the scene-prefix KV cache: prefill only the
+    query suffix (which contains the <ground> token) against the cached
+    prefix, then score the precomputed question-independent object
+    features (lv3d._grounding_object_features) — no video IO, geometry,
+    masks, tower, or full prefill per query.
+
+    Args:
+      batch: suffix slice of the full plan (see start_decode_prefix).
+      ground_slot: () ABSOLUTE spliced index of the <ground> token (must
+        fall inside the suffix; the engine guarantees it).
+    Returns:
+      (N+1,) scores, equal to lv3d.grounding_forward up to cache precision
+      (the prefix KV was stored at cache_dtype; the cache-free grounding
+      forward attends raw-precision K/V).
+    """
+    B, Ls = batch.text_ids.shape
+    cache = qwen2.KVCache.zeros(cfg.llm, B, max_cache_len, dtype=cache_dtype)
+    cache = _write_prefix(cache, prefix)
+    D = params["llm"]["embed_tokens"].shape[-1]
+    dummy_vis = jnp.zeros((B, 1, D), params["llm"]["embed_tokens"].dtype)
+    embeds = lv3d.assemble_embeds(params, cfg, dummy_vis, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+    pos3 = lv3d._position_ids_3d(batch, cfg)
+    cache_positions = prefix_len + jnp.broadcast_to(
+        jnp.arange(Ls)[None], (B, Ls))
+    hidden, _ = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
+        cache_positions=cache_positions, kv_len=batch.seq_len)
+    query = hidden[0, ground_slot - prefix_len]
+    return lv3d.ground_scores(params, query, obj_feats, object_valid, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "eos_token_id", "temperature",
                                              "top_p", "top_k"),

@@ -622,22 +622,12 @@ def chunked_language_model_loss(params: Params, hidden: jax.Array,
     return total / jnp.maximum(count, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
-def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
-                      world_coords: jax.Array, object_boxes: jax.Array,
-                      object_valid: jax.Array, ground_slot: jax.Array,
-                      remat: bool = False) -> jax.Array:
-    """Discriminative grounding scores for one sample (B=1 contract, like
-    the reference drivers, llava_arch.py:351-378 + llava_qwen.py:239-300).
-
-    Args:
-      world_coords: (V, H, W, 3) pixel world coords.
-      object_boxes: (N, 6) padded proposals; object_valid (N,) mask.
-      ground_slot: () index of the <ground> token in the spliced layout.
-    Returns:
-      (N+1,) scores (last = zero-target).
-    """
-    hidden, vt = forward_hidden(params, cfg, batch, remat=remat)
+def _grounding_object_features(params: Params, cfg: ModelConfig,
+                               vt: VisionTokens, world_coords: jax.Array,
+                               object_boxes: jax.Array) -> jax.Array:
+    """(N, D) masked-mean object features (+ box-center PE) for one sample
+    (llava_arch.py:351-378, :479-501). Question-independent: depends only on
+    the scene's coords/features and its proposal boxes."""
     side = cfg.vision.num_patches_per_side
     g = -(-side // cfg.spatial_pool_stride)
     masks = object_patch_masks(world_coords, object_boxes,
@@ -658,8 +648,63 @@ def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
                                                vox.max_xyz_range, vox.voxel_size)
         pe = world_position_embedding(params, centers[None], cfg)[0]
         obj_feats = obj_feats + pe.astype(obj_feats.dtype)
+    return obj_feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+def grounding_forward(params: Params, cfg: ModelConfig, batch: Batch,
+                      world_coords: jax.Array, object_boxes: jax.Array,
+                      object_valid: jax.Array, ground_slot: jax.Array,
+                      remat: bool = False) -> jax.Array:
+    """Discriminative grounding scores for one sample (B=1 contract, like
+    the reference drivers, llava_arch.py:351-378 + llava_qwen.py:239-300).
+
+    Args:
+      world_coords: (V, H, W, 3) pixel world coords.
+      object_boxes: (N, 6) padded proposals; object_valid (N,) mask.
+      ground_slot: () index of the <ground> token in the spliced layout.
+    Returns:
+      (N+1,) scores (last = zero-target).
+    """
+    hidden, vt = forward_hidden(params, cfg, batch, remat=remat)
+    obj_feats = _grounding_object_features(params, cfg, vt, world_coords,
+                                           object_boxes)
     query = hidden[0, ground_slot]
     return ground_scores(params, query, obj_feats, object_valid, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_cache_len",
+                                             "cache_dtype"))
+def grounding_forward_cached(params: Params, cfg: ModelConfig, batch: Batch,
+                             world_coords: jax.Array, object_boxes: jax.Array,
+                             object_valid: jax.Array, ground_slot: jax.Array,
+                             max_cache_len: int, cache_dtype=jnp.bfloat16):
+    """:func:`grounding_forward` that additionally fills a KV cache during
+    the prefill and returns the question-independent object features — the
+    scene-prefix harvest for the engine's grounding prefix cache
+    (eval/drivers.py). Scores are numerically identical to
+    grounding_forward (the cached prefill attends on the same raw K/V
+    flash path).
+
+    Returns:
+      (scores (N+1,), cache qwen2.KVCache, obj_feats (N, D))
+    """
+    vt = encode_video(params, cfg, batch.images, batch.patch_coords)
+    embeds = assemble_embeds(params, cfg, vt.spliceable, batch.text_ids,
+                             batch.kind, batch.vision_index,
+                             batch.coord_mask, batch.box_input)
+    B, L = batch.text_ids.shape
+    cache = qwen2.KVCache.zeros(cfg.llm, B, max_cache_len, dtype=cache_dtype)
+    pos3 = _position_ids_3d(batch, cfg)
+    cache_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    hidden, cache = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
+        cache_positions=cache_positions, kv_len=batch.seq_len, prefill=True)
+    obj_feats = _grounding_object_features(params, cfg, vt, world_coords,
+                                           object_boxes)
+    query = hidden[0, ground_slot]
+    scores = ground_scores(params, query, obj_feats, object_valid, cfg)
+    return scores, cache, obj_feats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "remat"))
