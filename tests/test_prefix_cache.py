@@ -236,6 +236,60 @@ class TestPrefixCache:
         np.testing.assert_array_equal(o_plain, o_cached)
         np.testing.assert_allclose(s_cached, s_plain, rtol=2e-3, atol=1e-4)
 
+    def test_batched_suffix_matches_sequential(self, scene, monkeypatch):
+        """Scene-grouped batched suffix decode: one B-row suffix prefill
+        against the broadcast prefix == per-record sequential answers, and
+        a same-scene chunk without a cached prefix harvests it from its
+        first record (1 full + B-1 suffixed)."""
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        cached = _engine(data_cfg, 4)
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there",
+             "where is the lamp"])]
+        want = [plain.generate_answer(q) for q in qs]
+
+        calls = {"n": 0}
+        orig = lv3d.encode_video_pooled
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(lv3d, "encode_video_pooled", counting)
+        got = cached.generate_answers_batch_prefix(qs)
+        assert got == want
+        assert calls["n"] == 1          # tower ran once (the harvest)
+        assert cached.prefix_cache_stats == [2, 1]
+        # a second chunk on the same scene is one pure suffix batch
+        got2 = cached.generate_answers_batch_prefix(qs)
+        assert got2 == want
+        assert calls["n"] == 1
+        assert cached.prefix_cache_stats == [5, 1]
+
+    def test_run_generative_batched_prefix(self, scene, tmp_path):
+        """run_generative with batch_size>1 + prefix cache groups by scene
+        and produces the same answer set as the plain engine."""
+        import json as _json
+
+        from video3d_tpu.eval.drivers import run_generative
+
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        cached = _engine(data_cfg, 4)
+        qs = []
+        for si in range(2):
+            for i in range(2):
+                q = _question(infos[si], text=f"question {i} about it", i=i)
+                q["id"] = f"s{si}_q{i}_0"
+                qs.append(q)
+        want = {q["id"]: plain.generate_answer(q) for q in qs}
+        afile = str(tmp_path / "answers.jsonl")
+        run_generative(cached, qs, afile, batch_size=2)
+        got = {r["sample_id"]: r["pred_response"]
+               for r in map(_json.loads, open(afile))}
+        assert got == want
+
     def test_int8_kv_prefix_runs(self, scene):
         """int8 KV: the prefix is reused quantized (same values decode
         reads); the path must run and produce a plausible answer."""

@@ -871,6 +871,132 @@ class InferenceEngine:
             out.append(self._decode_text(toks))
         return out
 
+    # ------------- scene-grouped batched suffix decode -------------
+
+    def prepare_answers_batch_prefix(self, records: Sequence[dict],
+                                     box_inputs: Optional[Sequence] = None,
+                                     coord_token_id=None):
+        """B-row SUFFIX batch for records that all sit on one scene with a
+        cached prefix: the scene's prefix KV broadcasts across every row
+        (models/generate.py _write_prefix), so one suffix prefill serves B
+        questions at roughly B=1 cost. Returns None when the records span
+        scenes, the prefix is absent/mismatched, or a suffix doesn't fit
+        (caller falls back to the full batched path)."""
+        from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+        from video3d_tpu.models.splice import slice_suffix_plan
+
+        B = len(records)
+        key = records[0].get("video")
+        if not isinstance(key, str) or \
+                not all(r.get("video") == key for r in records):
+            return None
+        ids_list = [self._tokenize_prompt(r) for r in records]
+        imgs = [ids.index(IMAGE_TOKEN_INDEX) if IMAGE_TOKEN_INDEX in ids
+                else -1 for ids in ids_list]
+        if min(imgs) < 0:
+            return None
+        with self._cache_lock:
+            entry = self._prefix_cache.get(key)
+            if entry is not None:
+                self._prefix_cache.move_to_end(key)
+        if entry is None or any(
+                tuple(ids[:img + 1]) != entry.ids_prefix
+                for ids, img in zip(ids_list, imgs)):
+            return None
+
+        mc = self.cfg
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        T = mc.tokens_per_frame
+        V, P = entry.num_frames, entry.prefix_len
+        total = max(len(ids) for ids in ids_list) + V * T
+        L = pick_bucket(total + self.ecfg.max_new_tokens, self.ecfg.buckets)
+        plan = build_splice_plan(
+            ids_list, None, [V] * B, tokens_per_frame=T, max_len=L,
+            grid_side=g, coord_token_id=coord_token_id,
+            truncate_to=mc.tokenizer_model_max_length)
+        suffix_true = int(np.max(plan.seq_len)) - P
+        if np.any(plan.seq_len <= P):
+            return None
+        Ls = next((b for b in self.ecfg.suffix_buckets if suffix_true <= b),
+                  None)
+        if Ls is None:
+            return None
+        suf = slice_suffix_plan(plan, P, Ls)
+        if suf is None:
+            return None
+        has_box = box_inputs is not None and any(
+            b is not None for b in box_inputs)
+        boxes = None
+        if has_box:
+            boxes = np.stack([
+                self._discretize_box(np.asarray(b, np.float32))
+                if b is not None else np.zeros((3,), np.float32)
+                for b in box_inputs]).astype(np.float32)
+        batch = lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(suf.text_ids), kind=jnp.asarray(suf.kind),
+            vision_index=jnp.asarray(suf.vision_index),
+            labels=jnp.asarray(suf.labels),
+            position_ids=jnp.asarray(suf.position_ids),
+            mrope_position_ids=jnp.asarray(suf.mrope_position_ids),
+            seq_len=jnp.asarray(suf.seq_len),
+            coord_mask=jnp.asarray(suf.coord_mask),
+            box_input=jnp.asarray(boxes) if boxes is not None else None)
+        return {"mode": "prefix_batch", "batch": batch, "entry": entry,
+                "bucket": L}
+
+    def answers_from_prefix_batch(self, prep) -> List[str]:
+        """Device half of the scene-grouped suffix batch."""
+        from video3d_tpu.models.generate import (generate_from_state,
+                                                 start_decode_prefix)
+
+        entry = prep["entry"]
+        batch = prep["batch"]
+        B = int(batch.text_ids.shape[0])
+        state = start_decode_prefix(
+            self.params, self.cfg, batch, entry.cache,
+            prefix_len=entry.prefix_len,
+            max_cache_len=prep["bucket"] + self.ecfg.max_new_tokens,
+            cache_dtype=self._cache_dtype())
+        self.prefix_cache_stats[0] += B
+        res = generate_from_state(
+            self.params, self.cfg, state,
+            max_new_tokens=self.ecfg.max_new_tokens,
+            eos_token_id=self.ecfg.eos_token_id,
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+            top_k=self.ecfg.top_k)
+        return [self._decode_text(
+            np.asarray(res.tokens)[b][: int(res.lengths[b])])
+            for b in range(B)]
+
+    def generate_answers_batch_prefix(self, records: Sequence[dict],
+                                      box_inputs: Optional[Sequence] = None,
+                                      coord_token_id=None) -> List[str]:
+        """Batched answers with the scene-prefix fast path: a same-scene
+        chunk with a cached prefix decodes as one B-row suffix batch; a
+        same-scene chunk WITHOUT one answers its first record alone (full
+        prefill, harvesting the prefix) then suffix-batches the rest;
+        anything else falls back to the plain batched path."""
+        if box_inputs is None:
+            box_inputs = [None] * len(records)
+        prep = self.prepare_answers_batch_prefix(records, box_inputs,
+                                                 coord_token_id)
+        if prep is not None:
+            return self.answers_from_prefix_batch(prep)
+        key = records[0].get("video")
+        same_scene = isinstance(key, str) and \
+            all(r.get("video") == key for r in records)
+        if same_scene and len(records) > 1 and self._prefix_cache_on(
+                records[0]):
+            first = self.generate_answer(records[0], box_inputs[0],
+                                         coord_token_id)
+            rest = self.generate_answers_batch_prefix(
+                records[1:], box_inputs[1:], coord_token_id)
+            return [first] + rest
+        batch = self.prepare_answers_batch(records, box_inputs=box_inputs,
+                                           coord_token_id=coord_token_id)
+        return self.answers_from_batch(batch, len(records))
+
     # ------------- discriminative (grounding) -------------
 
     def _ground_tokenize(self, record):
@@ -1115,14 +1241,21 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
 
     if not questions:
         return []
+    prefix_on = questions and engine._prefix_cache_on(questions[0])
+    if prefix_on and batch_size > 1:
+        # group same-scene questions into chunks so the scene-prefix KV
+        # broadcasts across whole batches (output order changes; the jsonl
+        # records are keyed by sample_id, so metrics are unaffected)
+        questions = sorted(questions,
+                           key=lambda q: str(q.get("video")))
 
     def prep(s):
         chunk = list(questions[s:s + batch_size])
         box_inputs = [np.asarray(l["box_input"][:3], np.float32)
                       if l.get("box_input") is not None else None
                       for l in chunk]
-        if batch_size == 1 and engine._prefix_cache_on(chunk[0]):
-            # scene-prefix KV path: the hit does no video IO / tower work,
+        if prefix_on:
+            # scene-prefix KV path: a hit does no video IO / tower work,
             # so the whole request (suffix prefill + decode) runs in the
             # timed section — same timing semantics as _generate below
             prepared = None
@@ -1142,7 +1275,10 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
             if s + batch_size < len(questions):
                 fut = ex.submit(prep, s + batch_size)
             t0 = time.time()
-            if batch_size == 1 and prepared is None:
+            if prepared is None and batch_size > 1:
+                texts = engine.generate_answers_batch_prefix(
+                    chunk, box_inputs, coord_token_id)
+            elif batch_size == 1 and prepared is None:
                 texts = [engine.generate_answer(chunk[0], box_inputs[0],
                                                 coord_token_id)]
             elif batch_size == 1:

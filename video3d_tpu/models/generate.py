@@ -129,9 +129,14 @@ def start_decode(params, cfg: ModelConfig, batch: lv3d.Batch,
 
 def _write_prefix(cache: qwen2.KVCache, prefix: qwen2.KVCache) -> qwen2.KVCache:
     """Copy a (layers, B, P, KV, hd) prefix slice into the head of a fresh
-    cache (prefix-KV reuse). Dtypes must already match (the prefix was
-    sliced from a cache of the same ``cache_dtype``)."""
+    cache (prefix-KV reuse). A B=1 prefix broadcasts across a B>1 cache
+    (scene-grouped batched suffix decode: every row shares the scene
+    prefix). Dtypes must already match (the prefix was sliced from a cache
+    of the same ``cache_dtype``)."""
     def put(big, pre):
+        if pre.shape[1] == 1 and big.shape[1] > 1:
+            pre = jnp.broadcast_to(
+                pre, (pre.shape[0], big.shape[1], *pre.shape[2:]))
         return jax.lax.dynamic_update_slice(big, pre, (0, 0, 0, 0, 0))
 
     k, v = put(cache.k, prefix.k), put(cache.v, prefix.v)
