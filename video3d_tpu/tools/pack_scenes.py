@@ -18,8 +18,15 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 
-def pack_scene(video_processor, video_id: str, out_dir: str) -> str:
-    """Pack all frames of one scene. Returns the pack path."""
+def pack_scene(video_processor, video_id: str, out_dir: str,
+               compress: bool = False) -> str:
+    """Pack all frames of one scene. Returns the pack path.
+
+    Uncompressed by default: zlib decompression dominates packed reads
+    (measured 65 vs 1844 frames/s on one core, scripts/bench/
+    host_pipeline.py) while the size win is small — the depth PNGs remain
+    the compressed archival copy. Pass ``compress=True`` (--compress) when
+    disk is the constraint."""
     meta = video_processor.scene[video_id]
     frame_files = [os.path.join(video_processor.cfg.video_folder, img["img_path"])
                    for img in meta["images"]]
@@ -28,9 +35,10 @@ def pack_scene(video_processor, video_id: str, out_dir: str) -> str:
     names = np.asarray([os.path.basename(f) for f in frame_files])
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{video_id.split('/')[-1]}.npz")
-    np.savez_compressed(path, depths=depths.astype(np.uint16),
-                        intrinsic=intrinsic.astype(np.float32),
-                        poses=poses.astype(np.float32), names=names)
+    save = np.savez_compressed if compress else np.savez
+    save(path, depths=depths.astype(np.uint16),
+         intrinsic=intrinsic.astype(np.float32),
+         poses=poses.astype(np.float32), names=names)
     return path
 
 
@@ -76,6 +84,9 @@ def main(argv=None):
     parser.add_argument("--annotation-dir", default="data/embodiedscan")
     parser.add_argument("--metadata-dir", default="data/metadata")
     parser.add_argument("--out-dir", default="data/metadata/packed")
+    parser.add_argument("--compress", action="store_true",
+                        help="zlib-compress packs (slower reads; see "
+                             "pack_scene docstring)")
     args = parser.parse_args(argv)
 
     cfg = DataConfig(video_folder=args.video_folder,
@@ -83,7 +94,8 @@ def main(argv=None):
                      metadata_dir=args.metadata_dir)
     vp = VideoProcessor(cfg)
     for video_id in vp.scene:
-        print(pack_scene(vp, video_id, args.out_dir))
+        print(pack_scene(vp, video_id, args.out_dir,
+                         compress=args.compress))
 
 
 if __name__ == "__main__":
