@@ -87,7 +87,9 @@ class TestPrefixCache:
         cached_answers = [cached.generate_answer(q) for q in qs]
         assert cached_answers == plain_answers
         # full work only for the first question; hits skip IO AND the tower
-        assert calls["tower"] == 1
+        # (tower counted at trace time only — <= 1 keeps this robust to
+        # jit-cache reuse across test orderings)
+        assert calls["tower"] <= 1
         assert calls["io"] <= 1
         assert cached.prefix_cache_stats == [2, 1]
 
@@ -249,22 +251,24 @@ class TestPrefixCache:
              "where is the lamp"])]
         want = [plain.generate_answer(q) for q in qs]
 
-        calls = {"n": 0}
-        orig = lv3d.encode_video_pooled
+        # count host video IO (eager) — the tower itself runs inside the
+        # prefill jit, whose python body only executes on first trace
+        calls = {"io": 0}
+        orig = VideoProcessor.process_3d_video
 
         def counting(*a, **k):
-            calls["n"] += 1
+            calls["io"] += 1
             return orig(*a, **k)
 
-        monkeypatch.setattr(lv3d, "encode_video_pooled", counting)
+        monkeypatch.setattr(VideoProcessor, "process_3d_video", counting)
         got = cached.generate_answers_batch_prefix(qs)
         assert got == want
-        assert calls["n"] == 1          # tower ran once (the harvest)
+        assert calls["io"] == 1         # video loaded once (the harvest)
         assert cached.prefix_cache_stats == [2, 1]
         # a second chunk on the same scene is one pure suffix batch
         got2 = cached.generate_answers_batch_prefix(qs)
         assert got2 == want
-        assert calls["n"] == 1
+        assert calls["io"] == 1
         assert cached.prefix_cache_stats == [5, 1]
 
     def test_run_generative_batched_prefix(self, scene, tmp_path):
@@ -289,6 +293,46 @@ class TestPrefixCache:
         got = {r["sample_id"]: r["pred_response"]
                for r in map(_json.loads, open(afile))}
         assert got == want
+
+    def test_speculative_prefix_matches_vanilla_greedy(self, scene):
+        """Self-draft speculation + prefix cache: both caches seed from the
+        stored scene prefix (spec_start_prefix) and greedy output stays
+        bit-identical to vanilla greedy decoding without either feature."""
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        spec_pre = _engine(data_cfg, 4, speculative_draft_layers=1,
+                           speculative_k=3)
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there",
+             "where is the lamp"])]
+        want = [plain.generate_answer(q) for q in qs]
+        got = [spec_pre.generate_answer(q) for q in qs]
+        assert got == want
+        assert spec_pre.prefix_cache_stats == [2, 1]
+
+    def test_spec_batcher_prefix_matches(self, scene):
+        """Speculative continuous batching with self-draft + prefix cache:
+        admissions seed both caches from the scene prefix and answers still
+        equal the plain engine's."""
+        from video3d_tpu.serve.batcher import ContinuousBatcher
+
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        eng = _engine(data_cfg, 4, speculative_draft_layers=1,
+                      speculative_k=3)
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there",
+             "where is the lamp"])]
+        want = [plain.generate_answer(q) for q in qs]
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2)
+        try:
+            assert batcher.spec and batcher._self_draft_spec
+            handles = [batcher.submit(q) for q in qs]
+            got = [h.result(eng._decode_text, timeout=300) for h in handles]
+        finally:
+            batcher.shutdown()
+        assert got == want
+        assert eng.prefix_cache_stats[0] >= 2
 
     def test_int8_kv_prefix_runs(self, scene):
         """int8 KV: the prefix is reused quantized (same values decode

@@ -473,18 +473,32 @@ class InferenceEngine:
 
     # ------------- scene-prefix KV cache -------------
 
-    def _prefix_cache_on(self, record) -> bool:
-        """Whether this request can use the scene-prefix KV path: engine
-        greedy/sampled decode, single device (mesh inputs need resharding),
-        non-llava3d (its vision block is question-seeded), no beam (beam
-        prefill reshapes the cache) and no speculation (separate cache
-        machinery) — those paths fall back to a full prefill."""
+    def _prefix_cache_base(self, record) -> bool:
+        """Common scene-prefix preconditions: single device (mesh inputs
+        need resharding), non-llava3d (its vision block is
+        question-seeded), no beam (beam prefill reshapes the cache)."""
         return (self.ecfg.prefix_cache_scenes > 0 and self.mesh is None
                 and not self.cfg.world_3d.llava3d
                 and self.ecfg.num_beams == 1
-                and self.draft_params is None
-                and self.ecfg.speculative_draft_layers == 0
                 and isinstance(record.get("video"), str))
+
+    def _prefix_cache_on(self, record) -> bool:
+        """Scene-prefix KV for the PLAIN decode path (no speculation —
+        the speculative path has its own prefix machinery,
+        :meth:`start_spec_request`)."""
+        return (self._prefix_cache_base(record)
+                and self.draft_params is None
+                and self.ecfg.speculative_draft_layers == 0)
+
+    def _prefix_cache_spec_on(self, record) -> bool:
+        """Scene-prefix KV for SELF-draft speculation: the draft shares the
+        target's first k layers, so both caches seed from the same stored
+        prefix (models/speculative.py spec_prefill_prefix). Standalone
+        draft weights (set_draft_model) cannot reuse the target's prefix."""
+        return (self._prefix_cache_base(record)
+                and self.draft_params is None
+                and self.ecfg.speculative_draft_layers > 0
+                and not self._spec_disabled)
 
     def _build_suffix_batch(self, ids, entry: _PrefixEntry, box_input,
                             coord_token_id):
@@ -581,8 +595,32 @@ class InferenceEngine:
             record, box_input, coord_token_id)
         return {"mode": "full", "batch": batch, "vf": vision_features,
                 "ids": ids, "img": img, "key": key,
+                "box_input": box_input, "coord_token_id": coord_token_id,
                 "bucket": int(batch.text_ids.shape[1]),
                 "total": int(batch.seq_len[0])}
+
+    def _refresh_prep(self, prep):
+        """Upgrade a full-mode prep to prefix mode when a matching scene
+        prefix appeared AFTER prepare_request ran — a burst of requests on
+        one scene all prepares as misses before the first admission
+        harvests the prefix; re-checking at prefill time lets every
+        admission after the first reuse it."""
+        if prep["mode"] != "full" or prep["img"] < 0 \
+                or not isinstance(prep["key"], str):
+            return prep
+        with self._cache_lock:
+            entry = self._prefix_cache.get(prep["key"])
+        if entry is None or \
+                tuple(prep["ids"][:prep["img"] + 1]) != entry.ids_prefix:
+            return prep
+        built = self._build_suffix_batch(prep["ids"], entry,
+                                         prep.get("box_input"),
+                                         prep.get("coord_token_id"))
+        if built is None:
+            return prep
+        suffix_batch, L = built
+        return {"mode": "prefix", "batch": suffix_batch, "entry": entry,
+                "bucket": L, "total": int(suffix_batch.seq_len[0])}
 
     def start_request(self, prep, max_cache_len: Optional[int] = None):
         """Prefill a :meth:`prepare_request` result into a DecodeState.
@@ -595,6 +633,7 @@ class InferenceEngine:
                                                  start_decode_prefix)
 
         ecfg = self.ecfg
+        prep = self._refresh_prep(prep)
         mcl = (max_cache_len if max_cache_len is not None
                else prep["bucket"] + ecfg.max_new_tokens)
         if prep["mode"] == "prefix":
@@ -621,6 +660,99 @@ class InferenceEngine:
         return self.start_request(
             self.prepare_request(record, box_input, coord_token_id))
 
+    def _self_draft(self):
+        from video3d_tpu.models import speculative as spec
+
+        k = self.ecfg.speculative_draft_layers
+        return (spec.self_draft_params(
+                    self.params, k,
+                    draft_vocab=self.ecfg.speculative_draft_vocab),
+                spec.self_draft_config(self.cfg.llm, k))
+
+    def start_spec_request(self, prep, draft_params, draft_cfg,
+                           max_cache_len: Optional[int] = None,
+                           draft_max_cache_len: Optional[int] = None):
+        """Speculative analogue of :meth:`start_request`: prefill both
+        models from a :meth:`prepare_request` result into a one-slot
+        SpecSlots (+ first token) — suffix-only against the cached prefix
+        on a hit (self-drafts only), full spec_start with prefix harvest
+        on a miss."""
+        from video3d_tpu.models import speculative as spec
+
+        ecfg = self.ecfg
+        prep = self._refresh_prep(prep)
+        mcl = (max_cache_len if max_cache_len is not None
+               else prep["bucket"] + ecfg.max_new_tokens
+               + ecfg.speculative_k + 2)
+        if prep["mode"] == "prefix":
+            entry = prep["entry"]
+            self.prefix_cache_stats[0] += 1
+            return spec.spec_start_prefix(
+                self.params, draft_params, self.cfg, draft_cfg,
+                prep["batch"], entry.cache, prefix_len=entry.prefix_len,
+                max_cache_len=mcl, cache_dtype=self._cache_dtype(),
+                temperature=ecfg.temperature, top_p=ecfg.top_p,
+                top_k=ecfg.top_k, draft_max_cache_len=draft_max_cache_len)
+        sub, first = spec.spec_start(
+            self.params, draft_params, self.cfg, draft_cfg, prep["batch"],
+            max_cache_len=mcl, cache_dtype=self._cache_dtype(),
+            temperature=ecfg.temperature, top_p=ecfg.top_p,
+            top_k=ecfg.top_k, vision_features=prep["vf"],
+            draft_max_cache_len=draft_max_cache_len)
+        if (self.ecfg.prefix_cache_scenes > 0 and prep["img"] >= 0
+                and isinstance(prep["key"], str)):
+            self.prefix_cache_stats[1] += 1
+            self._store_prefix(prep["key"], prep["ids"], prep["img"],
+                               prep["batch"], sub.t_cache)
+        return sub, first
+
+    def _generate_answer_spec_prefix(self, record, box_input=None,
+                                     coord_token_id=None) -> str:
+        """One-shot speculative generation through the scene-prefix cache:
+        spec_start(_prefix) + chunked spec rounds (the same kernels the
+        batcher uses). Greedy output is bit-identical to vanilla greedy,
+        exactly like the full-prefill speculative path."""
+        from video3d_tpu.models import speculative as spec
+
+        ecfg = self.ecfg
+        draft_params, draft_cfg = self._self_draft()
+        prep = self.prepare_request(record, box_input, coord_token_id)
+        sub, first = self.start_spec_request(prep, draft_params, draft_cfg)
+        tok0 = int(first[0])
+        if tok0 == ecfg.eos_token_id or ecfg.max_new_tokens == 0:
+            return self._decode_text([])
+        emitted = [tok0]
+        K = ecfg.speculative_k
+        done = False
+        while not done and len(emitted) < ecfg.max_new_tokens:
+            sub, emit, keep = spec.spec_decode_chunk(
+                self.params, draft_params, self.cfg, draft_cfg, sub,
+                iters=4, num_draft_tokens=K,
+                eos_token_id=ecfg.eos_token_id,
+                temperature=ecfg.temperature, top_p=ecfg.top_p,
+                top_k=ecfg.top_k)
+            emit0 = np.asarray(emit)[0]
+            keep0 = np.asarray(keep)[0]
+            for j in range(emit0.shape[0]):
+                kept = emit0[j][keep0[j]]
+                if not len(kept):        # row finished in an earlier round
+                    break
+                self.spec_stats[0] += max(int(keep0[j].sum()) - 1, 0)
+                self.spec_stats[1] += K
+                for t in kept:
+                    if int(t) == ecfg.eos_token_id:
+                        done = True
+                        break
+                    emitted.append(int(t))
+                    if len(emitted) >= ecfg.max_new_tokens:
+                        done = True
+                        break
+                if done:
+                    break
+            if bool(np.asarray(sub.done)[0]):
+                done = True
+        return self._decode_text(emitted)
+
     def _decode_text(self, toks) -> str:
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         if self.ecfg.stop_str and text.endswith(self.ecfg.stop_str):
@@ -629,6 +761,9 @@ class InferenceEngine:
 
     def generate_answer(self, record, box_input=None,
                         coord_token_id=None) -> str:
+        if self._prefix_cache_spec_on(record):
+            return self._generate_answer_spec_prefix(record, box_input,
+                                                     coord_token_id)
         if self._prefix_cache_on(record):
             from video3d_tpu.models.generate import generate_from_state
 
@@ -1241,8 +1376,11 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
 
     if not questions:
         return []
-    prefix_on = questions and engine._prefix_cache_on(questions[0])
-    if prefix_on and batch_size > 1:
+    plain_prefix = bool(questions) and engine._prefix_cache_on(questions[0])
+    spec_prefix = (bool(questions) and batch_size == 1
+                   and engine._prefix_cache_spec_on(questions[0]))
+    prefix_on = plain_prefix or spec_prefix
+    if plain_prefix and batch_size > 1:
         # group same-scene questions into chunks so the scene-prefix KV
         # broadcasts across whole batches (output order changes; the jsonl
         # records are keyed by sample_id, so metrics are unaffected)

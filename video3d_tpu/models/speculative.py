@@ -158,6 +158,78 @@ def spec_prefill(params, draft_params, cfg: ModelConfig,
     return next_logits, t_cache, d_cache
 
 
+def spec_prefill_prefix(params, draft_params, cfg: ModelConfig,
+                        draft_cfg: LLMConfig, batch: lv3d.Batch,
+                        prefix: qwen2.KVCache, prefix_len: int,
+                        max_cache_len: int, cache_dtype=jnp.bfloat16,
+                        draft_max_cache_len: Optional[int] = None):
+    """:func:`spec_prefill` against a cached scene-prefix KV (SELF-drafts
+    only): the draft shares the target's first k layers, so the target
+    prefix's leading k layer-slices ARE the draft's prefix — both caches
+    seed from the same stored entry and only the question suffix runs
+    through either model. ``batch`` is the suffix slice
+    (models/splice.py slice_suffix_plan); no vision work happens here.
+    """
+    from video3d_tpu.models.generate import _write_prefix
+
+    B, Ls = batch.text_ids.shape
+    D = params["llm"]["embed_tokens"].shape[-1]
+    dummy_vis = jnp.zeros((B, 1, D), params["llm"]["embed_tokens"].dtype)
+    embeds = lv3d.assemble_embeds(params, cfg, dummy_vis, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+    pos3 = lv3d._position_ids_3d(batch, cfg)
+    cache_positions = prefix_len + jnp.broadcast_to(
+        jnp.arange(Ls)[None], (B, Ls))
+
+    def _suffix_prefill(p, c: LLMConfig, pre: qwen2.KVCache, mcl: int):
+        cache = qwen2.KVCache.zeros(c, B, mcl, dtype=cache_dtype)
+        cache = _write_prefix(cache, pre)
+        hidden, cache = qwen2.qwen2_forward(
+            p, c, embeds, pos3, kv_cache=cache,
+            cache_positions=cache_positions, kv_len=batch.seq_len)
+        last = jnp.take_along_axis(
+            hidden, (batch.seq_len - 1 - prefix_len)[:, None, None], axis=1)
+        return qwen2.lm_head(p, last)[:, 0], cache
+
+    k = draft_cfg.num_hidden_layers
+    assert k <= cfg.llm.num_hidden_layers, "prefix reuse needs a self-draft"
+    d_prefix = qwen2.KVCache(
+        prefix.k[:k], prefix.v[:k],
+        None if prefix.k_scale is None else prefix.k_scale[:k],
+        None if prefix.v_scale is None else prefix.v_scale[:k])
+    next_logits, t_cache = _suffix_prefill(params["llm"], cfg.llm, prefix,
+                                           max_cache_len)
+    _, d_cache = _suffix_prefill(draft_params, draft_cfg, d_prefix,
+                                 draft_max_cache_len or max_cache_len)
+    return next_logits, t_cache, d_cache
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "prefix_len", "max_cache_len", "cache_dtype",
+    "temperature", "top_p", "top_k", "draft_max_cache_len"))
+def spec_start_prefix(params, draft_params, cfg: ModelConfig,
+                      draft_cfg: LLMConfig, batch: lv3d.Batch,
+                      prefix: qwen2.KVCache, prefix_len: int,
+                      max_cache_len: int, cache_dtype=jnp.bfloat16,
+                      temperature: float = 0.0, top_p: float = 1.0,
+                      top_k: int = 0,
+                      rng_key: Optional[jax.Array] = None,
+                      draft_max_cache_len: Optional[int] = None):
+    """:func:`spec_start` via the scene-prefix KV (suffix-only prefill of
+    BOTH models). Returns (SpecSlots with one slot, first_token (B,))."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    next_logits, t_cache, d_cache = spec_prefill_prefix(
+        params, draft_params, cfg, draft_cfg, batch, prefix, prefix_len,
+        max_cache_len, cache_dtype, draft_max_cache_len=draft_max_cache_len)
+    cur0 = sample_token(next_logits, rng_key, temperature, top_p, top_k)
+    return SpecSlots(cur=cur0, pos=batch.seq_len,
+                     done=cur0 == -1,
+                     t_cache=t_cache, d_cache=d_cache,
+                     n_iter=jnp.zeros((), jnp.int32)), cur0
+
+
 def spec_iteration(params, draft_params, cfg: ModelConfig,
                    draft_cfg: LLMConfig, cur, pos, t_cache, d_cache,
                    base_key, K: int, temperature: float, top_p: float,

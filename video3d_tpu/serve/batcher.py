@@ -131,6 +131,7 @@ class ContinuousBatcher:
             # sequential engine path
             self.draft_params = engine.draft_params
             self.draft_cfg = engine.draft_cfg
+        self._self_draft_spec = False
         if self.draft_params is None and ecfg.speculative_draft_layers > 0:
             from video3d_tpu.models import speculative as spec
 
@@ -138,6 +139,9 @@ class ContinuousBatcher:
             self.draft_params = spec.self_draft_params(
                 engine.params, k, draft_vocab=ecfg.speculative_draft_vocab)
             self.draft_cfg = spec.self_draft_config(engine.cfg.llm, k)
+            # the draft IS the target's leading layers -> its prefix KV can
+            # seed from the same scene-prefix entry (spec_start_prefix)
+            self._self_draft_spec = True
         self.spec = self.draft_params is not None
         if paged:
             from video3d_tpu.models.paged_kv import PageAllocator
@@ -221,12 +225,17 @@ class ContinuousBatcher:
 
         def prepare():
             try:
-                if not self.spec and \
-                        self.engine._prefix_cache_on(req.record):
+                use_prefix = (
+                    self._self_draft_spec
+                    and self.engine._prefix_cache_spec_on(req.record)
+                    if self.spec
+                    else self.engine._prefix_cache_on(req.record))
+                if use_prefix:
                     # scene-prefix KV path (dict result): a hit skips video
                     # IO/geometry/tower here and ~95% of the admission
-                    # prefill in _admit (engine.start_request). Speculative
-                    # mode keeps its own prefill machinery (spec_start).
+                    # prefill in _admit (engine.start_request /
+                    # start_spec_request — self-drafts seed from the same
+                    # prefix; standalone drafts keep the full spec_start)
                     prepared = self.engine.prepare_request(
                         req.record, req.box_input, req.coord_token_id)
                 else:
@@ -347,15 +356,23 @@ class ContinuousBatcher:
                         from video3d_tpu.models.speculative import (
                             insert_paged_spec_slot, spec_start)
 
-                        sub, first = spec_start(
-                            eng.params, self.draft_params, eng.cfg,
-                            self.draft_cfg, batch,
-                            max_cache_len=prompt_pages * page,
-                            cache_dtype=eng._cache_dtype(),
-                            temperature=eng.ecfg.temperature,
-                            top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k,
-                            vision_features=vision_features,
-                            draft_max_cache_len=self.state.d_cache.k.shape[2])
+                        if isinstance(prepared, dict):
+                            sub, first = eng.start_spec_request(
+                                prepared, self.draft_params, self.draft_cfg,
+                                max_cache_len=prompt_pages * page,
+                                draft_max_cache_len=self.state.d_cache
+                                .k.shape[2])
+                        else:
+                            sub, first = spec_start(
+                                eng.params, self.draft_params, eng.cfg,
+                                self.draft_cfg, batch,
+                                max_cache_len=prompt_pages * page,
+                                cache_dtype=eng._cache_dtype(),
+                                temperature=eng.ecfg.temperature,
+                                top_p=eng.ecfg.top_p, top_k=eng.ecfg.top_k,
+                                vision_features=vision_features,
+                                draft_max_cache_len=self.state.d_cache
+                                .k.shape[2])
                         self.state = insert_paged_spec_slot(
                             self.state, jnp.asarray(slot, jnp.int32), sub,
                             row, n_pages=prompt_pages)
@@ -393,12 +410,20 @@ class ContinuousBatcher:
                 from video3d_tpu.models.speculative import (insert_spec_slot,
                                                             spec_start)
 
-                sub, first = spec_start(
-                    eng.params, self.draft_params, eng.cfg, self.draft_cfg,
-                    batch, max_cache_len=self.max_cache_len,
-                    cache_dtype=eng._cache_dtype(),
-                    temperature=eng.ecfg.temperature, top_p=eng.ecfg.top_p,
-                    top_k=eng.ecfg.top_k, vision_features=vision_features)
+                if isinstance(prepared, dict):
+                    sub, first = eng.start_spec_request(
+                        prepared, self.draft_params, self.draft_cfg,
+                        max_cache_len=self.max_cache_len)
+                else:
+                    sub, first = spec_start(
+                        eng.params, self.draft_params, eng.cfg,
+                        self.draft_cfg, batch,
+                        max_cache_len=self.max_cache_len,
+                        cache_dtype=eng._cache_dtype(),
+                        temperature=eng.ecfg.temperature,
+                        top_p=eng.ecfg.top_p,
+                        top_k=eng.ecfg.top_k,
+                        vision_features=vision_features)
                 tok0 = int(first[0])
                 self.state = insert_spec_slot(
                     self.state, jnp.asarray(slot, jnp.int32), sub)
