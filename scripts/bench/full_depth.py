@@ -195,6 +195,81 @@ def run_prefill(w8a8: bool):
                       "chain_ms": round(1e3 * dt, 1)}))
 
 
+def run_prefix():
+    """Per-question cost of the scene-prefix KV path at FULL depth (28L,
+    int8 weights + int8 KV — the single-chip production config): cache
+    alloc + prefix copy + 64-token suffix prefill + last-token head. The
+    prefix VALUES don't affect timing, so the prefix is synthetic (zeros);
+    every loop input is still perturbed by the index (suffix ids; prefix
+    scales) so no stage hoists. Compare against run_prefill's full-chain
+    184/120 ms (int8/w8a8)."""
+    import bench as north
+    from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+    from video3d_tpu.models import generate as gen
+    from video3d_tpu.models import llava_video3d as lv3d
+    from video3d_tpu.models import qwen2
+    from video3d_tpu.models.splice import (build_splice_plan,
+                                           slice_suffix_plan, vision_end)
+
+    cfg = _full_cfg()
+    params = {"llm": init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))}
+    T = cfg.tokens_per_frame
+    g = -(-cfg.vision.num_patches_per_side // cfg.spatial_pool_stride)
+
+    ids = [10] * 15 + [IMAGE_TOKEN_INDEX] + [20] * 30
+    plan = build_splice_plan([ids], None, [north.V_FRAMES],
+                             tokens_per_frame=T,
+                             max_len=north.PREFILL_LEN, grid_side=g)
+    P = vision_end(plan)
+    SUF = 64
+    suf = slice_suffix_plan(plan, P, SUF)
+    batch = lv3d.Batch(
+        images=None, patch_coords=None,
+        text_ids=jnp.asarray(suf.text_ids), kind=jnp.asarray(suf.kind),
+        vision_index=jnp.asarray(suf.vision_index),
+        labels=jnp.asarray(suf.labels),
+        position_ids=jnp.asarray(suf.position_ids),
+        mrope_position_ids=jnp.asarray(suf.mrope_position_ids),
+        seq_len=jnp.asarray(suf.seq_len))
+    mcl = north.PREFILL_LEN + 512
+    KV, hd = cfg.llm.num_key_value_heads, cfg.llm.head_dim
+    nl = cfg.llm.num_hidden_layers
+    prefix = qwen2.KVCache(
+        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32),
+        0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32))
+
+    iters = 20
+
+    @jax.jit
+    def repeat(params, pk, pv, ks, vs, suffix_ids):
+        def body(i, acc):
+            eps = i.astype(jnp.float32) * 1e-8
+            ids_i = jnp.where(batch.kind == 1,
+                              (suffix_ids + i) % 997 + 20, suffix_ids)
+            b = batch._replace(text_ids=ids_i)
+            st = gen.start_decode_prefix(
+                params, cfg, b, qwen2.KVCache(pk, pv, ks + eps, vs + eps),
+                prefix_len=P, max_cache_len=mcl, cache_dtype=jnp.int8)
+            return acc + jnp.sum(st.next_logits.astype(jnp.float32)) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    args = (params, prefix.k, prefix.v, prefix.k_scale, prefix.v_scale,
+            batch.text_ids)
+    print("compiling 28L suffix prefill...", flush=True)
+    for _ in range(2):
+        total = float(repeat(*args))
+    t0 = time.perf_counter()
+    total = float(repeat(*args))
+    dt = (time.perf_counter() - t0) / iters
+    assert total == total
+    print(json.dumps({"mode": "prefix28L_int8",
+                      "question_ms": round(1e3 * dt, 2),
+                      "frames_per_s": round(north.V_FRAMES / dt, 1),
+                      "prefix_len": P, "suffix_bucket": SUF}))
+
+
 def run_decode(bf16: bool = False):
     """bf16 mode = bf16 LLM + int8-weight vision tower + int8 KV.
 
@@ -436,7 +511,7 @@ def run_memory():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["prefill", "decode", "spec",
+    ap.add_argument("mode", choices=["prefill", "prefix", "decode", "spec",
                                      "spec-batch", "memory"])
     ap.add_argument("--w8a8", action="store_true")
     ap.add_argument("--bf16", action="store_true")
@@ -447,6 +522,8 @@ if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
     if a.mode == "prefill":
         run_prefill(a.w8a8)
+    elif a.mode == "prefix":
+        run_prefix()
     elif a.mode == "decode":
         run_decode(bf16=a.bf16)
     elif a.mode == "spec":
