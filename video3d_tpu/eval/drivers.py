@@ -260,13 +260,7 @@ class InferenceEngine:
             # acceptance rate low, spuriously tripping the min-acceptance guard
             self.spec_stats[0] += int(res.accepted_drafts)
             self.spec_stats[1] += int(res.offered_drafts)
-            min_acc = self.ecfg.speculative_min_acceptance
-            if min_acc > 0 and self.spec_stats[1] >= 5 * self.ecfg.speculative_k:
-                rate = self.spec_stats[0] / max(self.spec_stats[1], 1)
-                if rate < min_acc:
-                    print(f"[engine] speculative acceptance {rate:.2f} < "
-                          f"{min_acc}; falling back to vanilla decoding")
-                    self._spec_disabled = True
+            self._check_spec_acceptance()
             from video3d_tpu.models.generate import GenerateResult
 
             return GenerateResult(tokens=res.tokens, lengths=res.lengths)
@@ -434,7 +428,12 @@ class InferenceEngine:
         (model_scanqa.py one full encode per sample). A cache hit skips
         video IO + geometry + the whole tower; answers are identical
         (tests/test_scene_cache.py)."""
-        ids = self._tokenize_prompt(record)
+        return self._prepare_generation_ids(
+            self._tokenize_prompt(record), record, box_input,
+            coord_token_id)
+
+    def _prepare_generation_ids(self, ids, record, box_input=None,
+                                coord_token_id=None):
         cache_on = (self.ecfg.scene_cache_scenes > 0
                     and not self.cfg.world_3d.llava3d)
         if cache_on:
@@ -500,13 +499,41 @@ class InferenceEngine:
                 and self.ecfg.speculative_draft_layers > 0
                 and not self._spec_disabled)
 
+    @staticmethod
+    def _batch_from_plan(plan, box_input=None) -> "lv3d.Batch":
+        """SplicePlan (full or suffix slice) -> image-free lv3d.Batch.
+        ``box_input``: already-discretized (B, 3) float32 array or None."""
+        return lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask),
+            box_input=(jnp.asarray(box_input)
+                       if box_input is not None else None))
+
+    def _suffix_slice(self, plan, prefix_len: int):
+        """Suffix slice of a full plan at the engine's suffix buckets, or
+        None when it doesn't fit / truncation cut into the prefix."""
+        from video3d_tpu.models.splice import slice_suffix_plan
+
+        suffix_true = int(np.max(plan.seq_len)) - prefix_len
+        if np.any(plan.seq_len <= prefix_len):
+            return None
+        Ls = next((b for b in self.ecfg.suffix_buckets if suffix_true <= b),
+                  None)
+        if Ls is None:
+            return None
+        return slice_suffix_plan(plan, prefix_len, Ls)
+
     def _build_suffix_batch(self, ids, entry: _PrefixEntry, box_input,
                             coord_token_id):
         """Full splice plan -> suffix-only Batch for start_decode_prefix,
         or None when the suffix doesn't fit the engine's suffix buckets /
         truncation cut into the prefix (caller falls back to full prefill)."""
-        from video3d_tpu.models.splice import slice_suffix_plan
-
         mc = self.cfg
         g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
         T = mc.tokens_per_frame
@@ -517,28 +544,12 @@ class InferenceEngine:
             [ids], None, [V], tokens_per_frame=T, max_len=L, grid_side=g,
             coord_token_id=coord_token_id,
             truncate_to=mc.tokenizer_model_max_length)
-        suffix_true = int(plan.seq_len[0]) - entry.prefix_len
-        if suffix_true <= 0:
-            return None
-        Ls = next((b for b in self.ecfg.suffix_buckets if suffix_true <= b),
-                  None)
-        if Ls is None:
-            return None
-        suf = slice_suffix_plan(plan, entry.prefix_len, Ls)
+        suf = self._suffix_slice(plan, entry.prefix_len)
         if suf is None:
             return None
         box = self._discretize_box(box_input)
-        batch = lv3d.Batch(
-            images=None, patch_coords=None,
-            text_ids=jnp.asarray(suf.text_ids), kind=jnp.asarray(suf.kind),
-            vision_index=jnp.asarray(suf.vision_index),
-            labels=jnp.asarray(suf.labels),
-            position_ids=jnp.asarray(suf.position_ids),
-            mrope_position_ids=jnp.asarray(suf.mrope_position_ids),
-            seq_len=jnp.asarray(suf.seq_len),
-            coord_mask=jnp.asarray(suf.coord_mask),
-            box_input=(jnp.asarray(box[None].astype(np.float32))
-                       if box is not None else None))
+        batch = self._batch_from_plan(
+            suf, box[None].astype(np.float32) if box is not None else None)
         return batch, L
 
     def _store_prefix(self, key: str, ids, img: int, batch, cache) -> None:
@@ -546,13 +557,12 @@ class InferenceEngine:
         LRU-insert it. Must run BEFORE the cache is donated to a decode
         call (generate_from_state/decode_chunk donate their state)."""
         from video3d_tpu.models import qwen2
-        from video3d_tpu.models.splice import KIND_VISION
+        from video3d_tpu.models.splice import KIND_VISION, vision_end_from_kind
 
         kind0 = np.asarray(batch.kind[0])
-        vis = np.nonzero(kind0 == KIND_VISION)[0]
-        if len(vis) == 0:
+        P = vision_end_from_kind(kind0)
+        if P == 0:
             return
-        P = int(vis[-1]) + 1
         T = self.cfg.tokens_per_frame
         V = int((kind0 == KIND_VISION).sum()) // T
         if P >= cache.k.shape[2]:
@@ -591,8 +601,8 @@ class InferenceEngine:
                     return {"mode": "prefix", "batch": suffix_batch,
                             "entry": entry, "bucket": L,
                             "total": int(suffix_batch.seq_len[0])}
-        batch, vision_features = self._prepare_generation(
-            record, box_input, coord_token_id)
+        batch, vision_features = self._prepare_generation_ids(
+            ids, record, box_input, coord_token_id)
         return {"mode": "full", "batch": batch, "vf": vision_features,
                 "ids": ids, "img": img, "key": key,
                 "box_input": box_input, "coord_token_id": coord_token_id,
@@ -661,13 +671,35 @@ class InferenceEngine:
             self.prepare_request(record, box_input, coord_token_id))
 
     def _self_draft(self):
+        """Cached self-draft (params share target storage, but the
+        draft_vocab head slice is an eager device copy — rebuild only when
+        the knobs change, like ContinuousBatcher.__init__)."""
         from video3d_tpu.models import speculative as spec
 
         k = self.ecfg.speculative_draft_layers
-        return (spec.self_draft_params(
+        key = (k, self.ecfg.speculative_draft_vocab)
+        if getattr(self, "_self_draft_key", None) != key:
+            self._self_draft_cached = (
+                spec.self_draft_params(
                     self.params, k,
                     draft_vocab=self.ecfg.speculative_draft_vocab),
                 spec.self_draft_config(self.cfg.llm, k))
+            self._self_draft_key = key
+        return self._self_draft_cached
+
+    def _check_spec_acceptance(self):
+        """speculative_min_acceptance guard shared by _generate_impl and
+        the prefix-path speculative loop: demote to vanilla decoding on
+        sustained low measured acceptance (a bad draft makes speculation
+        slower, never wrong)."""
+        min_acc = self.ecfg.speculative_min_acceptance
+        if min_acc > 0 and not self._spec_disabled \
+                and self.spec_stats[1] >= 5 * self.ecfg.speculative_k:
+            rate = self.spec_stats[0] / max(self.spec_stats[1], 1)
+            if rate < min_acc:
+                print(f"[engine] speculative acceptance {rate:.2f} < "
+                      f"{min_acc}; falling back to vanilla decoding")
+                self._spec_disabled = True
 
     def start_spec_request(self, prep, draft_params, draft_cfg,
                            max_cache_len: Optional[int] = None,
@@ -706,8 +738,23 @@ class InferenceEngine:
                                prep["batch"], sub.t_cache)
         return sub, first
 
+    def _answer_from_prep(self, prep) -> str:
+        """Plain (non-speculative) decode of a prepare_request result —
+        the timed device half when the host half ran on a prep thread."""
+        from video3d_tpu.models.generate import generate_from_state
+
+        state = self.start_request(prep)
+        res = generate_from_state(
+            self.params, self.cfg, state,
+            max_new_tokens=self.ecfg.max_new_tokens,
+            eos_token_id=self.ecfg.eos_token_id,
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+            top_k=self.ecfg.top_k)
+        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        return self._decode_text(toks)
+
     def _generate_answer_spec_prefix(self, record, box_input=None,
-                                     coord_token_id=None) -> str:
+                                     coord_token_id=None, prep=None) -> str:
         """One-shot speculative generation through the scene-prefix cache:
         spec_start(_prefix) + chunked spec rounds (the same kernels the
         batcher uses). Greedy output is bit-identical to vanilla greedy,
@@ -716,7 +763,8 @@ class InferenceEngine:
 
         ecfg = self.ecfg
         draft_params, draft_cfg = self._self_draft()
-        prep = self.prepare_request(record, box_input, coord_token_id)
+        if prep is None:
+            prep = self.prepare_request(record, box_input, coord_token_id)
         sub, first = self.start_spec_request(prep, draft_params, draft_cfg)
         tok0 = int(first[0])
         if tok0 == ecfg.eos_token_id or ecfg.max_new_tokens == 0:
@@ -751,6 +799,7 @@ class InferenceEngine:
                     break
             if bool(np.asarray(sub.done)[0]):
                 done = True
+        self._check_spec_acceptance()
         return self._decode_text(emitted)
 
     def _decode_text(self, toks) -> str:
@@ -765,17 +814,8 @@ class InferenceEngine:
             return self._generate_answer_spec_prefix(record, box_input,
                                                      coord_token_id)
         if self._prefix_cache_on(record):
-            from video3d_tpu.models.generate import generate_from_state
-
-            state = self._start_state(record, box_input, coord_token_id)
-            res = generate_from_state(
-                self.params, self.cfg, state,
-                max_new_tokens=self.ecfg.max_new_tokens,
-                eos_token_id=self.ecfg.eos_token_id,
-                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
-                top_k=self.ecfg.top_k)
-            toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
-            return self._decode_text(toks)
+            return self._answer_from_prep(
+                self.prepare_request(record, box_input, coord_token_id))
         batch, vision_features = self._prepare_generation(
             record, box_input, coord_token_id)
         res = self._generate(batch, vision_features=vision_features)
@@ -1018,7 +1058,6 @@ class InferenceEngine:
         scenes, the prefix is absent/mismatched, or a suffix doesn't fit
         (caller falls back to the full batched path)."""
         from video3d_tpu.constants import IMAGE_TOKEN_INDEX
-        from video3d_tpu.models.splice import slice_suffix_plan
 
         B = len(records)
         key = records[0].get("video")
@@ -1049,14 +1088,7 @@ class InferenceEngine:
             ids_list, None, [V] * B, tokens_per_frame=T, max_len=L,
             grid_side=g, coord_token_id=coord_token_id,
             truncate_to=mc.tokenizer_model_max_length)
-        suffix_true = int(np.max(plan.seq_len)) - P
-        if np.any(plan.seq_len <= P):
-            return None
-        Ls = next((b for b in self.ecfg.suffix_buckets if suffix_true <= b),
-                  None)
-        if Ls is None:
-            return None
-        suf = slice_suffix_plan(plan, P, Ls)
+        suf = self._suffix_slice(plan, P)
         if suf is None:
             return None
         has_box = box_inputs is not None and any(
@@ -1067,16 +1099,7 @@ class InferenceEngine:
                 self._discretize_box(np.asarray(b, np.float32))
                 if b is not None else np.zeros((3,), np.float32)
                 for b in box_inputs]).astype(np.float32)
-        batch = lv3d.Batch(
-            images=None, patch_coords=None,
-            text_ids=jnp.asarray(suf.text_ids), kind=jnp.asarray(suf.kind),
-            vision_index=jnp.asarray(suf.vision_index),
-            labels=jnp.asarray(suf.labels),
-            position_ids=jnp.asarray(suf.position_ids),
-            mrope_position_ids=jnp.asarray(suf.mrope_position_ids),
-            seq_len=jnp.asarray(suf.seq_len),
-            coord_mask=jnp.asarray(suf.coord_mask),
-            box_input=jnp.asarray(boxes) if boxes is not None else None)
+        batch = self._batch_from_plan(suf, boxes)
         return {"mode": "prefix_batch", "batch": batch, "entry": entry,
                 "bucket": L}
 
@@ -1121,8 +1144,15 @@ class InferenceEngine:
         key = records[0].get("video")
         same_scene = isinstance(key, str) and \
             all(r.get("video") == key for r in records)
-        if same_scene and len(records) > 1 and self._prefix_cache_on(
-                records[0]):
+        with self._cache_lock:
+            have_entry = key in self._prefix_cache
+        # harvest-then-suffix only when the scene has NO prefix yet; if an
+        # entry exists but was unusable (e.g. the suffix exceeds every
+        # suffix bucket), per-record recursion would degrade the chunk to B
+        # sequential full prefills — the plain B-row batched prefill is the
+        # right fallback there
+        if same_scene and len(records) > 1 and not have_entry \
+                and self._prefix_cache_on(records[0]):
             first = self.generate_answer(records[0], box_inputs[0],
                                          coord_token_id)
             rest = self.generate_answers_batch_prefix(
@@ -1141,11 +1171,12 @@ class InferenceEngine:
                               has_image=True)
         return tok["input_ids"][0].tolist(), tok["labels"][0].tolist()
 
-    def ground(self, record) -> Tuple[np.ndarray, np.ndarray]:
+    def ground(self, record,
+               prepared_video=None) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores (N_valid+1,), objects (N_valid, 6))."""
         assert self.ecfg.ground_token_id is not None
         if self._prefix_cache_on(record):
-            return self._ground_prefix(record)
+            return self._ground_prefix(record, prepared_video)
         ids, labels = self._ground_tokenize(record)
         vd, V, images, coords_full, patch, _ = self._video_arrays(
             record["video"], need_full_coords=True)
@@ -1170,16 +1201,18 @@ class InferenceEngine:
         # compact: real objects then zero-target (reference scores layout)
         return np.concatenate([scores[:n], scores[-1:]]), objects[:n]
 
-    def _ground_prefix(self, record) -> Tuple[np.ndarray, np.ndarray]:
+    def _ground_prefix(self, record,
+                       prepared_video=None) -> Tuple[np.ndarray, np.ndarray]:
         """:meth:`ground` through the scene-prefix KV cache: the prefix KV,
         the object proposals AND their masked-mean features are all
         question-independent, so a hit prefills only the query suffix
         (which contains the <ground> token) and scores the cached object
         features — no video IO, full-res coords, masks, tower, or full
-        prefill. ScanRefer/Multi3DRefer ask dozens of queries per scene."""
+        prefill. ScanRefer/Multi3DRefer ask dozens of queries per scene.
+        ``prepared_video``: optional pre-loaded _video_arrays result for
+        the miss path (the grounding runner pipelines it off-thread)."""
         from video3d_tpu.constants import IMAGE_TOKEN_INDEX
         from video3d_tpu.models.generate import ground_suffix
-        from video3d_tpu.models.splice import slice_suffix_plan
 
         ids, labels = self._ground_tokenize(record)
         img = ids.index(IMAGE_TOKEN_INDEX) if IMAGE_TOKEN_INDEX in ids else -1
@@ -1194,6 +1227,8 @@ class InferenceEngine:
                 obj_entry = self._ground_obj_cache.get(key)
                 if entry is not None:
                     self._prefix_cache.move_to_end(key)
+                if obj_entry is not None:
+                    self._ground_obj_cache.move_to_end(key)
         if (entry is not None and obj_entry is not None
                 and tuple(ids[:img + 1]) == entry.ids_prefix):
             V = entry.num_frames
@@ -1205,37 +1240,25 @@ class InferenceEngine:
                 grid_side=g, truncate_to=mc.tokenizer_model_max_length)
             hits = np.nonzero(plan.labels[0] == self.ecfg.ground_token_id)[0]
             slot = int(hits[0]) if len(hits) else int(plan.seq_len[0]) - 1
-            suffix_true = int(plan.seq_len[0]) - P
-            Ls = next((b for b in self.ecfg.suffix_buckets
-                       if suffix_true <= b), None)
-            if Ls is not None and slot >= P:
-                suf = slice_suffix_plan(plan, P, Ls)
-                if suf is not None:
-                    obj_feats, valid_j, objects, n = obj_entry
-                    batch = lv3d.Batch(
-                        images=None, patch_coords=None,
-                        text_ids=jnp.asarray(suf.text_ids),
-                        kind=jnp.asarray(suf.kind),
-                        vision_index=jnp.asarray(suf.vision_index),
-                        labels=jnp.asarray(suf.labels),
-                        position_ids=jnp.asarray(suf.position_ids),
-                        mrope_position_ids=jnp.asarray(
-                            suf.mrope_position_ids),
-                        seq_len=jnp.asarray(suf.seq_len),
-                        coord_mask=jnp.asarray(suf.coord_mask))
-                    scores = np.asarray(ground_suffix(
-                        self.params, self.cfg, batch, entry.cache,
-                        prefix_len=P, max_cache_len=P + Ls,
-                        cache_dtype=self._cache_dtype(),
-                        obj_feats=obj_feats, object_valid=valid_j,
-                        ground_slot=jnp.asarray(slot)))
-                    self.prefix_cache_stats[0] += 1
-                    return (np.concatenate([scores[:n], scores[-1:]]),
-                            objects[:n])
+            suf = self._suffix_slice(plan, P)
+            if suf is not None and slot >= P:
+                Ls = int(suf.text_ids.shape[1])
+                obj_feats, valid_j, objects, n = obj_entry
+                batch = self._batch_from_plan(suf)
+                scores = np.asarray(ground_suffix(
+                    self.params, self.cfg, batch, entry.cache,
+                    prefix_len=P, max_cache_len=P + Ls,
+                    cache_dtype=self._cache_dtype(),
+                    obj_feats=obj_feats, object_valid=valid_j,
+                    ground_slot=jnp.asarray(slot)))
+                self.prefix_cache_stats[0] += 1
+                return (np.concatenate([scores[:n], scores[-1:]]),
+                        objects[:n])
         # miss (or unusable suffix): full grounding forward, harvesting the
         # prefix KV + object features for later queries on this scene
-        vd, V, images, coords_full, patch, _ = self._video_arrays(
-            record["video"], need_full_coords=True)
+        vd, V, images, coords_full, patch, _ = (
+            prepared_video if prepared_video is not None
+            else self._video_arrays(record["video"], need_full_coords=True))
         batch, plan = self._build_batch(ids, labels, V, images, patch)
         objects = np.asarray(vd["objects"], np.float32).reshape(-1, 6)
         N = self.ecfg.max_objects
@@ -1256,11 +1279,14 @@ class InferenceEngine:
             self.prefix_cache_stats[1] += 1
             self._store_prefix(key, ids, img, batch, cache)
             with self._cache_lock:
-                self._ground_obj_cache[key] = (obj_feats, valid_j,
-                                               objects, n)
-                while len(self._ground_obj_cache) > \
-                        self.ecfg.prefix_cache_scenes:
-                    self._ground_obj_cache.popitem(last=False)
+                # companion features only make sense next to their prefix
+                # entry — don't hold HBM for features that can never hit
+                if key in self._prefix_cache:
+                    self._ground_obj_cache[key] = (obj_feats, valid_j,
+                                                   objects, n)
+                    while len(self._ground_obj_cache) > \
+                            self.ecfg.prefix_cache_scenes:
+                        self._ground_obj_cache.popitem(last=False)
         scores = np.asarray(scores)
         return np.concatenate([scores[:n], scores[-1:]]), objects[:n]
 
@@ -1392,10 +1418,17 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
         box_inputs = [np.asarray(l["box_input"][:3], np.float32)
                       if l.get("box_input") is not None else None
                       for l in chunk]
-        if prefix_on:
-            # scene-prefix KV path: a hit does no video IO / tower work,
-            # so the whole request (suffix prefill + decode) runs in the
-            # timed section — same timing semantics as _generate below
+        if prefix_on and batch_size == 1:
+            # scene-prefix KV path: host half (tokenize + suffix plan on a
+            # hit, full video prep on a miss) pipelines here; the device
+            # prefill runs in the timed section via start_request (which
+            # also re-checks the prefix, so a prep that raced an admission
+            # still upgrades)
+            prepared = engine.prepare_request(
+                chunk[0], box_inputs[0], coord_token_id)
+        elif prefix_on:
+            # batched suffix path: prep is host-cheap on hits; the miss
+            # (once per scene) harvests inside the timed section
             prepared = None
         elif batch_size == 1:
             prepared = engine._prepare_generation(
@@ -1413,12 +1446,14 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
             if s + batch_size < len(questions):
                 fut = ex.submit(prep, s + batch_size)
             t0 = time.time()
-            if prepared is None and batch_size > 1:
+            if prefix_on and batch_size > 1:
                 texts = engine.generate_answers_batch_prefix(
                     chunk, box_inputs, coord_token_id)
-            elif batch_size == 1 and prepared is None:
-                texts = [engine.generate_answer(chunk[0], box_inputs[0],
-                                                coord_token_id)]
+            elif spec_prefix:
+                texts = [engine._generate_answer_spec_prefix(
+                    chunk[0], box_inputs[0], coord_token_id, prep=prepared)]
+            elif prefix_on:
+                texts = [engine._answer_from_prep(prepared)]
             elif batch_size == 1:
                 batch, vision_features = prepared
                 res = engine._generate(batch,
@@ -1471,12 +1506,19 @@ def _run_grounding(engine: InferenceEngine, questions: Sequence[dict],
     if not questions:
         return []
 
+    _PREFIX = object()
+
     def prep(s0):
         chunk = list(questions[s0:s0 + batch_size])
         if batch_size == 1 and engine._prefix_cache_on(chunk[0]):
-            # scene-prefix grounding path: a hit does no host video work,
-            # so the whole query runs in the timed section via ground()
-            return chunk, None
+            # scene-prefix grounding path: a hit does no host video work;
+            # for a MISS (no prefix entry yet) pre-load the video arrays
+            # here so the harvest still pipelines against device work
+            with engine._cache_lock:
+                have = chunk[0].get("video") in engine._prefix_cache
+            pv = None if have else engine._video_arrays(
+                chunk[0]["video"], need_full_coords=True)
+            return chunk, (_PREFIX, pv)
         return chunk, engine.prepare_ground_batch(chunk)
 
     times = []
@@ -1487,8 +1529,9 @@ def _run_grounding(engine: InferenceEngine, questions: Sequence[dict],
             if s0 + batch_size < len(questions):
                 fut = ex.submit(prep, s0 + batch_size)
             t0 = time.time()
-            if prepared is None:
-                results = [engine.ground(chunk[0])]
+            if isinstance(prepared, tuple) and prepared[0] is _PREFIX:
+                results = [engine.ground(chunk[0],
+                                         prepared_video=prepared[1])]
             else:
                 results = engine.ground_from_prepared(prepared)
             dt = (time.time() - t0) / len(chunk)

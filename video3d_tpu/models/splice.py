@@ -179,12 +179,19 @@ def build_splice_plan(
                       coord_mask=coord_mask)
 
 
-def vision_end(plan: SplicePlan, b: int = 0) -> int:
-    """Spliced index one past the last vision token of sample ``b`` (the
-    scene-prefix length for prefix-KV caching), or 0 when the sample has no
-    vision block."""
-    vis = np.nonzero(plan.kind[b] == KIND_VISION)[0]
+def vision_end_from_kind(kind_row: np.ndarray) -> int:
+    """Spliced index one past the last vision token of one (L,) kind row
+    (the scene-prefix length for prefix-KV caching), or 0 when the row has
+    no vision block. The single source of truth for the prefix-length
+    rule — the slicing side (slice_suffix_plan callers) and the storing
+    side (drivers._store_prefix) must agree."""
+    vis = np.nonzero(np.asarray(kind_row) == KIND_VISION)[0]
     return int(vis[-1]) + 1 if len(vis) else 0
+
+
+def vision_end(plan: SplicePlan, b: int = 0) -> int:
+    """:func:`vision_end_from_kind` of plan sample ``b``."""
+    return vision_end_from_kind(plan.kind[b])
 
 
 def slice_suffix_plan(plan: SplicePlan, prefix_len: int,
