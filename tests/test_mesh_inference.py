@@ -66,6 +66,30 @@ def _mesh_engine(env, mesh):
 
 
 class TestTensorParallelInference:
+    def test_tp_prefix_cache_matches_single(self, env):
+        """Prefix cache under a tp=2 mesh: the miss-path prefill (traced
+        under the mesh) harvests a SHARDED prefix KV; the hit's suffix
+        prefill reuses it. Answers equal the single-device engine's for
+        every question, and the second/third questions are hits."""
+        import dataclasses
+
+        info, params, tok, vp, ip, ecfg, single = env
+        mesh = create_mesh(tp=2, devices=jax.devices()[:2])
+        eng = InferenceEngine(
+            params, CFG, tok, vp, ip,
+            dataclasses.replace(ecfg, prefix_cache_scenes=2,
+                                suffix_buckets=(32, 64)), mesh=mesh)
+        qs = []
+        for i, t in enumerate(["what color is the chair",
+                               "how many tables", "where is the lamp"]):
+            q = question(info, i=i)
+            q["conversations"][0]["value"] = f"<image>\n{t}"
+            qs.append(q)
+        got = [eng.generate_answer(q) for q in qs]
+        want = [single.generate_answer(q) for q in qs]
+        assert got == want
+        assert eng.prefix_cache_stats == [2, 1]
+
     def test_tp_answer_matches_single(self, env):
         """Pure-TP mesh (tp=2): heads split across 2 devices; the shard_map
         decode path in kernels/attention.py::mha is exercised (B=1 so no

@@ -98,7 +98,9 @@ class EngineConfig:
     # bf16 answers are identical to the full-prefill path
     # (tests/test_prefix_cache.py). HBM per scene:
     # prefix_len * layers * 2 * kv_width bytes (~98 MB at 7B/1712 tokens).
-    # 0 = off. Engine-path only (greedy/sampled, single device).
+    # 0 = off. Covers greedy/sampled, streaming, grounding, self-draft
+    # speculation, batcher admissions, and mesh (tp/dp) engines; beam
+    # search and llava3d fall back to full prefills.
     prefix_cache_scenes: int = 0
     # suffix prefill buckets (compiled once per bucket size)
     suffix_buckets: Tuple[int, ...] = (64, 128, 256, 512)
@@ -473,10 +475,12 @@ class InferenceEngine:
     # ------------- scene-prefix KV cache -------------
 
     def _prefix_cache_base(self, record) -> bool:
-        """Common scene-prefix preconditions: single device (mesh inputs
-        need resharding), non-llava3d (its vision block is
-        question-seeded), no beam (beam prefill reshapes the cache)."""
-        return (self.ecfg.prefix_cache_scenes > 0 and self.mesh is None
+        """Common scene-prefix preconditions: non-llava3d (its vision
+        block is question-seeded), no beam (beam prefill reshapes the
+        cache). Mesh engines are supported: suffix batches lay out through
+        _shard_inputs and the prefix KV keeps the sharding the miss-path
+        prefill gave it."""
+        return (self.ecfg.prefix_cache_scenes > 0
                 and not self.cfg.world_3d.llava3d
                 and self.ecfg.num_beams == 1
                 and isinstance(record.get("video"), str))
@@ -649,13 +653,17 @@ class InferenceEngine:
         if prep["mode"] == "prefix":
             entry = prep["entry"]
             self.prefix_cache_stats[0] += 1
-            return start_decode_prefix(
-                self.params, self.cfg, prep["batch"], entry.cache,
-                prefix_len=entry.prefix_len, max_cache_len=mcl,
-                cache_dtype=self._cache_dtype())
-        state = start_decode(
-            self.params, self.cfg, prep["batch"], max_cache_len=mcl,
-            cache_dtype=self._cache_dtype(), vision_features=prep["vf"])
+            batch, _ = self._shard_inputs(prep["batch"], None)
+            with self._mesh_ctx():
+                return start_decode_prefix(
+                    self.params, self.cfg, batch, entry.cache,
+                    prefix_len=entry.prefix_len, max_cache_len=mcl,
+                    cache_dtype=self._cache_dtype())
+        batch, vf = self._shard_inputs(prep["batch"], prep["vf"])
+        with self._mesh_ctx():
+            state = start_decode(
+                self.params, self.cfg, batch, max_cache_len=mcl,
+                cache_dtype=self._cache_dtype(), vision_features=vf)
         if (self.ecfg.prefix_cache_scenes > 0 and prep["img"] >= 0
                 and isinstance(prep["key"], str)):
             self.prefix_cache_stats[1] += 1
@@ -719,18 +727,23 @@ class InferenceEngine:
         if prep["mode"] == "prefix":
             entry = prep["entry"]
             self.prefix_cache_stats[0] += 1
-            return spec.spec_start_prefix(
-                self.params, draft_params, self.cfg, draft_cfg,
-                prep["batch"], entry.cache, prefix_len=entry.prefix_len,
+            batch, _ = self._shard_inputs(prep["batch"], None)
+            with self._mesh_ctx():
+                return spec.spec_start_prefix(
+                    self.params, draft_params, self.cfg, draft_cfg,
+                    batch, entry.cache, prefix_len=entry.prefix_len,
+                    max_cache_len=mcl, cache_dtype=self._cache_dtype(),
+                    temperature=ecfg.temperature, top_p=ecfg.top_p,
+                    top_k=ecfg.top_k,
+                    draft_max_cache_len=draft_max_cache_len)
+        batch, vf = self._shard_inputs(prep["batch"], prep["vf"])
+        with self._mesh_ctx():
+            sub, first = spec.spec_start(
+                self.params, draft_params, self.cfg, draft_cfg, batch,
                 max_cache_len=mcl, cache_dtype=self._cache_dtype(),
                 temperature=ecfg.temperature, top_p=ecfg.top_p,
-                top_k=ecfg.top_k, draft_max_cache_len=draft_max_cache_len)
-        sub, first = spec.spec_start(
-            self.params, draft_params, self.cfg, draft_cfg, prep["batch"],
-            max_cache_len=mcl, cache_dtype=self._cache_dtype(),
-            temperature=ecfg.temperature, top_p=ecfg.top_p,
-            top_k=ecfg.top_k, vision_features=prep["vf"],
-            draft_max_cache_len=draft_max_cache_len)
+                top_k=ecfg.top_k, vision_features=vf,
+                draft_max_cache_len=draft_max_cache_len)
         if (self.ecfg.prefix_cache_scenes > 0 and prep["img"] >= 0
                 and isinstance(prep["key"], str)):
             self.prefix_cache_stats[1] += 1
@@ -744,12 +757,13 @@ class InferenceEngine:
         from video3d_tpu.models.generate import generate_from_state
 
         state = self.start_request(prep)
-        res = generate_from_state(
-            self.params, self.cfg, state,
-            max_new_tokens=self.ecfg.max_new_tokens,
-            eos_token_id=self.ecfg.eos_token_id,
-            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
-            top_k=self.ecfg.top_k)
+        with self._mesh_ctx():
+            res = generate_from_state(
+                self.params, self.cfg, state,
+                max_new_tokens=self.ecfg.max_new_tokens,
+                eos_token_id=self.ecfg.eos_token_id,
+                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+                top_k=self.ecfg.top_k)
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         return self._decode_text(toks)
 
@@ -773,12 +787,13 @@ class InferenceEngine:
         K = ecfg.speculative_k
         done = False
         while not done and len(emitted) < ecfg.max_new_tokens:
-            sub, emit, keep = spec.spec_decode_chunk(
-                self.params, draft_params, self.cfg, draft_cfg, sub,
-                iters=4, num_draft_tokens=K,
-                eos_token_id=ecfg.eos_token_id,
-                temperature=ecfg.temperature, top_p=ecfg.top_p,
-                top_k=ecfg.top_k)
+            with self._mesh_ctx():
+                sub, emit, keep = spec.spec_decode_chunk(
+                    self.params, draft_params, self.cfg, draft_cfg, sub,
+                    iters=4, num_draft_tokens=K,
+                    eos_token_id=ecfg.eos_token_id,
+                    temperature=ecfg.temperature, top_p=ecfg.top_p,
+                    top_k=ecfg.top_k)
             emit0 = np.asarray(emit)[0]
             keep0 = np.asarray(keep)[0]
             for j in range(emit0.shape[0]):
@@ -1109,20 +1124,21 @@ class InferenceEngine:
                                                  start_decode_prefix)
 
         entry = prep["entry"]
-        batch = prep["batch"]
+        batch, _ = self._shard_inputs(prep["batch"], None)
         B = int(batch.text_ids.shape[0])
-        state = start_decode_prefix(
-            self.params, self.cfg, batch, entry.cache,
-            prefix_len=entry.prefix_len,
-            max_cache_len=prep["bucket"] + self.ecfg.max_new_tokens,
-            cache_dtype=self._cache_dtype())
+        with self._mesh_ctx():
+            state = start_decode_prefix(
+                self.params, self.cfg, batch, entry.cache,
+                prefix_len=entry.prefix_len,
+                max_cache_len=prep["bucket"] + self.ecfg.max_new_tokens,
+                cache_dtype=self._cache_dtype())
+            res = generate_from_state(
+                self.params, self.cfg, state,
+                max_new_tokens=self.ecfg.max_new_tokens,
+                eos_token_id=self.ecfg.eos_token_id,
+                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
+                top_k=self.ecfg.top_k)
         self.prefix_cache_stats[0] += B
-        res = generate_from_state(
-            self.params, self.cfg, state,
-            max_new_tokens=self.ecfg.max_new_tokens,
-            eos_token_id=self.ecfg.eos_token_id,
-            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
-            top_k=self.ecfg.top_k)
         return [self._decode_text(
             np.asarray(res.tokens)[b][: int(res.lengths[b])])
             for b in range(B)]
@@ -1175,11 +1191,13 @@ class InferenceEngine:
                prepared_video=None) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores (N_valid+1,), objects (N_valid, 6))."""
         assert self.ecfg.ground_token_id is not None
-        if self._prefix_cache_on(record):
+        # grounding has no mesh path (matching the non-prefix ground())
+        if self.mesh is None and self._prefix_cache_on(record):
             return self._ground_prefix(record, prepared_video)
         ids, labels = self._ground_tokenize(record)
-        vd, V, images, coords_full, patch, _ = self._video_arrays(
-            record["video"], need_full_coords=True)
+        vd, V, images, coords_full, patch, _ = (
+            prepared_video if prepared_video is not None
+            else self._video_arrays(record["video"], need_full_coords=True))
         batch, plan = self._build_batch(ids, labels, V, images, patch)
 
         objects = np.asarray(vd["objects"], np.float32).reshape(-1, 6)
@@ -1510,7 +1528,8 @@ def _run_grounding(engine: InferenceEngine, questions: Sequence[dict],
 
     def prep(s0):
         chunk = list(questions[s0:s0 + batch_size])
-        if batch_size == 1 and engine._prefix_cache_on(chunk[0]):
+        if batch_size == 1 and engine.mesh is None \
+                and engine._prefix_cache_on(chunk[0]):
             # scene-prefix grounding path: a hit does no host video work;
             # for a MISS (no prefix entry yet) pre-load the video arrays
             # here so the harvest still pipelines against device work

@@ -212,7 +212,8 @@ if __name__ == "__main__":
     parser.add_argument("--prefix-cache", type=int, default=4,
                         help="scene-PREFIX KV LRU: later questions on a "
                              "scene prefill only their suffix (0 disables; "
-                             "single-device, non-speculative paths)")
+                             "composes with --num-slots, --paged-kv, "
+                             "self-draft speculation and --tp/--dp)")
     parser.add_argument("--paged-kv", action="store_true",
                         help="paged KV pool instead of dense cache rows")
     parser.add_argument("--page-size", type=int, default=128)
