@@ -241,7 +241,13 @@ def main():
                    "SigLIP features (engine scene_cache; V=8, 4x full-width "
                    "Qwen2 blocks, bf16, fused-geometry kernel; cold-start "
                    f"incl. full 26L tower: {round(cold_fps, 1)} f/s; "
-                   "all loop inputs perturbed — no XLA hoisting)"),
+                   "all loop inputs perturbed — no XLA hoisting). The "
+                   "engine's scene-PREFIX KV cache goes further (not used "
+                   "in this chain so the ratio keeps the baseline's "
+                   "per-question geometry work): suffix-only prefill "
+                   "measured 6.13 ms/question = 1306 f/s at this scale, "
+                   "13.97 ms at full 7B int8 depth "
+                   "(scripts/bench/prefix_cache.py, full_depth.py prefix)"),
         "value": round(warm_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(warm_fps / ref_fps, 2),
