@@ -334,6 +334,35 @@ class TestPrefixCache:
         assert got == want
         assert eng.prefix_cache_stats[0] >= 2
 
+    def test_spec_paged_prefix_batcher_matches(self, scene):
+        """Triple composition: self-draft speculation + paged KV pool +
+        scene-prefix cache in one batcher still equals the plain engine."""
+        from video3d_tpu.serve.batcher import ContinuousBatcher
+
+        infos, data_cfg = scene
+        plain = _engine(data_cfg, 0)
+        eng = _engine(data_cfg, 4, speculative_draft_layers=1,
+                      speculative_k=3)
+        qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
+            ["what color is the chair", "how many tables are there",
+             "where is the lamp"])]
+        want = [plain.generate_answer(q) for q in qs]
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2, paged=True,
+                                    page_size=128)
+        try:
+            assert batcher.spec and batcher.paged \
+                and batcher._self_draft_spec
+            # sequential first request so its admission harvests the prefix
+            h0 = batcher.submit(qs[0])
+            got = [h0.result(eng._decode_text, timeout=300)]
+            handles = [batcher.submit(q) for q in qs[1:]]
+            got += [h.result(eng._decode_text, timeout=300)
+                    for h in handles]
+        finally:
+            batcher.shutdown()
+        assert got == want
+        assert eng.prefix_cache_stats[0] >= 2
+
     def test_int8_kv_prefix_runs(self, scene):
         """int8 KV: the prefix is reused quantized (same values decode
         reads); the path must run and produce a plausible answer."""
