@@ -127,6 +127,37 @@ def main():
           f"{dt_full * 1e3:.2f} ms ({V_FRAMES / dt_full:.1f} frames/s)")
     print(f"speedup {dt_full / dt_pre:.2f}x")
 
+    # scene-grouped batched suffix: one B-row suffix prefill against the
+    # broadcast prefix serves B questions (engine
+    # prepare_answers_batch_prefix); suffix prefill is weight-read-bound,
+    # so B rows cost ~B=1
+    B = 8
+    bsuf = lv3d.Batch(*[
+        (jnp.broadcast_to(x, (B,) + x.shape[1:])
+         if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == 1
+         else (jnp.broadcast_to(x, (B,)) if hasattr(x, "shape")
+               and x.shape == (1,) else x))
+        for x in suffix_batch])
+
+    @jax.jit
+    def repeat_batched(params, pk, pv, suffix_ids):
+        def body(i, acc):
+            eps = i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+            ids_i = jnp.where(bsuf.kind == 1,
+                              (suffix_ids + i) % 997 + 20, suffix_ids)
+            b = bsuf._replace(text_ids=ids_i)
+            st = gen.start_decode_prefix(
+                params, cfg, b, gen.qwen2.KVCache(pk + eps, pv + eps),
+                prefix_len=P, max_cache_len=max_cache)
+            return acc + jnp.sum(st.next_logits.astype(jnp.float32)) * 1e-6
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    dt_b = timed(repeat_batched, params, prefix.k, prefix.v, bsuf.text_ids)
+    print(f"batched suffix prefill, B={B}: {dt_b * 1e3:.2f} ms/chunk = "
+          f"{dt_b * 1e3 / B:.2f} ms/question "
+          f"({B / dt_b:.0f} questions/s; {dt_pre / (dt_b / B):.1f}x the "
+          f"B=1 prefix path)")
+
 
 if __name__ == "__main__":
     main()
