@@ -1,0 +1,112 @@
+"""Browser chat UI (serve/web.py): page + model listing + streamed chat
+through the real controller -> worker -> engine stack over HTTP sockets.
+The reference's gradio servers have no 3D support; this UI drives the
+scene-as-video path end-to-end."""
+
+import json
+import os
+import socket
+import urllib.request
+
+import pytest
+
+import jax
+
+from video3d_tpu.config import DataConfig, ModelConfig
+from video3d_tpu.data.image_processor import SigLipImageProcessor
+from video3d_tpu.data.video_processor import VideoProcessor
+from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
+from video3d_tpu.models import llava_video3d as lv3d
+from video3d_tpu.serve.controller import serve_controller
+from video3d_tpu.serve.model_worker import serve_worker
+from video3d_tpu.serve.web import serve_web
+
+from fixtures import FakeTokenizer, make_fake_scene
+
+CFG = ModelConfig.tiny()
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    info = make_fake_scene(root, n_frames=2)
+    data_cfg = DataConfig(video_folder=root,
+                          annotation_dir=os.path.join(root, "embodiedscan"),
+                          metadata_dir=os.path.join(root, "metadata"),
+                          frames_upbound=2)
+    tok = FakeTokenizer()
+    engine = InferenceEngine(
+        lv3d.init_model(jax.random.PRNGKey(0), CFG), CFG, tok,
+        VideoProcessor(data_cfg),
+        SigLipImageProcessor(size=(CFG.vision.image_size,) * 2),
+        EngineConfig(max_new_tokens=3, eos_token_id=tok.eos_token_id,
+                     max_frames=2, buckets=(256,), stop_str=""))
+
+    cport, wport, uport = free_port(), free_port(), free_port()
+    controller, cserver = serve_controller(port=cport, background=True)
+    caddr = f"http://127.0.0.1:{cport}"
+    worker, wserver = serve_worker(engine, "video3d-tiny", port=wport,
+                                   controller_addr=caddr, background=True,
+                                   heartbeat=False)
+    ui, userver = serve_web(controller_addr=caddr, port=uport,
+                            background=True)
+    yield info, engine, f"http://127.0.0.1:{uport}"
+    cserver.shutdown()
+    wserver.shutdown()
+    userver.shutdown()
+
+
+class TestWebUI:
+    def test_page_and_models(self, stack):
+        info, engine, uaddr = stack
+        page = urllib.request.urlopen(uaddr + "/", timeout=30).read()
+        assert b"video3d_tpu" in page and b"fetch('models')" in page
+        models = json.loads(urllib.request.urlopen(
+            uaddr + "/models", timeout=30).read())["models"]
+        assert models == ["video3d-tiny"]
+
+    def test_chat_streams_and_matches_engine(self, stack):
+        info, engine, uaddr = stack
+        record = {
+            "video": info["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat is in the room"},
+                {"from": "gpt", "value": None}],
+        }
+        want = engine.generate_answer(record)
+        req = urllib.request.Request(
+            uaddr + "/chat",
+            data=json.dumps({"model": "video3d-tiny",
+                             "video": info["sample_idx"],
+                             "prompt": "<image>\nwhat is in the room",
+                             "stream_chunk": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = [json.loads(l) for l in
+                 urllib.request.urlopen(req, timeout=300).read().splitlines()
+                 if l.strip()]
+        assert lines, "no stream chunks"
+        assert all(d["error_code"] == 0 for d in lines)
+        # cumulative text, final chunk == the engine's answer
+        for a, b in zip(lines, lines[1:]):
+            assert b["text"].startswith(a["text"])
+        assert lines[-1]["text"] == want
+
+    def test_unknown_model_errors_cleanly(self, stack):
+        info, engine, uaddr = stack
+        req = urllib.request.Request(
+            uaddr + "/chat",
+            data=json.dumps({"model": "nope", "video": info["sample_idx"],
+                             "prompt": "hi"}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = [json.loads(l) for l in
+                 urllib.request.urlopen(req, timeout=60).read().splitlines()
+                 if l.strip()]
+        assert lines[-1]["error_code"] == 1
