@@ -241,6 +241,10 @@ class InferenceEngine:
 
             if self.draft_params is not None:
                 dp, dc = self.draft_params, self.draft_cfg
+            elif cfg.llm == self.cfg.llm:
+                # the common case: reuse the cached self-draft (its
+                # draft_vocab head slice is an eager device copy)
+                dp, dc = self._self_draft()
             else:
                 k = self.ecfg.speculative_draft_layers
                 dp = spec.self_draft_params(
@@ -580,7 +584,10 @@ class InferenceEngine:
         with self._cache_lock:
             self._prefix_cache[key] = entry
             while len(self._prefix_cache) > self.ecfg.prefix_cache_scenes:
-                self._prefix_cache.popitem(last=False)
+                evicted, _ = self._prefix_cache.popitem(last=False)
+                # companion grounding features are useless (and hold HBM)
+                # without their prefix entry — evict together
+                self._ground_obj_cache.pop(evicted, None)
 
     def prepare_request(self, record, box_input=None, coord_token_id=None):
         """Host-side request prep for the prefix-aware path: tokenize, look
@@ -1468,8 +1475,14 @@ def run_generative(engine: InferenceEngine, questions: Sequence[dict],
                 texts = engine.generate_answers_batch_prefix(
                     chunk, box_inputs, coord_token_id)
             elif spec_prefix:
-                texts = [engine._generate_answer_spec_prefix(
-                    chunk[0], box_inputs[0], coord_token_id, prep=prepared)]
+                if engine._spec_disabled:
+                    # min-acceptance guard demoted mid-run: the prep dict
+                    # decodes vanilla through the plain prefix path
+                    texts = [engine._answer_from_prep(prepared)]
+                else:
+                    texts = [engine._generate_answer_spec_prefix(
+                        chunk[0], box_inputs[0], coord_token_id,
+                        prep=prepared)]
             elif prefix_on:
                 texts = [engine._answer_from_prep(prepared)]
             elif batch_size == 1:

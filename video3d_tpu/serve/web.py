@@ -188,8 +188,13 @@ class _WebHandler(BaseHTTPRequestHandler):
             self._send(b"not found", "text/plain", 404)
 
     def do_POST(self):
-        n = int(self.headers.get("Content-Length", 0))
-        data = json.loads(self.rfile.read(n) or b"{}")
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, OSError):
+            self._send(b'{"error": "malformed request body"}',
+                       "application/json", 400)
+            return
         if self.path == "/chat":
             # NDJSON stream: one cumulative-answer object per line
             self.send_response(200)
@@ -199,10 +204,15 @@ class _WebHandler(BaseHTTPRequestHandler):
                 for payload in self.ui.stream_chat(data):
                     self.wfile.write(json.dumps(payload).encode() + b"\n")
                     self.wfile.flush()
+            except (ConnectionError, BrokenPipeError):
+                pass                 # browser cancelled the fetch mid-stream
             except Exception as e:  # noqa: BLE001 — surface to the browser
-                self.wfile.write(json.dumps(
-                    {"text": "", "error": str(e),
-                     "error_code": 1}).encode() + b"\n")
+                try:
+                    self.wfile.write(json.dumps(
+                        {"text": "", "error": str(e),
+                         "error_code": 1}).encode() + b"\n")
+                except OSError:
+                    pass             # socket already gone
         else:
             self._send(b"not found", "text/plain", 404)
 
@@ -230,7 +240,9 @@ def main():
     parser.add_argument("--worker", default=None,
                         help="single worker address (bypass controller)")
     parser.add_argument("--model-name", default="video3d")
-    parser.add_argument("--host", default="0.0.0.0")
+    # localhost by default: the UI is unauthenticated — pass --host 0.0.0.0
+    # deliberately to expose it beyond this machine
+    parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7860)
     args = parser.parse_args()
     serve_web(args.controller, args.worker, args.model_name,
