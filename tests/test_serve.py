@@ -84,6 +84,36 @@ class TestServe:
         assert isinstance(out["text"], str)
         assert out["inference_time"] > 0
 
+    def test_openai_chat_completions(self, stack):
+        """/v1/chat/completions: OpenAI request shape (messages with text +
+        video_id content parts) -> standard completion response whose
+        content equals the native endpoint's answer."""
+        info, caddr, waddr, controller = stack
+        native = _post_json(waddr + "/worker_generate", {
+            "video": info["sample_idx"],
+            "prompt": "<image>\nwhat is in the room",
+        }, timeout=300)
+        out = _post_json(waddr + "/v1/chat/completions", {
+            "model": "video3d-tiny",
+            "messages": [
+                {"role": "system", "content": "You are a helpful assistant."},
+                {"role": "user", "content": [
+                    {"type": "video_id", "video_id": info["sample_idx"]},
+                    {"type": "text", "text": "<image>\nwhat is in the room"},
+                ]},
+            ],
+        }, timeout=300)
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["finish_reason"] == "stop"
+        assert out["choices"][0]["message"]["content"] == native["text"]
+        # plain-string content also works
+        out2 = _post_json(waddr + "/v1/chat/completions", {
+            "video": info["sample_idx"],
+            "messages": [{"role": "user",
+                          "content": "<image>\nwhat is in the room"}],
+        }, timeout=300)
+        assert out2["choices"][0]["message"]["content"] == native["text"]
+
     def test_generate_stream(self, stack):
         """/worker_generate_stream: \\0-separated cumulative-text JSON
         chunks (the reference worker's wire protocol)."""

@@ -94,6 +94,47 @@ class ModelWorker:
             with self.lock:
                 self.queue_length -= 1
 
+    def chat_completions(self, request: dict) -> dict:
+        """OpenAI-compatible /v1/chat/completions (non-streaming): standard
+        clients point their base_url at the worker and chat with a scene.
+
+        The scene id rides either a top-level ``"video"`` field or an
+        OpenAI-style content part ``{"type": "video_id", "video_id": ...}``
+        inside the last user message (alongside the usual
+        ``{"type": "text", ...}`` parts). Beyond-reference: the reference
+        serve stack speaks only its own worker protocol.
+        """
+        video = request.get("video", "")
+        prompt = ""
+        for msg in request.get("messages", []):
+            if msg.get("role") != "user":
+                continue        # single-turn engine contract; system/assistant
+            content = msg.get("content", "")
+            if isinstance(content, str):
+                prompt = content
+            else:               # OpenAI content-part list
+                texts = []
+                for part in content:
+                    if part.get("type") == "text":
+                        texts.append(part.get("text", ""))
+                    elif part.get("type") == "video_id":
+                        video = part.get("video_id", video)
+                prompt = "\n".join(texts)
+        out = self.generate({"video": video, "prompt": prompt})
+        finish = "stop" if out["error_code"] == 0 else "error"
+        return {
+            "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": request.get("model", self.model_name),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out["text"]},
+                "finish_reason": finish,
+            }],
+            **({"error": out["error"]} if out["error_code"] else {}),
+        }
+
     def generate_stream(self, request: dict):
         """Yield cumulative-text chunks (the reference worker's
         generate_stream contract, serve/model_worker.py:108-166: one JSON
@@ -144,6 +185,8 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             self._reply(self.worker.status())
         elif self.path == "/worker_generate":
             self._reply(self.worker.generate(data))
+        elif self.path == "/v1/chat/completions":
+            self._reply(self.worker.chat_completions(data))
         elif self.path == "/worker_generate_stream":
             # reference wire format: json chunks separated by b"\0"
             # (serve/model_worker.py generate_stream_gate)
