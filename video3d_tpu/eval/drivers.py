@@ -182,6 +182,11 @@ class InferenceEngine:
         # objects np, n) — the question-independent object features
         # (lv3d._grounding_object_features), harvested with the prefix
         self._ground_obj_cache: "OrderedDict" = OrderedDict()
+        # called with each evicted scene key AFTER _cache_lock is released
+        # (the paged batcher drops its shared prefix pages on eviction —
+        # serve/batcher.py prefix sharing). Callbacks must not re-enter
+        # the engine's caches.
+        self._prefix_evict_hooks: list = []
 
     def set_draft_model(self, draft_params, draft_cfg):
         """Attach standalone draft weights (same vocab + hidden size) for
@@ -581,6 +586,7 @@ class InferenceEngine:
             None if cache.v_scale is None else cache.v_scale[:, :, :P])
         entry = _PrefixEntry(cache=pre, prefix_len=P, num_frames=V,
                              ids_prefix=tuple(ids[:img + 1]))
+        evictions = []
         with self._cache_lock:
             self._prefix_cache[key] = entry
             while len(self._prefix_cache) > self.ecfg.prefix_cache_scenes:
@@ -588,6 +594,10 @@ class InferenceEngine:
                 # companion grounding features are useless (and hold HBM)
                 # without their prefix entry — evict together
                 self._ground_obj_cache.pop(evicted, None)
+                evictions.append(evicted)
+        for evicted in evictions:
+            for hook in self._prefix_evict_hooks:
+                hook(evicted)
 
     def prepare_request(self, record, box_input=None, coord_token_id=None):
         """Host-side request prep for the prefix-aware path: tokenize, look
@@ -610,7 +620,7 @@ class InferenceEngine:
                 if built is not None:
                     suffix_batch, L = built
                     return {"mode": "prefix", "batch": suffix_batch,
-                            "entry": entry, "bucket": L,
+                            "entry": entry, "key": key, "bucket": L,
                             "total": int(suffix_batch.seq_len[0])}
         batch, vision_features = self._prepare_generation_ids(
             ids, record, box_input, coord_token_id)
@@ -641,7 +651,8 @@ class InferenceEngine:
             return prep
         suffix_batch, L = built
         return {"mode": "prefix", "batch": suffix_batch, "entry": entry,
-                "bucket": L, "total": int(suffix_batch.seq_len[0])}
+                "key": prep["key"], "bucket": L,
+                "total": int(suffix_batch.seq_len[0])}
 
     def start_request(self, prep, max_cache_len: Optional[int] = None):
         """Prefill a :meth:`prepare_request` result into a DecodeState.

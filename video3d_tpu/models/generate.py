@@ -417,27 +417,44 @@ def empty_paged_state(cfg: ModelConfig, num_slots: int, num_pages: int,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n_pages",))
+                   static_argnames=("n_pages", "skip_pages"))
 def insert_paged_slot(state: PagedDecodeState, slot: jax.Array,
                       sub: DecodeState, page_row: jax.Array,
-                      n_pages: int) -> PagedDecodeState:
+                      n_pages: int, skip_pages: int = 0) -> PagedDecodeState:
     """Graft a freshly-prefilled B=1 dense DecodeState into paged slot
     ``slot``: its first ``n_pages`` pages (listed in ``page_row``, the
     host-allocated (max_pages,) table row) receive the dense cache's
     n_pages * page_size positions verbatim (int8 caches transplant values
     AND scales — no requantization), ``lens[slot]`` becomes the true
     prefill length. One jit per (bucket-length, pool) shape pair.
+
+    ``skip_pages``: shared-prefix admission (serve/batcher.py) — the
+    row's first entries are immutable scene-prefix pages whose contents
+    were already written by :func:`write_shared_prefix`; only pages
+    ``skip_pages..n_pages`` are copied from the dense cache.
     """
     from video3d_tpu.models.paged_kv import transplant_dense
 
     new_cache = transplant_dense(state.cache, sub.cache, slot, page_row,
-                                 n_pages, sub.pos[0])
+                                 n_pages, sub.pos[0], skip_pages=skip_pages)
     return PagedDecodeState(
         next_logits=state.next_logits.at[slot].set(
             sub.next_logits[0].astype(state.next_logits.dtype)),
         cache=new_cache,
         done=state.done.at[slot].set(sub.done[0]),
         step=state.step)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n_pages",))
+def write_shared_prefix(cache, prefix, pages: jax.Array, n_pages: int):
+    """Write a scene's prefix KV into ``n_pages`` shared pool pages (the
+    paged batcher's prefix-sharing path). ``cache`` is the live
+    PagedKVCache (donated — pools update in place); ``prefix`` the dense
+    (layers, 1, P, KV, hd) _PrefixEntry slice, same dtype family."""
+    from video3d_tpu.models.paged_kv import scatter_shared_prefix
+
+    return scatter_shared_prefix(cache, prefix, pages, n_pages)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -118,18 +118,16 @@ def set_slot_pages(cache: PagedKVCache, slot: int,
     return cache._replace(page_table=table)
 
 
-def transplant_dense(cache: PagedKVCache, dense, slot, page_row: jax.Array,
-                     n_pages: int, length) -> PagedKVCache:
-    """Copy a freshly-prefilled B=1 dense cache (models/qwen2.py KVCache)
-    into ``slot``'s first ``n_pages`` pages verbatim (int8 caches
-    transplant values AND scales — no requantization), install the page
-    row and set ``lens[slot] = length``. Shared by the plain paged insert
-    (models/generate.py insert_paged_slot) and the paged speculative
-    insert (models/speculative.py)."""
+def _scatter_dense_pages(cache: PagedKVCache, dense, pages: jax.Array,
+                         n_pages: int, skip_pages: int = 0) -> PagedKVCache:
+    """Pool-only scatter: copy dense positions [skip*page, n_pages*page)
+    of a B=1 dense cache into the ``n_pages - skip_pages`` pool pages
+    listed in ``pages`` (int8 caches copy values AND scales — no
+    requantization). Table/lens untouched (callers own those)."""
     page = cache.page_size
     L = dense.k.shape[2]
     assert L >= n_pages * page, (L, n_pages, page)
-    pages = page_row[:n_pages]
+    n = n_pages - skip_pages
 
     def scat(pool, dn, tail_dims):
         # dense (layers, 1, L, KV, d) -> pages. NB the predecessor keyed
@@ -140,8 +138,8 @@ def transplant_dense(cache: PagedKVCache, dense, slot, page_row: jax.Array,
         # tests/test_paged_spec.py covered it; bf16 never calls this on
         # scales). Distinguish by the actual trailing dim instead.
         lay = dn.shape[0]
-        blk = dn[:, 0, :n_pages * page].reshape(
-            lay, n_pages, page, *tail_dims)
+        blk = dn[:, 0, skip_pages * page:n_pages * page].reshape(
+            lay, n, page, *tail_dims)
         if tail_dims[-1] != 1:                        # (KV, hd) values
             blk = blk.transpose(0, 1, 3, 2, 4)        # -> (lay,n,KV,page,hd)
         else:                                         # (KV, 1) scales
@@ -149,16 +147,48 @@ def transplant_dense(cache: PagedKVCache, dense, slot, page_row: jax.Array,
         return pool.at[:, pages].set(blk.astype(pool.dtype))
 
     KV, hd = dense.k.shape[3], dense.k.shape[4]
-    out = cache._replace(
-        k=scat(cache.k, dense.k, (KV, hd)),
-        v=scat(cache.v, dense.v, (KV, hd)),
-        page_table=cache.page_table.at[slot].set(page_row),
-        lens=cache.lens.at[slot].set(length))
+    out = cache._replace(k=scat(cache.k, dense.k, (KV, hd)),
+                         v=scat(cache.v, dense.v, (KV, hd)))
     if cache.k_scale is not None:
         out = out._replace(
             k_scale=scat(cache.k_scale, dense.k_scale, (KV, 1)),
             v_scale=scat(cache.v_scale, dense.v_scale, (KV, 1)))
     return out
+
+
+def transplant_dense(cache: PagedKVCache, dense, slot, page_row: jax.Array,
+                     n_pages: int, length,
+                     skip_pages: int = 0) -> PagedKVCache:
+    """Copy a freshly-prefilled B=1 dense cache (models/qwen2.py KVCache)
+    into ``slot``'s pages ``skip_pages..n_pages`` verbatim (int8 caches
+    transplant values AND scales — no requantization), install the page
+    row and set ``lens[slot] = length``. Shared by the plain paged insert
+    (models/generate.py insert_paged_slot) and the paged speculative
+    insert (models/speculative.py).
+
+    ``skip_pages > 0`` is the shared-prefix path (serve/batcher.py): the
+    row's first ``skip_pages`` entries reference immutable scene-prefix
+    pages already holding identical KV (scatter_shared_prefix), so only
+    the boundary page (prefix tail + suffix) and later pages are copied.
+    """
+    pages = page_row[skip_pages:n_pages]
+    out = _scatter_dense_pages(cache, dense, pages, n_pages, skip_pages)
+    return out._replace(
+        page_table=out.page_table.at[slot].set(page_row),
+        lens=out.lens.at[slot].set(length))
+
+
+def scatter_shared_prefix(cache: PagedKVCache, prefix,
+                          pages: jax.Array, n_pages: int) -> PagedKVCache:
+    """Write a scene-prefix dense KV slice (layers, 1, P, KV, hd — the
+    engine's _PrefixEntry.cache) into ``n_pages`` pool pages, once per
+    scene. Later admissions on the scene reference these pages in their
+    table rows instead of carrying a private copy (transplant_dense
+    ``skip_pages``) — vLLM-style prefix block sharing: S concurrent
+    requests on one scene hold one copy of the ~1700-token prefix KV
+    instead of S. The pages are immutable by construction: every write
+    lands at positions >= the owner's prefill length > n_pages * page."""
+    return _scatter_dense_pages(cache, prefix, pages, n_pages, 0)
 
 
 def _quantize_kv(x: jax.Array):

@@ -604,12 +604,16 @@ def empty_paged_spec_slots(cfg: ModelConfig, draft_cfg: LLMConfig,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n_pages",))
+                   static_argnames=("n_pages", "skip_pages"))
 def insert_paged_spec_slot(slots: PagedSpecSlots, slot: jax.Array,
                            sub: SpecSlots, page_row: jax.Array,
-                           n_pages: int) -> PagedSpecSlots:
+                           n_pages: int,
+                           skip_pages: int = 0) -> PagedSpecSlots:
     """Graft a spec_start result (B=1): the dense target cache transplants
-    into the slot's pages; the draft cache grafts into its dense row."""
+    into the slot's pages; the draft cache grafts into its dense row.
+    ``skip_pages``: shared scene-prefix pages at the head of the row
+    (already written by generate.write_shared_prefix) are not re-copied —
+    see paged_kv.transplant_dense."""
     from video3d_tpu.models.paged_kv import transplant_dense
 
     graft = lambda big, small: big.at[:, slot].set(small[:, 0])
@@ -617,7 +621,7 @@ def insert_paged_spec_slot(slots: PagedSpecSlots, slot: jax.Array,
         cur=slots.cur.at[slot].set(sub.cur[0]),
         done=slots.done.at[slot].set(False),
         cache=transplant_dense(slots.cache, sub.t_cache, slot, page_row,
-                               n_pages, sub.pos[0]),
+                               n_pages, sub.pos[0], skip_pages=skip_pages),
         d_cache=jax.tree.map(graft, slots.d_cache, sub.d_cache),
         n_iter=slots.n_iter)
 

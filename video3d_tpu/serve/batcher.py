@@ -105,6 +105,16 @@ class ContinuousBatcher:
       page_size: tokens per page (128 keeps the kernel lane-aligned).
       total_pages: pool size; default num_slots * ceil((max_cache_len +
         chunk) / page_size) + 1 (the dense-equivalent worst case).
+      share_prefix_pages: with the engine's scene-prefix KV cache on
+        (EngineConfig.prefix_cache_scenes), reference each scene's full
+        prefix pages from ONE immutable pool copy instead of
+        transplanting a private copy per admission (vLLM prefix block
+        sharing): S concurrent requests on a scene hold ~1 prefix KV
+        footprint (~98 MB at 7B) instead of S, and admission copies only
+        the boundary page + suffix. Safe by construction — every write a
+        slot ever issues lands at positions >= its prefill length, past
+        the shared pages. Lifetime: pages are held while the engine LRU
+        keeps the scene (eviction hook) or any slot references them.
     """
 
     _DEFER = object()
@@ -113,7 +123,8 @@ class ContinuousBatcher:
                  max_cache_len: Optional[int] = None,
                  draft_params=None, draft_cfg=None,
                  paged: bool = False, page_size: int = 128,
-                 total_pages: Optional[int] = None):
+                 total_pages: Optional[int] = None,
+                 share_prefix_pages: bool = True):
         self.engine = engine
         self.num_slots = num_slots
         self.chunk = chunk
@@ -177,6 +188,24 @@ class ContinuousBatcher:
             self._alloc = PageAllocator(self.total_pages)
             self._slot_pages: list = [None] * num_slots
             self._deferred: list = []   # admissions awaiting free pages
+            # vLLM-style prefix block sharing: when the engine's scene-
+            # prefix KV cache is on, each scene's full prefix pages are
+            # written ONCE into the pool (write_shared_prefix) and every
+            # admission on that scene references them in its table row
+            # (insert skip_pages) instead of carrying a private copy — S
+            # concurrent requests on one scene hold ~1 prefix footprint
+            # instead of S. Entries: key -> {pages, refs, dead, sig};
+            # refs = live slots + 1 cache hold, dropped when the engine
+            # LRU evicts the scene (hook -> _evicted_keys, drained on the
+            # scheduler thread so all page accounting is single-threaded).
+            self.share_prefix = bool(share_prefix_pages)
+            self._shared: dict = {}
+            self._slot_shared: list = [None] * num_slots
+            self._evicted_keys: "queue.Queue" = queue.Queue()
+            self._evict_hook = self._evicted_keys.put
+            if self.share_prefix:
+                engine._prefix_evict_hooks.append(self._evict_hook)
+            self.prefix_share_stats = [0, 0]   # [shared admits, creations]
         elif self.spec:
             from video3d_tpu.models.speculative import empty_spec_slots
 
@@ -261,6 +290,11 @@ class ContinuousBatcher:
     def shutdown(self):
         self._stop.set()
         self._wake.set()
+        if self.paged and self.share_prefix:
+            try:
+                self.engine._prefix_evict_hooks.remove(self._evict_hook)
+            except ValueError:
+                pass
         # a first-time jit compile or slow decode chunk can exceed 30 s; the
         # lock below makes the cleanup safe even if the thread is still
         # draining its current chunk when the join times out
@@ -303,7 +337,12 @@ class ContinuousBatcher:
         try:
             if isinstance(prepared, dict):
                 # prefix-aware prep (engine.prepare_request); prefill runs
-                # through engine.start_request against this batcher's rows
+                # through engine.start_request against this batcher's rows.
+                # Refresh HERE (idempotent; start_request refreshes too) so
+                # the page reservation below sees the final mode — a burst
+                # of same-scene requests all prepares as misses before the
+                # first admission harvests the prefix.
+                prepared = eng._refresh_prep(prepared)
                 batch, vision_features = prepared["batch"], \
                     prepared.get("vf")
                 bucket = prepared["bucket"]
@@ -331,6 +370,7 @@ class ContinuousBatcher:
             if req.max_new_tokens > room:
                 req.max_new_tokens = room
             if self.paged:
+                from video3d_tpu.models.generate import write_shared_prefix
                 from video3d_tpu.models.paged_kv import pages_needed
 
                 page = self.page_size
@@ -342,16 +382,63 @@ class ContinuousBatcher:
                     pages_needed(L_bucket + req.max_new_tokens + overshoot,
                                  page),
                     self.max_pages)
-                if need > self._alloc.num_pages - 1:
+                # ---- prefix block sharing (see __init__) ----
+                skip = 0
+                shared = None
+                if (self.share_prefix and isinstance(prepared, dict)
+                        and prepared.get("mode") == "prefix"
+                        and isinstance(prepared.get("key"), str)):
+                    entry = prepared["entry"]
+                    n_full = entry.prefix_len // page
+                    sig = (entry.prefix_len, entry.ids_prefix)
+                    cand = self._shared.get(prepared["key"])
+                    if cand is not None and cand["sig"] != sig:
+                        # stale: the engine re-harvested a different
+                        # prefix for this scene (dict overwrite fires no
+                        # eviction hook). Retire it; live slots keep the
+                        # old pages until they finish.
+                        self._shared.pop(prepared["key"], None)
+                        cand["dead"] = True
+                        cand["refs"] -= 1
+                        if cand["refs"] == 0:
+                            self._alloc.free(cand["pages"])
+                        cand = None
+                    if n_full <= 0 or n_full >= prompt_pages:
+                        pass                  # nothing shareable
+                    elif cand is not None:
+                        shared, skip = cand, n_full
+                    elif self._alloc.available >= need:
+                        # first shared admission on this scene: write the
+                        # prefix KV into its own pool pages once (the
+                        # capacity check covers n_full + this request's
+                        # private remainder = exactly `need` pages)
+                        spages = self._alloc.alloc(n_full)
+                        try:
+                            self.state = self.state._replace(
+                                cache=write_shared_prefix(
+                                    self.state.cache, entry.cache,
+                                    jnp.asarray(spages, jnp.int32),
+                                    n_pages=n_full))
+                        except BaseException:
+                            self._alloc.free(spages)
+                            raise
+                        shared = {"pages": spages, "refs": 1,
+                                  "dead": False, "sig": sig}
+                        self._shared[prepared["key"]] = shared
+                        self.prefix_share_stats[1] += 1
+                        skip = n_full
+                private_need = need - skip
+                if private_need > self._alloc.num_pages - 1:
                     raise ValueError(
-                        f"request footprint ({need} pages) exceeds the "
-                        f"page pool ({self._alloc.num_pages - 1} usable)")
-                if need > self._alloc.available:
+                        f"request footprint ({private_need} pages) exceeds "
+                        f"the page pool ({self._alloc.num_pages - 1} usable)")
+                if private_need > self._alloc.available:
                     return self._DEFER        # wait for pages to free up
-                pages = self._alloc.alloc(need)
+                pages = self._alloc.alloc(private_need)
                 try:
-                    row = jnp.asarray(pages + [0] * (self.max_pages - need),
-                                      jnp.int32)
+                    row = jnp.asarray(
+                        (shared["pages"][:skip] if shared else []) + pages
+                        + [0] * (self.max_pages - need), jnp.int32)
                     if self.spec:
                         from video3d_tpu.models.speculative import (
                             insert_paged_spec_slot, spec_start)
@@ -375,7 +462,7 @@ class ContinuousBatcher:
                                 .k.shape[2])
                         self.state = insert_paged_spec_slot(
                             self.state, jnp.asarray(slot, jnp.int32), sub,
-                            row, n_pages=prompt_pages)
+                            row, n_pages=prompt_pages, skip_pages=skip)
                     else:
                         if isinstance(prepared, dict):
                             sub = eng.start_request(
@@ -388,11 +475,15 @@ class ContinuousBatcher:
                                 vision_features=vision_features)
                         self.state = insert_paged_slot(
                             self.state, jnp.asarray(slot, jnp.int32), sub,
-                            row, n_pages=prompt_pages)
+                            row, n_pages=prompt_pages, skip_pages=skip)
                 except BaseException:
                     self._alloc.free(pages)
                     raise
                 self._slot_pages[slot] = pages
+                if shared is not None:
+                    shared["refs"] += 1
+                    self._slot_shared[slot] = shared
+                    self.prefix_share_stats[0] += 1
                 self.slots[slot] = req
                 self.emitted[slot] = 0
                 if self.spec:
@@ -471,6 +562,12 @@ class ContinuousBatcher:
             if self._slot_pages[slot]:
                 self._alloc.free(self._slot_pages[slot])
                 self._slot_pages[slot] = None
+            sh = self._slot_shared[slot]
+            if sh is not None:
+                self._slot_shared[slot] = None
+                sh["refs"] -= 1
+                if sh["dead"] and sh["refs"] == 0:
+                    self._alloc.free(sh["pages"])
         elif self.spec:
             from video3d_tpu.models.speculative import release_spec_slot
 
@@ -499,6 +596,20 @@ class ContinuousBatcher:
             with self._lock:
                 if self._stop.is_set():
                     break
+                # ---- drop shared prefix pages for evicted scenes ----
+                if self.paged and self.share_prefix:
+                    while True:
+                        try:
+                            k = self._evicted_keys.get_nowait()
+                        except queue.Empty:
+                            break
+                        sh = self._shared.pop(k, None)
+                        if sh is None:
+                            continue
+                        sh["dead"] = True
+                        sh["refs"] -= 1            # the cache-hold ref
+                        if sh["refs"] == 0:
+                            self._alloc.free(sh["pages"])
                 # ---- demote from speculative at an idle boundary ----
                 if self._spec_demote and self.spec \
                         and all(r is None for r in self.slots):
@@ -515,6 +626,8 @@ class ContinuousBatcher:
                             PageAllocator
                         self._alloc = PageAllocator(self.total_pages)
                         self._slot_pages = [None] * self.num_slots
+                        self._shared = {}
+                        self._slot_shared = [None] * self.num_slots
                     else:
                         self.state = empty_decode_state(
                             eng.cfg, self.num_slots, self.max_cache_len,
@@ -622,6 +735,8 @@ class ContinuousBatcher:
                                 cache_dtype=eng._cache_dtype())
                         self._alloc = PageAllocator(self.total_pages)
                         self._slot_pages = [None] * self.num_slots
+                        self._shared = {}
+                        self._slot_shared = [None] * self.num_slots
                     elif self.spec:
                         from video3d_tpu.models.speculative import \
                             empty_spec_slots
