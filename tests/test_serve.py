@@ -99,7 +99,9 @@ class TestServe:
                 {"role": "system", "content": "You are a helpful assistant."},
                 {"role": "user", "content": [
                     {"type": "video_id", "video_id": info["sample_idx"]},
-                    {"type": "text", "text": "<image>\nwhat is in the room"},
+                    # no <image> splice token: a standard OpenAI client
+                    # doesn't know it; the worker injects it for scenes
+                    {"type": "text", "text": "what is in the room"},
                 ]},
             ],
         }, timeout=300)

@@ -120,6 +120,10 @@ class ModelWorker:
                     elif part.get("type") == "video_id":
                         video = part.get("video_id", video)
                 prompt = "\n".join(texts)
+        # standard OpenAI clients don't know the <image> splice token;
+        # when a scene is attached, inject it (serve/cli.py convention)
+        if video and "<image>" not in prompt:
+            prompt = f"<image>\n{prompt}"
         out = self.generate({"video": video, "prompt": prompt})
         finish = "stop" if out["error_code"] == 0 else "error"
         return {
