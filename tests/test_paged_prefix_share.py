@@ -158,6 +158,42 @@ class TestSharedPrefixPages:
         finally:
             on.shutdown()
 
+    def test_capacity_win_no_deferral(self, scene):
+        """The HBM-capacity point of sharing: a pool sized BELOW 2 full
+        unshared footprints still admits 2 same-scene requests
+        concurrently (each reserves only its private remainder), where
+        the unshared batcher must defer the second admission."""
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 4)
+        # warm the prefix entry through the engine (no batcher involved)
+        eng.generate_answer(_record(infos[0], QUESTIONS[0]))
+        n_full = eng._prefix_cache[infos[0]["sample_idx"]].prefix_len // PAGE
+
+        # per-request footprint (batcher _admit): bucket 256 + mnt 4 +
+        # chunk 2 -> need pages; pool = shared + 2 private remainders + 1
+        # scratch — strictly less than 2 full footprints
+        from video3d_tpu.models.paged_kv import pages_needed
+        need = pages_needed(256 + 4 + 2, PAGE)
+        total = 1 + n_full + 2 * (need - n_full)
+        assert total < 1 + 2 * need
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2, paged=True,
+                                    page_size=PAGE, total_pages=total)
+        try:
+            records = [_record(infos[0], q, i)
+                       for i, q in enumerate(QUESTIONS[:2])]
+            handles = [batcher.submit(r) for r in records]
+            # both must occupy slots SIMULTANEOUSLY at some point
+            both = _wait(lambda: all(s is not None for s in batcher.slots),
+                         seconds=60)
+            results = [h.result(eng._decode_text, timeout=300)
+                       for h in handles]
+            assert len(results) == 2
+            assert both, "sharing should fit both requests concurrently"
+            assert batcher.prefix_share_stats[0] == 2
+            assert not batcher._deferred
+        finally:
+            batcher.shutdown()
+
     def test_speculative_composition(self, scene):
         """Self-draft speculation + paged KV + shared prefix pages: the
         target cache shares prefix pages (insert_paged_spec_slot
