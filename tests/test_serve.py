@@ -59,6 +59,11 @@ def stack(tmp_path_factory):
     wserver.shutdown()
 
 
+def _get_text(url, timeout=60):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.headers.get("Content-Type", ""), r.read().decode()
+
+
 class TestServe:
     def test_register_and_list_models(self, stack):
         info, caddr, waddr, controller = stack
@@ -162,6 +167,26 @@ class TestServe:
             "worker_status": {"model_names": ["video3d-tiny"], "speed": 1,
                               "queue_length": 0}})
 
+    def test_metrics_endpoints(self, stack):
+        """POST /worker_metrics (JSON) and GET /metrics (Prometheus text):
+        counters move with traffic, cache stats are exposed."""
+        info, caddr, waddr, controller = stack
+        _post_json(waddr + "/worker_generate", {
+            "video": info["sample_idx"],
+            "prompt": "<image>\nwhat is in the room"}, timeout=300)
+        m = _post_json(waddr + "/worker_metrics", {})
+        assert m["requests_total"] >= 1
+        assert m["errors_total"] == 0
+        assert m["queue_length"] == 0
+        assert m["inference_seconds_total"] > 0
+        assert {"scene_cache_hits_total", "prefix_cache_misses_total",
+                "speculative_offered_total"} <= set(m)
+        ctype, text = _get_text(waddr + "/metrics")
+        assert ctype.startswith("text/plain")
+        assert "# TYPE video3d_requests_total counter" in text
+        assert 'video3d_requests_total{model="video3d-tiny"}' in text
+        assert "# TYPE video3d_queue_length gauge" in text
+
 
 
 class TestBatcherWorker:
@@ -215,6 +240,12 @@ class TestBatcherWorker:
             for r in results:
                 assert r is not None and r["error_code"] == 0, results
                 assert r["text"] == want
+            m = _post_json(addr + "/worker_metrics", {})
+            assert m["slots"] == 2 and m["requests_total"] == 2
+            assert m["slots_in_use"] == 0
+            if paged:
+                # both requests finished -> the whole pool is free again
+                assert m["pages_free"] == m["pages"]
         finally:
             worker.batcher.shutdown()
             server.shutdown()

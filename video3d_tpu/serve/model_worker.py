@@ -39,6 +39,10 @@ class ModelWorker:
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:8]
         self.queue_length = 0
+        # observability counters (GET /metrics, POST /worker_metrics)
+        self.n_requests = 0
+        self.n_errors = 0
+        self.inference_seconds = 0.0
         self.lock = threading.Lock()
         self._hb_stop = threading.Event()
         if controller_addr and worker_addr:
@@ -50,6 +54,45 @@ class ModelWorker:
     def status(self) -> dict:
         return {"model_names": [self.model_name], "speed": 1,
                 "queue_length": self.queue_length}
+
+    def metrics(self) -> dict:
+        """Flat scrape of the serving stack's observable state: worker
+        counters, the engine's cache hit rates (scene features + prefix
+        KV), and — when continuous batching is on — slot occupancy, page
+        pool headroom, and prefix-page sharing. Served as JSON
+        (POST /worker_metrics) and Prometheus text (GET /metrics)."""
+        eng = self.engine
+        m = {
+            "queue_length": self.queue_length,
+            "requests_total": self.n_requests,
+            "errors_total": self.n_errors,
+            "inference_seconds_total": round(self.inference_seconds, 3),
+            "scene_cache_hits_total": eng.scene_cache_stats[0],
+            "scene_cache_misses_total": eng.scene_cache_stats[1],
+            "prefix_cache_hits_total": eng.prefix_cache_stats[0],
+            "prefix_cache_misses_total": eng.prefix_cache_stats[1],
+            "speculative_accepted_total": eng.spec_stats[0],
+            "speculative_offered_total": eng.spec_stats[1],
+        }
+        b = self.batcher
+        # a RoutedBatcher fans out to .pools; aggregate across them
+        pools = list(getattr(b, "pools", [b])) if b is not None else []
+        if pools:
+            m["slots"] = sum(p.num_slots for p in pools)
+            m["slots_in_use"] = sum(sum(r is not None for r in p.slots)
+                                    for p in pools)
+            m["speculative_batching"] = int(any(p.spec for p in pools))
+            paged = [p for p in pools if p.paged]
+            if paged:
+                m["pages"] = sum(p.total_pages - 1 for p in paged)
+                m["pages_free"] = sum(p._alloc.available for p in paged)
+                m["admissions_deferred"] = sum(len(p._deferred)
+                                               for p in paged)
+                m["prefix_shared_admits_total"] = sum(
+                    p.prefix_share_stats[0] for p in paged)
+                m["prefix_shared_scenes"] = sum(len(p._shared)
+                                                for p in paged)
+        return m
 
     def register(self) -> None:
         _post_json(self.controller_addr + "/register_worker", {
@@ -86,13 +129,18 @@ class ModelWorker:
                 text = self.batcher.generate(record)
             else:
                 text = self.engine.generate_answer(record)
-            return {"text": text, "inference_time": time.time() - t0,
-                    "error_code": 0}
+            dt = time.time() - t0
+            with self.lock:
+                self.inference_seconds += dt
+            return {"text": text, "inference_time": dt, "error_code": 0}
         except Exception as e:  # noqa: BLE001
+            with self.lock:
+                self.n_errors += 1
             return {"text": "", "error": str(e), "error_code": 1}
         finally:
             with self.lock:
                 self.queue_length -= 1
+                self.n_requests += 1
 
     def chat_completions(self, request: dict) -> dict:
         """OpenAI-compatible /v1/chat/completions (non-streaming): standard
@@ -162,10 +210,25 @@ class ModelWorker:
             for text in stream:
                 yield {"text": text, "error_code": 0}
         except Exception as e:  # noqa: BLE001
+            with self.lock:
+                self.n_errors += 1
             yield {"text": "", "error": str(e), "error_code": 1}
         finally:
             with self.lock:
                 self.queue_length -= 1
+                self.n_requests += 1
+
+
+def _prometheus(metrics: dict, model: str) -> str:
+    """Render a flat metrics dict in the Prometheus exposition format
+    (text/plain; no client library needed — the format is line-based)."""
+    lines = []
+    for k, v in metrics.items():
+        name = f"video3d_{k}"
+        kind = "counter" if k.endswith("_total") else "gauge"
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f'{name}{{model="{model}"}} {v}')
+    return "\n".join(lines) + "\n"
 
 
 class _WorkerHandler(BaseHTTPRequestHandler):
@@ -182,11 +245,25 @@ class _WorkerHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def do_GET(self):
+        if self.path == "/metrics":
+            body = _prometheus(self.worker.metrics(),
+                               self.worker.model_name).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self._reply({"error": f"unknown path {self.path}"}, 404)
+
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
         data = json.loads(self.rfile.read(n) or b"{}")
         if self.path == "/worker_get_status":
             self._reply(self.worker.status())
+        elif self.path == "/worker_metrics":
+            self._reply(self.worker.metrics())
         elif self.path == "/worker_generate":
             self._reply(self.worker.generate(data))
         elif self.path == "/v1/chat/completions":
