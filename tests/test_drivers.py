@@ -294,3 +294,78 @@ class TestSpeculativeEngine:
         assert all(o == want for o in outs)
         assert spec_engine._spec_disabled     # guard tripped
         assert spec_engine.spec_stats[1] > 0
+
+
+class TestMultiTurnChat:
+    """Multi-turn records (the reference serve/cli.py conversation loop,
+    llava/serve/cli.py:58-86): every turn goes through the ChatML
+    construction and the <image> splice stays anchored in turn 0."""
+
+    def _multi(self, info):
+        return {
+            "video": info["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat is in the room"},
+                {"from": "gpt", "value": "a chair"},
+                {"from": "human", "value": "what color is it"},
+                {"from": "gpt", "value": None},
+            ],
+        }
+
+    def test_multi_turn_prompt_structure(self, env):
+        """The multi-turn prompt: system + every history turn in ChatML +
+        generation header; the <image> splice anchored in turn 0 so the
+        single-turn prefix (the scene-prefix KV key) is preserved."""
+        from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+
+        info, engine, tok, outdir = env
+        rec = self._multi(info)
+        ids = engine._tokenize_prompt(rec)
+        single = engine._tokenize_prompt({
+            "video": info["sample_idx"],
+            "conversations": rec["conversations"][:1]
+            + [{"from": "gpt", "value": None}]})
+
+        # exactly one image sentinel, in the same spot as single-turn —
+        # ids[:img+1] is the scene-prefix cache key, so history reuses it
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+        img = ids.index(IMAGE_TOKEN_INDEX)
+        assert ids[:img + 1] == single[:img + 1]
+
+        # history words present exactly once each, in order
+        im_start = tok.vocab["<|im_start|>"]
+        a_chair = [tok.vocab["a"], tok.vocab["chair"]]
+        q2 = [tok.vocab[w] for w in "what color is it".split()]
+        s = list(ids)
+        i_ans = next(i for i in range(len(s)) if s[i:i + 2] == a_chair)
+        i_q2 = next(i for i in range(len(s)) if s[i:i + 4] == q2)
+        assert img < i_ans < i_q2
+
+        # ends with the assistant generation header, like single-turn
+        header = [im_start] + list(tok("assistant\n").input_ids)
+        assert s[-len(header):] == header and single[-len(header):] == header
+        # and is strictly longer than single-turn by the history turns
+        assert len(s) > len(single)
+
+    def test_generate_and_prefix_hit(self, env):
+        """Multi-turn generation runs end-to-end, and with the prefix
+        cache on, the follow-up turn hits the scene prefix."""
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok, outdir = env
+        rec = self._multi(info)
+        text = engine.generate_answer(rec)
+        assert isinstance(text, str)
+
+        cached = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, prefix_cache_scenes=2,
+                       suffix_buckets=(64, 128)),
+            device_geometry=engine.device_geometry)
+        first = cached.generate_answer({
+            "video": info["sample_idx"],
+            "conversations": rec["conversations"][:1]
+            + [{"from": "gpt", "value": None}]})
+        follow = cached.generate_answer(rec)
+        assert cached.prefix_cache_stats[0] >= 1      # the follow-up hit
+        assert follow == engine.generate_answer(rec)

@@ -167,6 +167,31 @@ class TestServe:
             "worker_status": {"model_names": ["video3d-tiny"], "speed": 1,
                               "queue_length": 0}})
 
+    def test_multi_turn_history(self, stack):
+        """Multi-turn chat over the wire: a ``conversations`` history on
+        /worker_generate, and the same history as OpenAI messages, produce
+        the same answer (the worker forwards full history; the engine
+        re-prompts with it like the reference cli.py loop)."""
+        info, caddr, waddr, controller = stack
+        hist = [
+            {"from": "human", "value": "<image>\nwhat is in the room"},
+            {"from": "gpt", "value": "a chair"},
+            {"from": "human", "value": "what color is it"},
+        ]
+        native = _post_json(waddr + "/worker_generate", {
+            "video": info["sample_idx"], "conversations": hist},
+            timeout=300)
+        assert native["error_code"] == 0
+        assert isinstance(native["text"], str)
+        out = _post_json(waddr + "/v1/chat/completions", {
+            "video": info["sample_idx"],
+            "messages": [
+                {"role": "user", "content": "what is in the room"},
+                {"role": "assistant", "content": "a chair"},
+                {"role": "user", "content": "what color is it"},
+            ]}, timeout=300)
+        assert out["choices"][0]["message"]["content"] == native["text"]
+
     def test_metrics_endpoints(self, stack):
         """POST /worker_metrics (JSON) and GET /metrics (Prometheus text):
         counters move with traffic, cache stats are exposed."""

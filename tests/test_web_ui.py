@@ -99,6 +99,32 @@ class TestWebUI:
             assert b["text"].startswith(a["text"])
         assert lines[-1]["text"] == want
 
+    def test_chat_with_history(self, stack):
+        """The browser UI's multi-turn shape: `conversations` rides the
+        /chat POST through the worker stream; final text equals the
+        engine on the same multi-turn record."""
+        info, engine, uaddr = stack
+        convs = [
+            {"from": "human", "value": "<image>\nwhat is in the room"},
+            {"from": "gpt", "value": "a chair"},
+            {"from": "human", "value": "what color is it"},
+            {"from": "gpt", "value": None},
+        ]
+        want = engine.generate_answer(
+            {"video": info["sample_idx"], "conversations": convs})
+        req = urllib.request.Request(
+            uaddr + "/chat",
+            data=json.dumps({"model": "video3d-tiny",
+                             "video": info["sample_idx"],
+                             "conversations": convs,
+                             "stream_chunk": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = [json.loads(l) for l in
+                 urllib.request.urlopen(req, timeout=300).read().splitlines()
+                 if l.strip()]
+        assert lines and all(d["error_code"] == 0 for d in lines)
+        assert lines[-1]["text"] == want
+
     def test_unknown_model_errors_cleanly(self, stack):
         info, engine, uaddr = stack
         req = urllib.request.Request(

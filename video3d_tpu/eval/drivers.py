@@ -422,7 +422,24 @@ class InferenceEngine:
         source of truth for both _prepare_generation and cache-footprint
         estimation (serve/router.py), so pool routing can never use a
         different template than the engine itself. Swap the preprocessor
-        here if an engine is ever built for a non-Qwen template family."""
+        here if an engine is ever built for a non-Qwen template family.
+
+        Records with more than one human turn are MULTI-TURN chat (the
+        reference's interactive serve/cli.py keeps a conversation object
+        and re-prompts with the full history): every turn goes through the
+        ChatML construction, the <image> splice stays anchored in turn 0,
+        and the trailing ``{"from": "gpt", "value": None}`` emits the
+        generation header. The scene-prefix KV cache still applies — the
+        prefix (system + turn-0 header + vision block) is history-
+        independent; only the suffix grows with history."""
+        convs = record["conversations"]
+        if len(convs) > 2:
+            source = [dict(c) for c in convs]
+            first = self.ecfg.extra_prompt + source[0]["value"]
+            if DEFAULT_IMAGE_TOKEN not in first:
+                first = f"{DEFAULT_IMAGE_TOKEN}\n{first}"
+            source[0]["value"] = first
+            return preprocess_qwen_eval(source, self.tokenizer)
         question = {"from": "human", "value": self._question_text(record)}
         return preprocess_qwen_eval(
             [question, {"from": "gpt", "value": None}], self.tokenizer)

@@ -17,6 +17,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     print(f"models: {_post_json(args.controller + '/list_models', {})['models']}")
+    # multi-turn: accumulate the conversation client-side and re-prompt
+    # with the full history (the reference cli.py conversation loop,
+    # llava/serve/cli.py:58-86, as a stateless wire field)
+    history = []
     while True:
         try:
             prompt = input("user> ").strip()
@@ -24,13 +28,21 @@ def main(argv=None):
             break
         if not prompt:
             continue
+        if prompt in (":reset", ":clear"):
+            history = []
+            print("(history cleared)")
+            continue
+        turn = prompt if history else f"<image>\n{prompt}"
+        history.append({"from": "human", "value": turn})
         out = _post_json(args.controller + "/worker_generate", {
             "model": args.model,
             "video": args.video,
-            "prompt": f"<image>\n{prompt}",
+            "conversations": history + [{"from": "gpt", "value": None}],
             "max_new_tokens": args.max_new_tokens,
         }, timeout=600)
-        print(f"assistant> {out.get('text', out)}")
+        text = out.get("text", "")
+        print(f"assistant> {text if out.get('error_code', 0) == 0 else out}")
+        history.append({"from": "gpt", "value": text})
 
 
 if __name__ == "__main__":

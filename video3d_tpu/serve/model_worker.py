@@ -113,17 +113,27 @@ class ModelWorker:
             except Exception:
                 pass
 
+    @staticmethod
+    def _record(request: dict) -> dict:
+        """Wire request -> engine record. Either a single-turn ``prompt``
+        or a full multi-turn ``conversations`` history (human/gpt turns,
+        trailing gpt turn None/absent — the reference cli.py's
+        conversation-object loop, as a stateless wire field)."""
+        convs = request.get("conversations")
+        if convs:
+            convs = [dict(c) for c in convs]
+            if convs[-1].get("value"):
+                convs.append({"from": "gpt", "value": None})
+        else:
+            convs = [{"from": "human", "value": request["prompt"]},
+                     {"from": "gpt", "value": None}]
+        return {"video": request.get("video", ""), "conversations": convs}
+
     def generate(self, request: dict) -> dict:
         with self.lock:
             self.queue_length += 1
         try:
-            record = {
-                "video": request["video"],
-                "conversations": [
-                    {"from": "human", "value": request["prompt"]},
-                    {"from": "gpt", "value": None},
-                ],
-            }
+            record = self._record(request)
             t0 = time.time()
             if self.batcher is not None:
                 text = self.batcher.generate(record)
@@ -148,31 +158,39 @@ class ModelWorker:
 
         The scene id rides either a top-level ``"video"`` field or an
         OpenAI-style content part ``{"type": "video_id", "video_id": ...}``
-        inside the last user message (alongside the usual
-        ``{"type": "text", ...}`` parts). Beyond-reference: the reference
-        serve stack speaks only its own worker protocol.
+        inside a user message (alongside the usual ``{"type": "text",
+        ...}`` parts). The FULL user/assistant history is forwarded as a
+        multi-turn conversation (the engine re-prompts with history, like
+        the reference cli.py conversation loop); system messages are
+        dropped — the engine's ChatML template carries its own. Beyond-
+        reference: the reference serve stack speaks only its own worker
+        protocol.
         """
         video = request.get("video", "")
-        prompt = ""
+        convs = []
         for msg in request.get("messages", []):
-            if msg.get("role") != "user":
-                continue        # single-turn engine contract; system/assistant
+            role = msg.get("role")
+            if role not in ("user", "assistant"):
+                continue
             content = msg.get("content", "")
-            if isinstance(content, str):
-                prompt = content
-            else:               # OpenAI content-part list
+            if not isinstance(content, str):    # OpenAI content-part list
                 texts = []
                 for part in content:
                     if part.get("type") == "text":
                         texts.append(part.get("text", ""))
                     elif part.get("type") == "video_id":
                         video = part.get("video_id", video)
-                prompt = "\n".join(texts)
+                content = "\n".join(texts)
+            convs.append({"from": "human" if role == "user" else "gpt",
+                          "value": content})
+        if not convs:
+            return {"error": {"message": "no user/assistant message",
+                              "type": "invalid_request_error"}}
         # standard OpenAI clients don't know the <image> splice token;
-        # when a scene is attached, inject it (serve/cli.py convention)
-        if video and "<image>" not in prompt:
-            prompt = f"<image>\n{prompt}"
-        out = self.generate({"video": video, "prompt": prompt})
+        # when a scene is attached, inject it (anchored in turn 0)
+        if video and all("<image>" not in c["value"] for c in convs):
+            convs[0]["value"] = f"<image>\n{convs[0]['value']}"
+        out = self.generate({"video": video, "conversations": convs})
         finish = "stop" if out["error_code"] == 0 else "error"
         return {
             "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
@@ -194,13 +212,7 @@ class ModelWorker:
         with self.lock:
             self.queue_length += 1
         try:
-            record = {
-                "video": request["video"],
-                "conversations": [
-                    {"from": "human", "value": request["prompt"]},
-                    {"from": "gpt", "value": None},
-                ],
-            }
+            record = self._record(request)
             chunk = int(request.get("stream_chunk", 16))
             if self.batcher is not None:
                 stream = self.batcher.generate_stream(record)

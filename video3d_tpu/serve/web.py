@@ -46,10 +46,17 @@ _PAGE = """<!doctype html>
  <input id="video" placeholder="scannet/scene0000_00"></div>
 <div class="row"><label>question</label>
  <textarea id="prompt" placeholder="Where is the brown chair?"></textarea></div>
-<div class="row"><button id="ask">Ask</button></div>
+<div class="row"><button id="ask">Ask</button>
+ <button id="reset">New chat</button></div>
 <div id="log"></div>
 <script>
 const log = document.getElementById('log');
+// multi-turn: the full history rides each request as `conversations`
+// (the worker re-prompts the engine with it); scene change resets it
+let history = [];
+function resetChat(){ history = []; log.innerHTML = ''; }
+document.getElementById('reset').onclick = resetChat;
+document.getElementById('video').onchange = resetChat;
 async function loadModels(){
   const r = await fetch('models'); const d = await r.json();
   const sel = document.getElementById('model');
@@ -67,13 +74,15 @@ document.getElementById('ask').onclick = async () => {
   qdiv.className = 'q'; qdiv.textContent = 'Q: ' + q;
   log.appendChild(qdiv);
   const adiv = document.createElement('div'); log.appendChild(adiv);
+  history.push({from: 'human', value: q});
+  let answer = '', failed = false;
   try {
     const resp = await fetch('chat', {method: 'POST',
       headers: {'Content-Type': 'application/json'},
       body: JSON.stringify({
         model: document.getElementById('model').value,
         video: document.getElementById('video').value,
-        prompt: q})});
+        conversations: history.concat([{from: 'gpt', value: null}])})});
     const reader = resp.body.getReader();
     const dec = new TextDecoder(); let buf = '';
     while (true){
@@ -85,12 +94,14 @@ document.getElementById('ask').onclick = async () => {
         const line = buf.slice(0, i); buf = buf.slice(i + 1);
         if (!line.trim()) continue;
         const d = JSON.parse(line);
-        if (d.error_code) { adiv.className = 'err';
+        if (d.error_code) { adiv.className = 'err'; failed = true;
           adiv.textContent = 'error: ' + (d.error || 'unknown'); }
-        else adiv.textContent = 'A: ' + d.text;
+        else { answer = d.text; adiv.textContent = 'A: ' + answer; }
       }
     }
-  } catch (e){ adiv.className = 'err'; adiv.textContent = 'error: ' + e; }
+  } catch (e){ adiv.className = 'err'; failed = true;
+    adiv.textContent = 'error: ' + e; }
+  if (failed) history.pop(); else history.push({from: 'gpt', value: answer});
   btn.disabled = false;
 };
 </script></body></html>
@@ -140,13 +151,17 @@ class WebUI:
             yield {"text": "", "error": "no worker for model",
                    "error_code": 1}
             return
+        payload = {
+            "video": request.get("video", ""),
+            "stream_chunk": int(request.get("stream_chunk", 8)),
+        }
+        if request.get("conversations"):      # multi-turn history
+            payload["conversations"] = request["conversations"]
+        else:
+            payload["prompt"] = request.get("prompt", "")
         req = urllib.request.Request(
             addr + "/worker_generate_stream",
-            data=json.dumps({
-                "video": request.get("video", ""),
-                "prompt": request.get("prompt", ""),
-                "stream_chunk": int(request.get("stream_chunk", 8)),
-            }).encode(),
+            data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=600) as r:
             buf = b""
