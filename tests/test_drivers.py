@@ -347,6 +347,24 @@ class TestMultiTurnChat:
         # and is strictly longer than single-turn by the history turns
         assert len(s) > len(single)
 
+    def test_image_in_later_turn_not_doubled(self, env):
+        """A reference-style history can anchor <image> in the turn that
+        introduced the media; the engine must not inject a second
+        sentinel (the splice plan is single-image)."""
+        from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+
+        info, engine, tok, outdir = env
+        ids = engine._tokenize_prompt({
+            "video": info["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "hello"},
+                {"from": "gpt", "value": "hi"},
+                {"from": "human", "value": "<image>\nwhat is in the room"},
+                {"from": "gpt", "value": None},
+            ],
+        })
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+
     def test_generate_and_prefix_hit(self, env):
         """Multi-turn generation runs end-to-end, and with the prefix
         cache on, the follow-up turn hits the scene prefix."""

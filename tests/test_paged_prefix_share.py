@@ -194,6 +194,38 @@ class TestSharedPrefixPages:
         finally:
             batcher.shutdown()
 
+    def test_stale_prep_does_not_leak_shared_pages(self, scene,
+                                                   monkeypatch):
+        """A prep that captured a prefix entry BEFORE the engine evicted
+        the scene must not mint a shared entry: its cache-hold ref could
+        only be released by a future eviction that may never come. The
+        admission falls back to an unshared transplant and every page
+        returns to the pool."""
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 4)
+        key = infos[0]["sample_idx"]
+        eng.generate_answer(_record(infos[0], QUESTIONS[0]))   # harvest
+        stale_prep = eng.prepare_request(_record(infos[0], QUESTIONS[1]))
+        assert stale_prep["mode"] == "prefix"
+        # the race: eviction lands after prep, before admission (the
+        # batcher's hook queue would drain it as a no-op)
+        with eng._cache_lock:
+            eng._prefix_cache.pop(key)
+        monkeypatch.setattr(eng, "prepare_request",
+                            lambda *a, **k: stale_prep)
+
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2,
+                                    paged=True, page_size=PAGE)
+        try:
+            full = batcher._alloc.available
+            out = batcher.generate(_record(infos[0], QUESTIONS[1]))
+            assert isinstance(out, str)
+            assert batcher._shared == {}                  # nothing minted
+            assert batcher.prefix_share_stats == [0, 0]
+            assert _wait(lambda: batcher._alloc.available == full)
+        finally:
+            batcher.shutdown()
+
     def test_speculative_composition(self, scene):
         """Self-draft speculation + paged KV + shared prefix pages: the
         target cache shares prefix pages (insert_paged_spec_slot

@@ -192,6 +192,33 @@ class TestServe:
             ]}, timeout=300)
         assert out["choices"][0]["message"]["content"] == native["text"]
 
+    def test_openai_robustness(self, stack):
+        """Null assistant content (tool-call style turns) must not crash;
+        a request with no usable message gets an OpenAI error envelope
+        with a 400 status, not a malformed chat.completion."""
+        import urllib.error
+
+        info, caddr, waddr, controller = stack
+        out = _post_json(waddr + "/v1/chat/completions", {
+            "video": info["sample_idx"],
+            "messages": [
+                {"role": "user", "content": "what is in the room"},
+                {"role": "assistant", "content": None},
+                {"role": "user", "content": [
+                    "junk-non-dict-part",
+                    {"type": "text", "text": "what color is it"},
+                ]},
+            ]}, timeout=300)
+        assert out["choices"][0]["finish_reason"] == "stop"
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_json(waddr + "/v1/chat/completions", {
+                "messages": [{"role": "system", "content": "hi"}]},
+                timeout=60)
+        assert ei.value.code == 400
+        err = json.loads(ei.value.read())
+        assert err["error"]["type"] == "invalid_request_error"
+
     def test_metrics_endpoints(self, stack):
         """POST /worker_metrics (JSON) and GET /metrics (Prometheus text):
         counters move with traffic, cache stats are exposed."""

@@ -435,10 +435,15 @@ class InferenceEngine:
         convs = record["conversations"]
         if len(convs) > 2:
             source = [dict(c) for c in convs]
-            first = self.ecfg.extra_prompt + source[0]["value"]
-            if DEFAULT_IMAGE_TOKEN not in first:
-                first = f"{DEFAULT_IMAGE_TOKEN}\n{first}"
-            source[0]["value"] = first
+            source[0]["value"] = self.ecfg.extra_prompt + source[0]["value"]
+            # inject the splice token only when NO turn carries one (a
+            # reference-style history may anchor <image> in a later turn;
+            # a second sentinel would fail the splice plan's single-image
+            # contract, models/splice.py)
+            if all(DEFAULT_IMAGE_TOKEN not in (c.get("value") or "")
+                   for c in source):
+                source[0]["value"] = (f"{DEFAULT_IMAGE_TOKEN}\n"
+                                      f"{source[0]['value']}")
             return preprocess_qwen_eval(source, self.tokenizer)
         question = {"from": "human", "value": self._question_text(record)}
         return preprocess_qwen_eval(

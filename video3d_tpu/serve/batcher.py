@@ -403,11 +403,18 @@ class ContinuousBatcher:
                         if cand["refs"] == 0:
                             self._alloc.free(cand["pages"])
                         cand = None
+                    # the creation's cache-hold ref is only ever released
+                    # by the engine's eviction hook, so create ONLY while
+                    # the engine still caches the scene — a prep that
+                    # out-lived an eviction (its hook already drained as a
+                    # no-op) must not mint an entry nobody will evict
+                    with eng._cache_lock:
+                        engine_holds = prepared["key"] in eng._prefix_cache
                     if n_full <= 0 or n_full >= prompt_pages:
                         pass                  # nothing shareable
                     elif cand is not None:
                         shared, skip = cand, n_full
-                    elif self._alloc.available >= need:
+                    elif engine_holds and self._alloc.available >= need:
                         # first shared admission on this scene: write the
                         # prefix KV into its own pool pages once (the
                         # capacity check covers n_full + this request's

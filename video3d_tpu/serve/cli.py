@@ -34,15 +34,25 @@ def main(argv=None):
             continue
         turn = prompt if history else f"<image>\n{prompt}"
         history.append({"from": "human", "value": turn})
-        out = _post_json(args.controller + "/worker_generate", {
-            "model": args.model,
-            "video": args.video,
-            "conversations": history + [{"from": "gpt", "value": None}],
-            "max_new_tokens": args.max_new_tokens,
-        }, timeout=600)
+        try:
+            out = _post_json(args.controller + "/worker_generate", {
+                "model": args.model,
+                "video": args.video,
+                "conversations": history + [{"from": "gpt", "value": None}],
+                "max_new_tokens": args.max_new_tokens,
+            }, timeout=600)
+        except Exception as e:  # noqa: BLE001 — worker/controller down
+            out = {"text": "", "error": str(e), "error_code": 1}
         text = out.get("text", "")
-        print(f"assistant> {text if out.get('error_code', 0) == 0 else out}")
-        history.append({"from": "gpt", "value": text})
+        if out.get("error_code", 0) == 0 and text:
+            print(f"assistant> {text}")
+            history.append({"from": "gpt", "value": text})
+        else:
+            # keep the history well-formed: drop the failed turn (an
+            # empty gpt value would render as a stray generation header
+            # mid-prompt on the next round)
+            history.pop()
+            print(f"assistant> (error) {out.get('error', out)}")
 
 
 if __name__ == "__main__":

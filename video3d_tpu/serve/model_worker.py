@@ -152,7 +152,7 @@ class ModelWorker:
                 self.queue_length -= 1
                 self.n_requests += 1
 
-    def chat_completions(self, request: dict) -> dict:
+    def chat_completions(self, request: dict):
         """OpenAI-compatible /v1/chat/completions (non-streaming): standard
         clients point their base_url at the worker and chat with a scene.
 
@@ -165,33 +165,50 @@ class ModelWorker:
         dropped — the engine's ChatML template carries its own. Beyond-
         reference: the reference serve stack speaks only its own worker
         protocol.
+
+        Returns ``(payload, http_status)``: errors use the OpenAI error
+        envelope with a non-2xx status (standard SDKs key error handling
+        off the status code), never a malformed chat.completion.
         """
         video = request.get("video", "")
         convs = []
         for msg in request.get("messages", []):
+            if not isinstance(msg, dict):
+                continue
             role = msg.get("role")
             if role not in ("user", "assistant"):
                 continue
-            content = msg.get("content", "")
+            # content may be null (assistant tool-call turns) or a
+            # content-part list with arbitrary non-dict junk — be liberal
+            content = msg.get("content") or ""
             if not isinstance(content, str):    # OpenAI content-part list
                 texts = []
                 for part in content:
+                    if not isinstance(part, dict):
+                        continue
                     if part.get("type") == "text":
-                        texts.append(part.get("text", ""))
+                        texts.append(str(part.get("text", "")))
                     elif part.get("type") == "video_id":
                         video = part.get("video_id", video)
                 content = "\n".join(texts)
+            if role == "assistant" and not content:
+                continue        # tool-call / empty turns carry no text
             convs.append({"from": "human" if role == "user" else "gpt",
                           "value": content})
         if not convs:
             return {"error": {"message": "no user/assistant message",
-                              "type": "invalid_request_error"}}
+                              "type": "invalid_request_error",
+                              "param": "messages", "code": None}}, 400
         # standard OpenAI clients don't know the <image> splice token;
         # when a scene is attached, inject it (anchored in turn 0)
         if video and all("<image>" not in c["value"] for c in convs):
             convs[0]["value"] = f"<image>\n{convs[0]['value']}"
         out = self.generate({"video": video, "conversations": convs})
-        finish = "stop" if out["error_code"] == 0 else "error"
+        if out["error_code"]:
+            return {"error": {"message": out.get("error", "generation "
+                                                 "failed"),
+                              "type": "server_error", "param": None,
+                              "code": None}}, 500
         return {
             "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
             "object": "chat.completion",
@@ -200,10 +217,9 @@ class ModelWorker:
             "choices": [{
                 "index": 0,
                 "message": {"role": "assistant", "content": out["text"]},
-                "finish_reason": finish,
+                "finish_reason": "stop",
             }],
-            **({"error": out["error"]} if out["error_code"] else {}),
-        }
+        }, 200
 
     def generate_stream(self, request: dict):
         """Yield cumulative-text chunks (the reference worker's
@@ -211,6 +227,7 @@ class ModelWorker:
         object per chunk, ``\\0``-separated on the wire)."""
         with self.lock:
             self.queue_length += 1
+        t0 = time.time()
         try:
             record = self._record(request)
             chunk = int(request.get("stream_chunk", 16))
@@ -229,6 +246,7 @@ class ModelWorker:
             with self.lock:
                 self.queue_length -= 1
                 self.n_requests += 1
+                self.inference_seconds += time.time() - t0
 
 
 def _prometheus(metrics: dict, model: str) -> str:
@@ -270,27 +288,37 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             self._reply({"error": f"unknown path {self.path}"}, 404)
 
     def do_POST(self):
-        n = int(self.headers.get("Content-Length", 0))
-        data = json.loads(self.rfile.read(n) or b"{}")
-        if self.path == "/worker_get_status":
-            self._reply(self.worker.status())
-        elif self.path == "/worker_metrics":
-            self._reply(self.worker.metrics())
-        elif self.path == "/worker_generate":
-            self._reply(self.worker.generate(data))
-        elif self.path == "/v1/chat/completions":
-            self._reply(self.worker.chat_completions(data))
-        elif self.path == "/worker_generate_stream":
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(n) or b"{}")
+        except Exception as e:  # noqa: BLE001 — malformed body/headers
+            self._reply({"error": f"bad request: {e}"}, 400)
+            return
+        if self.path == "/worker_generate_stream":
             # reference wire format: json chunks separated by b"\0"
-            # (serve/model_worker.py generate_stream_gate)
+            # (serve/model_worker.py generate_stream_gate); errors inside
+            # the stream ride the chunks (generate_stream catches them)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.end_headers()
             for payload in self.worker.generate_stream(data):
                 self.wfile.write(json.dumps(payload).encode() + b"\0")
                 self.wfile.flush()
-        else:
-            self._reply({"error": f"unknown path {self.path}"}, 404)
+            return
+        try:
+            if self.path == "/worker_get_status":
+                self._reply(self.worker.status())
+            elif self.path == "/worker_metrics":
+                self._reply(self.worker.metrics())
+            elif self.path == "/worker_generate":
+                self._reply(self.worker.generate(data))
+            elif self.path == "/v1/chat/completions":
+                payload, status = self.worker.chat_completions(data)
+                self._reply(payload, status)
+            else:
+                self._reply({"error": f"unknown path {self.path}"}, 404)
+        except Exception as e:  # noqa: BLE001 — never drop the connection
+            self._reply({"error": str(e)}, 500)
 
 
 def serve_worker(engine, model_name: str, host: str = "127.0.0.1",

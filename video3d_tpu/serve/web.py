@@ -52,9 +52,11 @@ _PAGE = """<!doctype html>
 <script>
 const log = document.getElementById('log');
 // multi-turn: the full history rides each request as `conversations`
-// (the worker re-prompts the engine with it); scene change resets it
-let history = [];
-function resetChat(){ history = []; log.innerHTML = ''; }
+// (the worker re-prompts the engine with it); scene change resets it.
+// Resets are ignored while a request streams — the completion handler
+// would otherwise push the old answer into the freshly reset history.
+let history = [], busy = false;
+function resetChat(){ if (busy) return; history = []; log.innerHTML = ''; }
 document.getElementById('reset').onclick = resetChat;
 document.getElementById('video').onchange = resetChat;
 async function loadModels(){
@@ -69,6 +71,7 @@ async function loadModels(){
 loadModels();
 document.getElementById('ask').onclick = async () => {
   const btn = document.getElementById('ask'); btn.disabled = true;
+  busy = true;
   const q = document.getElementById('prompt').value;
   const qdiv = document.createElement('div');
   qdiv.className = 'q'; qdiv.textContent = 'Q: ' + q;
@@ -102,6 +105,7 @@ document.getElementById('ask').onclick = async () => {
   } catch (e){ adiv.className = 'err'; failed = true;
     adiv.textContent = 'error: ' + e; }
   if (failed) history.pop(); else history.push({from: 'gpt', value: answer});
+  busy = false;
   btn.disabled = false;
 };
 </script></body></html>
