@@ -192,6 +192,49 @@ class TestServe:
             ]}, timeout=300)
         assert out["choices"][0]["message"]["content"] == native["text"]
 
+    def test_openai_stream_and_max_tokens(self, stack):
+        """`"stream": true` serves SSE chat.completion.chunk events whose
+        joined deltas equal the non-streaming answer; `max_tokens` caps
+        the emission per request (no recompile — host-chunked stream)."""
+        info, caddr, waddr, controller = stack
+        native = _post_json(waddr + "/worker_generate", {
+            "video": info["sample_idx"],
+            "prompt": "<image>\nwhat is in the room"}, timeout=300)
+
+        req = urllib.request.Request(
+            waddr + "/v1/chat/completions",
+            data=json.dumps({
+                "stream": True, "video": info["sample_idx"],
+                "messages": [{"role": "user",
+                              "content": "what is in the room"}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            events = [ln[len("data: "):] for ln in
+                      r.read().decode().split("\n\n")
+                      if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert text == native["text"]
+
+        # per-request cap: 1 token, exact on both surfaces
+        capped = _post_json(waddr + "/worker_generate", {
+            "video": info["sample_idx"],
+            "prompt": "<image>\nwhat is in the room",
+            "max_new_tokens": 1}, timeout=300)
+        out = _post_json(waddr + "/v1/chat/completions", {
+            "video": info["sample_idx"], "max_tokens": 1,
+            "messages": [{"role": "user",
+                          "content": "what is in the room"}]}, timeout=300)
+        assert out["choices"][0]["message"]["content"] == capped["text"]
+        assert len(capped["text"]) <= len(native["text"])
+
     def test_openai_robustness(self, stack):
         """Null assistant content (tool-call style turns) must not crash;
         a request with no usable message gets an OpenAI error envelope

@@ -878,12 +878,16 @@ class InferenceEngine:
         return self._decode_text(toks)
 
     def generate_answer_stream(self, record, box_input=None,
-                               coord_token_id=None, chunk: int = 16):
+                               coord_token_id=None, chunk: int = 16,
+                               max_new_tokens: Optional[int] = None):
         """Streaming variant of generate_answer: yields the cumulative
         generated text after every ``chunk`` decoded tokens (the engine-side
         equivalent of the reference's TextIteratorStreamer loop,
         serve/model_worker.py:108-166). Decode state carries across jitted
-        chunk calls — the prefill runs once."""
+        chunk calls — the prefill runs once. ``max_new_tokens`` caps the
+        emission per request (<= the engine budget) with no recompile —
+        the chunk loop is host-driven, unlike generate_answer's static
+        while_loop bound."""
         from video3d_tpu.models.generate import decode_chunk, start_decode
 
         if self._prefix_cache_on(record):
@@ -903,6 +907,8 @@ class InferenceEngine:
         with self._mesh_ctx():
             emitted: list = []
             remaining = self.ecfg.max_new_tokens
+            if max_new_tokens is not None:
+                remaining = max(0, min(remaining, int(max_new_tokens)))
             while remaining > 0:
                 state, toks = decode_chunk(
                     self.params, self.cfg, state, chunk=chunk,

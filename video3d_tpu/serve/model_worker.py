@@ -134,9 +134,21 @@ class ModelWorker:
             self.queue_length += 1
         try:
             record = self._record(request)
+            mnt = request.get("max_new_tokens")
+            mnt = None if mnt is None else int(mnt)
             t0 = time.time()
             if self.batcher is not None:
-                text = self.batcher.generate(record)
+                text = self.batcher.generate(
+                    record, **({} if mnt is None
+                               else {"max_new_tokens": mnt}))
+            elif mnt is not None \
+                    and mnt < self.engine.ecfg.max_new_tokens:
+                # per-request cap without recompiling the static decode
+                # loop: drive the host-chunked stream to completion
+                text = ""
+                for text in self.engine.generate_answer_stream(
+                        record, max_new_tokens=mnt):
+                    pass
             else:
                 text = self.engine.generate_answer(record)
             dt = time.time() - t0
@@ -151,6 +163,85 @@ class ModelWorker:
             with self.lock:
                 self.queue_length -= 1
                 self.n_requests += 1
+
+    def _openai_record(self, request: dict):
+        """OpenAI ``messages`` -> native wire request. Returns
+        ``(wire_request, None)`` or ``(None, (error_payload, status))``.
+
+        Content may be null (assistant tool-call turns) or a content-part
+        list with arbitrary non-dict junk — parse liberally. A
+        ``{"type": "video_id"}`` part (or top-level ``"video"``) selects
+        the scene; the <image> splice token is injected in turn 0 when no
+        turn carries one."""
+        video = request.get("video", "")
+        convs = []
+        for msg in request.get("messages", []):
+            if not isinstance(msg, dict):
+                continue
+            role = msg.get("role")
+            if role not in ("user", "assistant"):
+                continue
+            content = msg.get("content") or ""
+            if not isinstance(content, str):    # OpenAI content-part list
+                texts = []
+                for part in content:
+                    if not isinstance(part, dict):
+                        continue
+                    if part.get("type") == "text":
+                        texts.append(str(part.get("text", "")))
+                    elif part.get("type") == "video_id":
+                        video = part.get("video_id", video)
+                content = "\n".join(texts)
+            if role == "assistant" and not content:
+                continue        # tool-call / empty turns carry no text
+            convs.append({"from": "human" if role == "user" else "gpt",
+                          "value": content})
+        if not convs:
+            return None, ({"error": {"message": "no user/assistant message",
+                                     "type": "invalid_request_error",
+                                     "param": "messages", "code": None}},
+                          400)
+        # standard OpenAI clients don't know the <image> splice token;
+        # when a scene is attached, inject it (anchored in turn 0)
+        if video and all("<image>" not in c["value"] for c in convs):
+            convs[0]["value"] = f"<image>\n{convs[0]['value']}"
+        wire = {"video": video, "conversations": convs}
+        mnt = request.get("max_tokens",
+                          request.get("max_completion_tokens"))
+        if mnt is not None:
+            wire["max_new_tokens"] = int(mnt)
+        return wire, None
+
+    def openai_stream(self, request: dict):
+        """SSE events for ``"stream": true``: chat.completion.chunk
+        objects carrying content DELTAS (the native stream yields
+        cumulative text), a role-priming first chunk, and a finish_reason
+        terminator — the standard OpenAI streaming shape."""
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        created = int(time.time())
+        model = request.get("model", self.model_name)
+
+        def chunk(delta, finish=None):
+            return {"id": rid, "object": "chat.completion.chunk",
+                    "created": created, "model": model,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]}
+
+        yield chunk({"role": "assistant", "content": ""})
+        prev = ""
+        for payload in self.generate_stream(request):
+            if payload["error_code"]:
+                yield {"error": {"message": payload.get("error",
+                                                        "generation failed"),
+                                 "type": "server_error", "param": None,
+                                 "code": None}}
+                return
+            text = payload["text"]
+            delta = text[len(prev):] if text.startswith(prev) else text
+            prev = text
+            if delta:
+                yield chunk({"content": delta})
+        yield chunk({}, finish="stop")
 
     def chat_completions(self, request: dict):
         """OpenAI-compatible /v1/chat/completions (non-streaming): standard
@@ -169,41 +260,14 @@ class ModelWorker:
         Returns ``(payload, http_status)``: errors use the OpenAI error
         envelope with a non-2xx status (standard SDKs key error handling
         off the status code), never a malformed chat.completion.
+        ``max_tokens`` / ``max_completion_tokens`` cap the answer; with
+        ``"stream": true`` the handler serves SSE chunks instead
+        (openai_stream).
         """
-        video = request.get("video", "")
-        convs = []
-        for msg in request.get("messages", []):
-            if not isinstance(msg, dict):
-                continue
-            role = msg.get("role")
-            if role not in ("user", "assistant"):
-                continue
-            # content may be null (assistant tool-call turns) or a
-            # content-part list with arbitrary non-dict junk — be liberal
-            content = msg.get("content") or ""
-            if not isinstance(content, str):    # OpenAI content-part list
-                texts = []
-                for part in content:
-                    if not isinstance(part, dict):
-                        continue
-                    if part.get("type") == "text":
-                        texts.append(str(part.get("text", "")))
-                    elif part.get("type") == "video_id":
-                        video = part.get("video_id", video)
-                content = "\n".join(texts)
-            if role == "assistant" and not content:
-                continue        # tool-call / empty turns carry no text
-            convs.append({"from": "human" if role == "user" else "gpt",
-                          "value": content})
-        if not convs:
-            return {"error": {"message": "no user/assistant message",
-                              "type": "invalid_request_error",
-                              "param": "messages", "code": None}}, 400
-        # standard OpenAI clients don't know the <image> splice token;
-        # when a scene is attached, inject it (anchored in turn 0)
-        if video and all("<image>" not in c["value"] for c in convs):
-            convs[0]["value"] = f"<image>\n{convs[0]['value']}"
-        out = self.generate({"video": video, "conversations": convs})
+        wire, err = self._openai_record(request)
+        if err is not None:
+            return err
+        out = self.generate(wire)
         if out["error_code"]:
             return {"error": {"message": out.get("error", "generation "
                                                  "failed"),
@@ -231,11 +295,15 @@ class ModelWorker:
         try:
             record = self._record(request)
             chunk = int(request.get("stream_chunk", 16))
+            mnt = request.get("max_new_tokens")
+            mnt = None if mnt is None else int(mnt)
             if self.batcher is not None:
-                stream = self.batcher.generate_stream(record)
+                stream = self.batcher.generate_stream(
+                    record, **({} if mnt is None
+                               else {"max_new_tokens": mnt}))
             else:
-                stream = self.engine.generate_answer_stream(record,
-                                                            chunk=chunk)
+                stream = self.engine.generate_answer_stream(
+                    record, chunk=chunk, max_new_tokens=mnt)
             for text in stream:
                 yield {"text": text, "error_code": 0}
         except Exception as e:  # noqa: BLE001
@@ -293,6 +361,24 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             data = json.loads(self.rfile.read(n) or b"{}")
         except Exception as e:  # noqa: BLE001 — malformed body/headers
             self._reply({"error": f"bad request: {e}"}, 400)
+            return
+        if self.path == "/v1/chat/completions" and data.get("stream"):
+            # OpenAI streaming: SSE chat.completion.chunk events
+            wire, err = self.worker._openai_record(data)
+            if err is not None:
+                self._reply(err[0], err[1])
+                return
+            wire["model"] = data.get("model", self.worker.model_name)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            for ev in self.worker.openai_stream(wire):
+                self.wfile.write(b"data: " + json.dumps(ev).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
             return
         if self.path == "/worker_generate_stream":
             # reference wire format: json chunks separated by b"\0"
