@@ -334,3 +334,52 @@ class TestConcurrencyStress:
         finally:
             batcher.shutdown()
         assert results == want
+
+
+class TestCancellation:
+    """cancel() — the worker's client-disconnect path: an abandoned
+    request must release its slot (and pages) instead of decoding its
+    full budget for nobody."""
+
+    def test_cancel_releases_slot_mid_stream(self, env):
+        import time as _time
+        from dataclasses import replace as dc_replace
+
+        info, engine, tok = env
+        long_engine = InferenceEngine(
+            engine.params, CFG, tok, engine.vp, engine.ip,
+            dc_replace(engine.ecfg, max_new_tokens=64, eos_token_id=-1))
+        batcher = ContinuousBatcher(long_engine, num_slots=2, chunk=2,
+                                    paged=True, page_size=64)
+        try:
+            full = batcher._alloc.available
+            req = batcher.submit(_record(info, "what color is the chair"))
+            stream = req.text_stream(long_engine._decode_text)
+            next(stream)                      # decoding started
+            req.cancel()
+            deadline = _time.time() + 120
+            while _time.time() < deadline and any(
+                    r is not None for r in batcher.slots):
+                _time.sleep(0.05)
+            assert all(r is None for r in batcher.slots)
+            assert len(req.tokens) < 64       # released before the budget
+            assert batcher._alloc.available == full
+            # the loop keeps serving
+            out = batcher.generate(_record(info, "how many tables"))
+            assert isinstance(out, str)
+        finally:
+            batcher.shutdown()
+
+    def test_cancel_queued_request_never_takes_a_slot(self, env):
+        info, engine, tok = env
+        want = engine.generate_answer(_record(info, "what color is the chair"))
+        batcher = ContinuousBatcher(engine, num_slots=1, chunk=2)
+        try:
+            r1 = batcher.submit(_record(info, "what color is the chair"))
+            r2 = batcher.submit(_record(info, "how many tables"))
+            r2.cancel()
+            assert r1.result(engine._decode_text, timeout=300) == want
+            assert r2.result(engine._decode_text, timeout=300) == ""
+            assert r2.tokens == []
+        finally:
+            batcher.shutdown()

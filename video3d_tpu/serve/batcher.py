@@ -59,6 +59,17 @@ class BatchedRequest:
         self._q: "queue.Queue" = queue.Queue()
         self.tokens: list = []
         self.error: Optional[Exception] = None
+        self.cancelled = threading.Event()
+
+    def cancel(self) -> None:
+        """Release the request at the next scheduler boundary: an
+        in-flight slot is finished (pages freed, decode row goes EOS),
+        a queued/deferred admission is dropped before taking a slot.
+        Idempotent; safe after completion. The serve worker calls this
+        when the HTTP client disconnects mid-stream — without it an
+        abandoned request decodes to its full budget while holding a
+        slot."""
+        self.cancelled.set()
 
     def text_stream(self, decode_fn):
         """Yield cumulative text after every delivered token batch."""
@@ -639,22 +650,41 @@ class ContinuousBatcher:
                         self.state = empty_decode_state(
                             eng.cfg, self.num_slots, self.max_cache_len,
                             cache_dtype=eng._cache_dtype())
-                # ---- admit into free slots (deferred-first FIFO) ----
+                # ---- release cancelled in-flight requests ----
                 for s in range(self.num_slots):
-                    if self.slots[s] is None:
-                        if self.paged and self._deferred:
-                            req, prepared = self._deferred[0]
-                            if self._admit(s, req, prepared) is self._DEFER:
-                                break     # still not enough pages: keep FIFO
+                    req = self.slots[s]
+                    if req is not None and req.cancelled.is_set():
+                        self._finish(s)
+                # ---- admit into free slots (deferred-first FIFO);
+                # cancelled queued requests drop WITHOUT consuming the
+                # slot (the while-loop retries the same s) ----
+                s = 0
+                while s < self.num_slots:
+                    if self.slots[s] is not None:
+                        s += 1
+                        continue
+                    if self.paged and self._deferred:
+                        req, prepared = self._deferred[0]
+                        if req.cancelled.is_set():
                             self._deferred.pop(0)
-                            continue
-                        try:
-                            req, prepared = self._pending.get_nowait()
-                        except queue.Empty:
-                            break
+                            req._q.put(BatchedRequest._DONE)
+                            continue          # same slot, next candidate
                         if self._admit(s, req, prepared) is self._DEFER:
-                            self._deferred.append((req, prepared))
-                            break
+                            break     # still not enough pages: keep FIFO
+                        self._deferred.pop(0)
+                        s += 1
+                        continue
+                    try:
+                        req, prepared = self._pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    if req.cancelled.is_set():
+                        req._q.put(BatchedRequest._DONE)
+                        continue              # same slot, next candidate
+                    if self._admit(s, req, prepared) is self._DEFER:
+                        self._deferred.append((req, prepared))
+                        break
+                    s += 1
             if all(r is None for r in self.slots):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()

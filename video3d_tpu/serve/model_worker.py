@@ -229,18 +229,22 @@ class ModelWorker:
 
         yield chunk({"role": "assistant", "content": ""})
         prev = ""
-        for payload in self.generate_stream(request):
-            if payload["error_code"]:
-                yield {"error": {"message": payload.get("error",
-                                                        "generation failed"),
-                                 "type": "server_error", "param": None,
-                                 "code": None}}
-                return
-            text = payload["text"]
-            delta = text[len(prev):] if text.startswith(prev) else text
-            prev = text
-            if delta:
-                yield chunk({"content": delta})
+        inner = self.generate_stream(request)
+        try:
+            for payload in inner:
+                if payload["error_code"]:
+                    yield {"error": {"message": payload.get(
+                        "error", "generation failed"),
+                        "type": "server_error", "param": None,
+                        "code": None}}
+                    return
+                text = payload["text"]
+                delta = text[len(prev):] if text.startswith(prev) else text
+                prev = text
+                if delta:
+                    yield chunk({"content": delta})
+        finally:
+            inner.close()       # propagate cancellation on client hangup
         yield chunk({}, finish="stop")
 
     def chat_completions(self, request: dict):
@@ -297,15 +301,26 @@ class ModelWorker:
             chunk = int(request.get("stream_chunk", 16))
             mnt = request.get("max_new_tokens")
             mnt = None if mnt is None else int(mnt)
+            handle = None
             if self.batcher is not None:
-                stream = self.batcher.generate_stream(
+                handle = self.batcher.submit(
                     record, **({} if mnt is None
                                else {"max_new_tokens": mnt}))
+                stream = handle.text_stream(self.engine._decode_text)
             else:
                 stream = self.engine.generate_answer_stream(
                     record, chunk=chunk, max_new_tokens=mnt)
-            for text in stream:
-                yield {"text": text, "error_code": 0}
+            try:
+                for text in stream:
+                    yield {"text": text, "error_code": 0}
+            finally:
+                # client gone mid-stream (the handler close()s this
+                # generator on a broken pipe): release the batcher slot
+                # instead of decoding the full budget for nobody. No-op
+                # after normal completion. The sequential engine stream
+                # stops by itself (host-driven chunk loop).
+                if handle is not None:
+                    handle.cancel()
         except Exception as e:  # noqa: BLE001
             with self.lock:
                 self.n_errors += 1
@@ -373,12 +388,18 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            for ev in self.worker.openai_stream(wire):
-                self.wfile.write(b"data: " + json.dumps(ev).encode()
-                                 + b"\n\n")
+            gen = self.worker.openai_stream(wire)
+            try:
+                for ev in gen:
+                    self.wfile.write(b"data: " + json.dumps(ev).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass            # client hung up; close() cancels below
+            finally:
+                gen.close()
             return
         if self.path == "/worker_generate_stream":
             # reference wire format: json chunks separated by b"\0"
@@ -387,9 +408,15 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.end_headers()
-            for payload in self.worker.generate_stream(data):
-                self.wfile.write(json.dumps(payload).encode() + b"\0")
-                self.wfile.flush()
+            gen = self.worker.generate_stream(data)
+            try:
+                for payload in gen:
+                    self.wfile.write(json.dumps(payload).encode() + b"\0")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass            # client hung up; close() cancels below
+            finally:
+                gen.close()     # releases the batcher slot if abandoned
             return
         try:
             if self.path == "/worker_get_status":
