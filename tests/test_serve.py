@@ -235,6 +235,43 @@ class TestServe:
         assert out["choices"][0]["message"]["content"] == capped["text"]
         assert len(capped["text"]) <= len(native["text"])
 
+    def test_per_request_sampling_and_stop(self, stack):
+        """Reference worker parity (llava/serve/model_worker.py:140-167):
+        temperature/top_p/max_new_tokens/stop ride each request."""
+        info, caddr, waddr, controller = stack
+        base = {"video": info["sample_idx"],
+                "prompt": "<image>\nwhat is in the room"}
+        native = _post_json(waddr + "/worker_generate", base, timeout=300)
+        assert native["error_code"] == 0
+
+        # explicit defaults change nothing
+        same = _post_json(waddr + "/worker_generate",
+                          {**base, "temperature": 0.0}, timeout=300)
+        assert same["text"] == native["text"]
+
+        # a sampling override routes through the engine stream and works
+        sampled = _post_json(waddr + "/worker_generate",
+                             {**base, "temperature": 5.0, "top_k": 50},
+                             timeout=300)
+        assert sampled["error_code"] == 0
+        assert isinstance(sampled["text"], str)
+
+        # stop truncates at the first occurrence (string or list)
+        if len(native["text"]) >= 2:
+            s = native["text"][-1]
+            want = native["text"][:native["text"].find(s)]
+            out = _post_json(waddr + "/worker_generate",
+                             {**base, "stop": s}, timeout=300)
+            assert out["text"] == want
+            out2 = _post_json(waddr + "/worker_generate",
+                              {**base, "stop": ["zzz-never", s]},
+                              timeout=300)
+            assert out2["text"] == want
+        # a stop that never occurs changes nothing
+        out3 = _post_json(waddr + "/worker_generate",
+                          {**base, "stop": "zzz-never"}, timeout=300)
+        assert out3["text"] == native["text"]
+
     def test_openai_robustness(self, stack):
         """Null assistant content (tool-call style turns) must not crash;
         a request with no usable message gets an OpenAI error envelope

@@ -879,7 +879,10 @@ class InferenceEngine:
 
     def generate_answer_stream(self, record, box_input=None,
                                coord_token_id=None, chunk: int = 16,
-                               max_new_tokens: Optional[int] = None):
+                               max_new_tokens: Optional[int] = None,
+                               temperature: Optional[float] = None,
+                               top_p: Optional[float] = None,
+                               top_k: Optional[int] = None):
         """Streaming variant of generate_answer: yields the cumulative
         generated text after every ``chunk`` decoded tokens (the engine-side
         equivalent of the reference's TextIteratorStreamer loop,
@@ -887,8 +890,17 @@ class InferenceEngine:
         chunk calls — the prefill runs once. ``max_new_tokens`` caps the
         emission per request (<= the engine budget) with no recompile —
         the chunk loop is host-driven, unlike generate_answer's static
-        while_loop bound."""
+        while_loop bound. ``temperature``/``top_p``/``top_k`` override the
+        engine defaults per request (the reference worker honors them per
+        request, llava/serve/model_worker.py:140-167); sampling knobs are
+        jit-static, so each DISTINCT value combination compiles the chunk
+        once and is cached after."""
         from video3d_tpu.models.generate import decode_chunk, start_decode
+
+        temp = (self.ecfg.temperature if temperature is None
+                else float(temperature))
+        tp = self.ecfg.top_p if top_p is None else float(top_p)
+        tk = self.ecfg.top_k if top_k is None else int(top_k)
 
         if self._prefix_cache_on(record):
             state = self._start_state(record, box_input, coord_token_id)
@@ -913,8 +925,7 @@ class InferenceEngine:
                 state, toks = decode_chunk(
                     self.params, self.cfg, state, chunk=chunk,
                     eos_token_id=self.ecfg.eos_token_id,
-                    temperature=self.ecfg.temperature, top_p=self.ecfg.top_p,
-                    top_k=self.ecfg.top_k)
+                    temperature=temp, top_p=tp, top_k=tk)
                 row = np.asarray(toks)[0].tolist()
                 for t in row:
                     if t == self.ecfg.eos_token_id or remaining <= 0:

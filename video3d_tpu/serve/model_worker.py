@@ -129,6 +129,33 @@ class ModelWorker:
                      {"from": "gpt", "value": None}]
         return {"video": request.get("video", ""), "conversations": convs}
 
+    def _sampling(self, request: dict):
+        """Per-request sampling overrides (reference worker parity,
+        llava/serve/model_worker.py:140-167). Returns (overrides dict for
+        generate_answer_stream, differs-from-engine-defaults bool)."""
+        ecfg = self.engine.ecfg
+        out = {}
+        for k, cast in (("temperature", float), ("top_p", float),
+                        ("top_k", int)):
+            v = request.get(k)
+            if v is not None and cast(v) != cast(getattr(ecfg, k)):
+                out[k] = cast(v)
+        return out, bool(out)
+
+    @staticmethod
+    def _apply_stop(text: str, stop) -> str:
+        """Truncate at the first stop sequence (string or list), the
+        text-level equivalent of the reference's KeywordsStoppingCriteria
+        (mm_utils.py; the worker passes params['stop'])."""
+        if not stop:
+            return text
+        for s in ([stop] if isinstance(stop, str) else stop):
+            if s:
+                i = text.find(s)
+                if i >= 0:
+                    text = text[:i]
+        return text
+
     def generate(self, request: dict) -> dict:
         with self.lock:
             self.queue_length += 1
@@ -136,21 +163,25 @@ class ModelWorker:
             record = self._record(request)
             mnt = request.get("max_new_tokens")
             mnt = None if mnt is None else int(mnt)
+            sampling, differs = self._sampling(request)
             t0 = time.time()
-            if self.batcher is not None:
+            if self.batcher is not None and not differs:
                 text = self.batcher.generate(
                     record, **({} if mnt is None
                                else {"max_new_tokens": mnt}))
-            elif mnt is not None \
-                    and mnt < self.engine.ecfg.max_new_tokens:
-                # per-request cap without recompiling the static decode
-                # loop: drive the host-chunked stream to completion
+            elif differs or (mnt is not None
+                             and mnt < self.engine.ecfg.max_new_tokens):
+                # per-request cap / sampling without recompiling the
+                # static decode loop: drive the host-chunked stream to
+                # completion (a batched pool decodes every slot with ONE
+                # sampling config, so overrides route through the engine)
                 text = ""
                 for text in self.engine.generate_answer_stream(
-                        record, max_new_tokens=mnt):
+                        record, max_new_tokens=mnt, **sampling):
                     pass
             else:
                 text = self.engine.generate_answer(record)
+            text = self._apply_stop(text, request.get("stop"))
             dt = time.time() - t0
             with self.lock:
                 self.inference_seconds += dt
@@ -210,6 +241,9 @@ class ModelWorker:
                           request.get("max_completion_tokens"))
         if mnt is not None:
             wire["max_new_tokens"] = int(mnt)
+        for k in ("temperature", "top_p", "stop"):
+            if request.get(k) is not None:
+                wire[k] = request[k]
         return wire, None
 
     def openai_stream(self, request: dict):
@@ -301,18 +335,23 @@ class ModelWorker:
             chunk = int(request.get("stream_chunk", 16))
             mnt = request.get("max_new_tokens")
             mnt = None if mnt is None else int(mnt)
+            sampling, differs = self._sampling(request)
+            stop = request.get("stop")
             handle = None
-            if self.batcher is not None:
+            if self.batcher is not None and not differs:
                 handle = self.batcher.submit(
                     record, **({} if mnt is None
                                else {"max_new_tokens": mnt}))
                 stream = handle.text_stream(self.engine._decode_text)
             else:
                 stream = self.engine.generate_answer_stream(
-                    record, chunk=chunk, max_new_tokens=mnt)
+                    record, chunk=chunk, max_new_tokens=mnt, **sampling)
             try:
                 for text in stream:
-                    yield {"text": text, "error_code": 0}
+                    cut = self._apply_stop(text, stop)
+                    yield {"text": cut, "error_code": 0}
+                    if cut != text:
+                        break        # stop sequence hit: end the stream
             finally:
                 # client gone mid-stream (the handler close()s this
                 # generator on a broken pipe): release the batcher slot
