@@ -321,6 +321,72 @@ class TestServe:
 
 
 
+class TestGroundWorker:
+    def test_worker_ground_endpoint(self, stack, tmp_path_factory):
+        """/worker_ground (beyond-reference: the reference serve stack
+        cannot ground): scores + boxes match engine.ground; the proxy
+        route through the controller works; an engine without a ground
+        token errors cleanly."""
+        import numpy as np
+
+        info, caddr, waddr, controller = stack
+        # the shared stack's engine has no ground token -> clean error
+        out = _post_json(waddr + "/worker_ground", {
+            "video": info["sample_idx"], "query": "the brown chair"},
+            timeout=60)
+        assert out["error_code"] == 1 and "ground token" in out["error"]
+
+        root = str(tmp_path_factory.mktemp("data"))
+        ginfo = make_fake_scene(root, n_frames=2)
+        data_cfg = DataConfig(video_folder=root,
+                              annotation_dir=os.path.join(root,
+                                                          "embodiedscan"),
+                              metadata_dir=os.path.join(root, "metadata"),
+                              frames_upbound=2)
+        tok = FakeTokenizer()
+        engine = InferenceEngine(
+            lv3d.init_model(jax.random.PRNGKey(0), CFG), CFG, tok,
+            VideoProcessor(data_cfg),
+            SigLipImageProcessor(size=(CFG.vision.image_size,) * 2),
+            EngineConfig(max_new_tokens=3, eos_token_id=tok.eos_token_id,
+                         max_frames=2, buckets=(256,), stop_str="",
+                         ground_token_id=tok.vocab["<ground>"],
+                         max_objects=8))
+        want_scores, want_objects = engine.ground({
+            "video": ginfo["sample_idx"],
+            "conversations": [
+                {"from": "human", "value": "<image>\nthe brown chair"},
+                {"from": "gpt", "value": "<ground>"}]})
+
+        port = free_port()
+        worker, server = serve_worker(engine, "video3d-ground", port=port,
+                                      controller_addr=caddr,
+                                      background=True, heartbeat=False)
+        try:
+            gaddr = f"http://127.0.0.1:{port}"
+            out = _post_json(gaddr + "/worker_ground", {
+                "video": ginfo["sample_idx"], "query": "the brown chair"},
+                timeout=300)
+            assert out["error_code"] == 0
+            np.testing.assert_allclose(out["scores"], want_scores,
+                                       rtol=1e-5, atol=1e-5)
+            assert len(out["objects"]) == len(want_objects)
+            i = int(np.argmax(want_scores))
+            if i < len(want_objects):
+                np.testing.assert_allclose(out["best_box"],
+                                           want_objects[i], rtol=1e-5)
+            else:
+                assert out["best_box"] is None
+            # through the controller proxy
+            out2 = _post_json(caddr + "/worker_ground", {
+                "model": "video3d-ground",
+                "video": ginfo["sample_idx"], "query": "the brown chair"},
+                timeout=300)
+            assert out2["scores"] == out["scores"]
+        finally:
+            server.shutdown()
+
+
 class TestBatcherWorker:
     @pytest.mark.parametrize("paged", [False, True])
     def test_worker_with_continuous_batching(self, tmp_path_factory, paged):

@@ -147,12 +147,12 @@ class _ControllerHandler(BaseHTTPRequestHandler):
             self._reply({"models": c.list_models()})
         elif self.path == "/get_worker_address":
             self._reply({"address": c.get_worker_address(data["model"])})
-        elif self.path == "/worker_generate":
+        elif self.path in ("/worker_generate", "/worker_ground"):
             addr = c.get_worker_address(data.get("model", ""))
             if not addr:
                 self._reply({"error": "no worker", "error_code": 2}, 503)
                 return
-            self._reply(_post_json(addr + "/worker_generate", data, timeout=600))
+            self._reply(_post_json(addr + self.path, data, timeout=600))
         else:
             self._reply({"error": f"unknown path {self.path}"}, 404)
 

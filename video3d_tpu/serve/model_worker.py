@@ -195,6 +195,49 @@ class ModelWorker:
                 self.queue_length -= 1
                 self.n_requests += 1
 
+    def ground(self, request: dict) -> dict:
+        """3D visual grounding over HTTP (beyond-reference: the reference
+        serve stack cannot ground at all). ``{"video", "query"}`` ->
+        scores over the scene's object proposals (+ the trailing
+        no-object score, the reference eval layout), the proposal boxes
+        (xyzwhd), and the argmax box (None when the no-object score
+        wins). Rides the scene-prefix KV + object-feature caches when
+        enabled — dozens of queries per scene prefill only their suffix."""
+        with self.lock:
+            self.queue_length += 1
+        try:
+            if self.engine.ecfg.ground_token_id is None:
+                return {"error": "engine has no ground token (set "
+                        "EngineConfig.ground_token_id)", "error_code": 1}
+            record = {
+                "video": request["video"],
+                "conversations": [
+                    {"from": "human", "value": request["query"]},
+                    {"from": "gpt", "value": "<ground>"},
+                ],
+            }
+            t0 = time.time()
+            scores, objects = self.engine.ground(record)
+            dt = time.time() - t0
+            with self.lock:
+                self.inference_seconds += dt
+            scores = [float(s) for s in scores]
+            i = max(range(len(scores)), key=scores.__getitem__)
+            best = (None if i >= len(objects)
+                    else [float(x) for x in objects[i]])
+            return {"scores": scores,
+                    "objects": [[float(x) for x in o] for o in objects],
+                    "best_box": best, "inference_time": dt,
+                    "error_code": 0}
+        except Exception as e:  # noqa: BLE001
+            with self.lock:
+                self.n_errors += 1
+            return {"error": str(e), "error_code": 1}
+        finally:
+            with self.lock:
+                self.queue_length -= 1
+                self.n_requests += 1
+
     def _openai_record(self, request: dict):
         """OpenAI ``messages`` -> native wire request. Returns
         ``(wire_request, None)`` or ``(None, (error_payload, status))``.
@@ -464,6 +507,8 @@ class _WorkerHandler(BaseHTTPRequestHandler):
                 self._reply(self.worker.metrics())
             elif self.path == "/worker_generate":
                 self._reply(self.worker.generate(data))
+            elif self.path == "/worker_ground":
+                self._reply(self.worker.ground(data))
             elif self.path == "/v1/chat/completions":
                 payload, status = self.worker.chat_completions(data)
                 self._reply(payload, status)
