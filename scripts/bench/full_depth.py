@@ -270,6 +270,90 @@ def run_prefix():
                       "prefix_len": P, "suffix_bucket": SUF}))
 
 
+def run_prefix_batched(B: int = 8):
+    """Scene-grouped BATCHED suffix at FULL depth: one prefill serves a
+    B-row chunk of same-scene questions against the broadcast B=1 prefix
+    (models/generate.py _write_prefix broadcast; the eval drivers'
+    --batch-size + --prefix-cache path). The suffix forward is
+    weight-bound like decode, so batching amortizes the 28L weight reads
+    across the chunk — measured at bench scale as 1.53 ms/question vs
+    6.13 at B=1 (BENCH_NOTES); this mode measures the production config
+    (28L int8 weights + int8 KV)."""
+    import bench as north
+    from video3d_tpu.constants import IMAGE_TOKEN_INDEX
+    from video3d_tpu.models import generate as gen
+    from video3d_tpu.models import llava_video3d as lv3d
+    from video3d_tpu.models import qwen2
+    from video3d_tpu.models.splice import (build_splice_plan,
+                                           slice_suffix_plan, vision_end)
+
+    cfg = _full_cfg()
+    params = {"llm": init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))}
+    T = cfg.tokens_per_frame
+    g = -(-cfg.vision.num_patches_per_side // cfg.spatial_pool_stride)
+
+    ids = [10] * 15 + [IMAGE_TOKEN_INDEX] + [20] * 30
+    plan = build_splice_plan([ids], None, [north.V_FRAMES],
+                             tokens_per_frame=T,
+                             max_len=north.PREFILL_LEN, grid_side=g)
+    P = vision_end(plan)
+    SUF = 64
+    suf = slice_suffix_plan(plan, P, SUF)
+
+    def tile(x):
+        return jnp.asarray(np.broadcast_to(np.asarray(x),
+                                           (B,) + np.asarray(x).shape[1:]))
+
+    batch = lv3d.Batch(
+        images=None, patch_coords=None,
+        text_ids=tile(suf.text_ids), kind=tile(suf.kind),
+        vision_index=tile(suf.vision_index), labels=tile(suf.labels),
+        position_ids=tile(suf.position_ids),
+        mrope_position_ids=tile(suf.mrope_position_ids),
+        seq_len=tile(suf.seq_len))
+    mcl = north.PREFILL_LEN + 512
+    KV, hd = cfg.llm.num_key_value_heads, cfg.llm.head_dim
+    nl = cfg.llm.num_hidden_layers
+    prefix = qwen2.KVCache(
+        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32),
+        0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32))
+
+    iters = 20
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    @jax.jit
+    def repeat(params, pk, pv, ks, vs, suffix_ids):
+        def body(i, acc):
+            eps = i.astype(jnp.float32) * 1e-8
+            # perturb per iteration AND per row (each row is a distinct
+            # question in the chunk)
+            ids_i = jnp.where(batch.kind == 1,
+                              (suffix_ids + i + rows) % 997 + 20,
+                              suffix_ids)
+            b = batch._replace(text_ids=ids_i)
+            st = gen.start_decode_prefix(
+                params, cfg, b, qwen2.KVCache(pk, pv, ks + eps, vs + eps),
+                prefix_len=P, max_cache_len=mcl, cache_dtype=jnp.int8)
+            return acc + jnp.sum(st.next_logits.astype(jnp.float32)) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    args = (params, prefix.k, prefix.v, prefix.k_scale, prefix.v_scale,
+            batch.text_ids)
+    print(f"compiling 28L B={B} batched suffix prefill...", flush=True)
+    for _ in range(2):
+        total = float(repeat(*args))
+    t0 = time.perf_counter()
+    total = float(repeat(*args))
+    dt = (time.perf_counter() - t0) / iters
+    assert total == total
+    print(json.dumps({"mode": f"prefix28L_int8_b{B}",
+                      "chunk_ms": round(1e3 * dt, 2),
+                      "question_ms": round(1e3 * dt / B, 3),
+                      "prefix_len": P, "suffix_bucket": SUF, "B": B}))
+
+
 def run_decode(bf16: bool = False):
     """bf16 mode = bf16 LLM + int8-weight vision tower + int8 KV.
 
@@ -511,8 +595,10 @@ def run_memory():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["prefill", "prefix", "decode", "spec",
-                                     "spec-batch", "memory"])
+    ap.add_argument("mode", choices=["prefill", "prefix", "prefix-batch",
+                                     "decode", "spec", "spec-batch",
+                                     "memory"])
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--w8a8", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--draft-vocab", type=int, default=0)
@@ -524,6 +610,8 @@ if __name__ == "__main__":
         run_prefill(a.w8a8)
     elif a.mode == "prefix":
         run_prefix()
+    elif a.mode == "prefix-batch":
+        run_prefix_batched(B=a.batch)
     elif a.mode == "decode":
         run_decode(bf16=a.bf16)
     elif a.mode == "spec":
