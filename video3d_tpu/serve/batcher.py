@@ -353,7 +353,17 @@ class ContinuousBatcher:
                 # the page reservation below sees the final mode — a burst
                 # of same-scene requests all prepares as misses before the
                 # first admission harvests the prefix.
-                prepared = eng._refresh_prep(prepared)
+                refreshed = eng._refresh_prep(prepared)
+                if refreshed is not prepared:
+                    # prefix plans bucket total+max_new while full plans
+                    # bucket the prompt; keep the original full prep when
+                    # the upgraded bucket no longer fits this pool's rows
+                    # (start_request will still upgrade internally with
+                    # the smaller scratch, the pre-refresh behavior)
+                    slack0 = (eng.ecfg.speculative_k + 2
+                              if self.spec and not self.paged else 0)
+                    if self.max_cache_len - refreshed["bucket"] - slack0 > 0:
+                        prepared = refreshed
                 batch, vision_features = prepared["batch"], \
                     prepared.get("vf")
                 bucket = prepared["bucket"]
