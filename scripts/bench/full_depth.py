@@ -270,7 +270,7 @@ def run_prefix():
                       "prefix_len": P, "suffix_bucket": SUF}))
 
 
-def run_prefix_batched(B: int = 8):
+def run_prefix_batched(B: int = 8, w8a8: bool = False):
     """Scene-grouped BATCHED suffix at FULL depth: one prefill serves a
     B-row chunk of same-scene questions against the broadcast B=1 prefix
     (models/generate.py _write_prefix broadcast; the eval drivers'
@@ -288,7 +288,8 @@ def run_prefix_batched(B: int = 8):
                                            slice_suffix_plan, vision_end)
 
     cfg = _full_cfg()
-    params = {"llm": init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))}
+    params = {"llm": init_full_depth_llm_int8(
+        cfg, jax.random.PRNGKey(1), act="int8" if w8a8 else "none")}
     T = cfg.tokens_per_frame
     g = -(-cfg.vision.num_patches_per_side // cfg.spatial_pool_stride)
 
@@ -348,7 +349,8 @@ def run_prefix_batched(B: int = 8):
     total = float(repeat(*args))
     dt = (time.perf_counter() - t0) / iters
     assert total == total
-    print(json.dumps({"mode": f"prefix28L_int8_b{B}",
+    print(json.dumps({"mode": f"prefix28L_{'w8a8' if w8a8 else 'int8'}"
+                              f"_b{B}",
                       "chunk_ms": round(1e3 * dt, 2),
                       "question_ms": round(1e3 * dt / B, 3),
                       "prefix_len": P, "suffix_bucket": SUF, "B": B}))
@@ -611,7 +613,7 @@ if __name__ == "__main__":
     elif a.mode == "prefix":
         run_prefix()
     elif a.mode == "prefix-batch":
-        run_prefix_batched(B=a.batch)
+        run_prefix_batched(B=a.batch, w8a8=a.w8a8)
     elif a.mode == "decode":
         run_decode(bf16=a.bf16)
     elif a.mode == "spec":
