@@ -226,6 +226,65 @@ class TestSharedPrefixPages:
         finally:
             batcher.shutdown()
 
+    def test_churn_accounting_invariant(self, scene):
+        """Scheduler stress: 12 requests over 2 scenes through 2 slots
+        and a tight pool, with a few cancellations — page accounting must
+        balance at quiescence (free + shared-held == total-1, no leaked
+        private pages) and surviving answers must match the engine."""
+        import random
+
+        infos, data_cfg = scene
+        eng = _engine(data_cfg, 4)
+        recs, want = [], {}
+        for i in range(12):
+            info = infos[i % 2]
+            q = QUESTIONS[i % len(QUESTIONS)]
+            r = _record(info, q, i)
+            recs.append(r)
+            key = (info["sample_idx"], q)
+            if key not in want:
+                want[key] = eng.generate_answer(r)
+
+        batcher = ContinuousBatcher(eng, num_slots=2, chunk=2,
+                                    paged=True, page_size=PAGE)
+        try:
+            full = batcher._alloc.available
+            rng = random.Random(0)
+            handles = []
+            for i, r in enumerate(recs):
+                h = batcher.submit(r)
+                handles.append((i, h, rng.random() < 0.25))
+            for i, h, cancel in handles:
+                if cancel:
+                    h.cancel()
+            results = {}
+            for i, h, cancel in handles:
+                try:
+                    results[i] = h.result(eng._decode_text, timeout=600)
+                except Exception:   # noqa: BLE001 — cancelled mid-flight
+                    results[i] = None
+
+            # non-cancelled answers are exact
+            for i, h, cancel in handles:
+                if not cancel:
+                    info = infos[i % 2]
+                    key = (info["sample_idx"], QUESTIONS[i % len(QUESTIONS)])
+                    assert results[i] == want[key], i
+
+            # quiescence: slots empty, private pages all back, only the
+            # shared prefix pages (refs == 1 cache hold each) outstanding
+            assert _wait(lambda: all(s is None for s in batcher.slots))
+            held = sum(len(sh["pages"]) for sh in batcher._shared.values())
+            assert _wait(
+                lambda: batcher._alloc.available + held == full), (
+                batcher._alloc.available, held, full)
+            assert all(sh["refs"] == 1 and not sh["dead"]
+                       for sh in batcher._shared.values())
+            assert len(batcher._shared) <= 2
+            assert not batcher._deferred
+        finally:
+            batcher.shutdown()
+
     def test_speculative_composition(self, scene):
         """Self-draft speculation + paged KV + shared prefix pages: the
         target cache shares prefix pages (insert_paged_spec_slot
