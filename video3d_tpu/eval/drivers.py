@@ -711,6 +711,39 @@ class InferenceEngine:
                                prep["batch"], state.cache)
         return state
 
+    def start_request_chunked(self, prep, max_cache_len: Optional[int] = None,
+                              chunk_len: int = 256):
+        """ChunkedPrefill stepper for a FULL-mode prep (the continuous
+        batcher's bounded-stall cold admission): the scheduler runs one
+        chunk per iteration between shared decode chunks instead of
+        stalling for the whole prompt prefill. Prefix-mode preps (already
+        ~1 decode step) return a finished DecodeState via
+        :meth:`start_request`."""
+        from video3d_tpu.models.generate import ChunkedPrefill
+
+        prep = self._refresh_prep(prep)
+        if prep["mode"] != "full":
+            return self.start_request(prep, max_cache_len=max_cache_len)
+        mcl = (max_cache_len if max_cache_len is not None
+               else prep["bucket"] + self.ecfg.max_new_tokens)
+        batch, vf = self._shard_inputs(prep["batch"], prep["vf"])
+        return ChunkedPrefill(self.params, self.cfg, batch,
+                              max_cache_len=mcl, chunk_len=chunk_len,
+                              cache_dtype=self._cache_dtype(),
+                              vision_features=vf)
+
+    def finish_chunked(self, prep, state):
+        """Post-chunked-prefill bookkeeping, mirroring the atomic full
+        path (:meth:`start_request`): harvest the scene prefix for later
+        same-scene questions. Must run BEFORE the state is grafted
+        (inserts donate the cache)."""
+        if (self.ecfg.prefix_cache_scenes > 0 and prep.get("img", -1) >= 0
+                and isinstance(prep.get("key"), str)):
+            self.prefix_cache_stats[1] += 1
+            self._store_prefix(prep["key"], prep["ids"], prep["img"],
+                               prep["batch"], state.cache)
+        return state
+
     def _start_state(self, record, box_input=None, coord_token_id=None):
         """DecodeState for one request, reusing the scene-prefix KV when
         possible (hit: suffix-only prefill, no video IO / geometry / tower;

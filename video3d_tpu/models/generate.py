@@ -103,6 +103,135 @@ def prefill_multimodal(params, cfg: ModelConfig, batch: lv3d.Batch,
     return next_logits, cache, batch.seq_len
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embeds_and_pos(params, cfg: ModelConfig, batch: lv3d.Batch,
+                    vision_features: Optional[jax.Array] = None):
+    """Vision encode + splice assembly + 3D position ids — the chunk-
+    independent first phase of a chunked prefill (one device call; the
+    tower is atomic)."""
+    if vision_features is None:
+        vt = lv3d.encode_video(params, cfg, batch.images, batch.patch_coords)
+        spliceable = vt.spliceable
+    else:
+        spliceable = vision_features
+    embeds = lv3d.assemble_embeds(params, cfg, spliceable, batch.text_ids,
+                                  batch.kind, batch.vision_index,
+                                  batch.coord_mask, batch.box_input)
+    return embeds, lv3d._position_ids_3d(batch, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnums=(2, 3))
+def _prefill_chunk(params, cfg: ModelConfig, cache: qwen2.KVCache,
+                   h_last: jax.Array, embeds_c: jax.Array,
+                   pos3_c: jax.Array, start: jax.Array, kv_len: jax.Array):
+    """One text chunk of a chunked prefill through the cached-attention
+    path (prefill=False + cache_positions — the same machinery as the
+    suffix prefill, whose equality with full prefill is test-asserted).
+    ``start`` is traced, so every same-length chunk reuses one compile.
+    ``h_last`` (B, D) carries each row's LAST-real-token hidden across
+    chunks (a row's kv_len-1 may fall in any chunk); the lm_head is paid
+    once, in :func:`_finish_chunked_logits`."""
+    B, C, _ = embeds_c.shape
+    cache_positions = start + jnp.broadcast_to(jnp.arange(C)[None], (B, C))
+    hidden, cache = qwen2.qwen2_forward(
+        params["llm"], cfg.llm, embeds_c, pos3_c, kv_cache=cache,
+        cache_positions=cache_positions, kv_len=kv_len)
+    idx = jnp.clip(kv_len - 1 - start, 0, C - 1)            # (B,)
+    cand = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    in_chunk = (kv_len - 1 >= start) & (kv_len - 1 < start + C)
+    h_last = jnp.where(in_chunk[:, None], cand.astype(h_last.dtype), h_last)
+    return cache, h_last
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _finish_chunked_logits(params, cfg: ModelConfig,
+                           h_last: jax.Array) -> jax.Array:
+    """(B, D) last-token hiddens -> (B, vocab) logits (one lm_head read
+    for the whole chunked prefill)."""
+    return qwen2.lm_head(params["llm"], h_last[:, None])[:, 0]
+
+
+class ChunkedPrefill:
+    """Host-driven chunked multimodal prefill (Sarathi-style): the serve
+    scheduler runs ONE fixed-size chunk per iteration between shared
+    decode chunks, bounding the decode stall of a cold admission to
+    ~max(tower, one chunk forward) instead of the whole prompt prefill
+    (~190 ms at 7B). TPU-first shape discipline: step 0 is the vision
+    encode + splice assembly (atomic), later steps are fixed
+    ``chunk_len``-token cached forwards (one compile per chunk length;
+    the chunk offset is traced) with one last-chunk variant that pays the
+    lm_head. The finished DecodeState equals start_decode's bit-for-bit
+    at bf16 (same cached-attention path as the suffix prefill).
+    """
+
+    def __init__(self, params, cfg: ModelConfig, batch: lv3d.Batch,
+                 max_cache_len: int, chunk_len: int = 256,
+                 cache_dtype=jnp.bfloat16,
+                 vision_features: Optional[jax.Array] = None):
+        self.params, self.cfg = params, cfg
+        self.batch = batch
+        self.chunk_len = int(chunk_len)
+        self.max_cache_len = max_cache_len
+        self.cache_dtype = cache_dtype
+        self.vision_features = vision_features
+        self._embeds = None
+        self._pos3 = None
+        self._cache = None
+        self._h_last = None
+        self._off = 0
+        self._state: Optional[DecodeState] = None
+        B, L = batch.text_ids.shape
+        self._B, self._L = B, L
+        # chunks only need to cover the true tokens; KV past a row's
+        # seq_len is masked forever (and decode overwrites from seq_len)
+        import numpy as np
+        self._n_true = int(np.max(np.asarray(batch.seq_len)))
+        # step count: 1 (vision/assembly) + text chunks
+        self.total_steps = 1 + -(-self._n_true // self.chunk_len)
+
+    @property
+    def done(self) -> bool:
+        return self._state is not None
+
+    def step(self) -> bool:
+        """Run the next bounded unit of work. Returns ``done``."""
+        if self._state is not None:
+            return True
+        if self._embeds is None:
+            self._embeds, self._pos3 = _embeds_and_pos(
+                self.params, self.cfg, self.batch, self.vision_features)
+            self._cache = qwen2.KVCache.zeros(
+                self.cfg.llm, self._B, self.max_cache_len,
+                dtype=self.cache_dtype)
+            D = self._embeds.shape[-1]
+            self._h_last = jnp.zeros((self._B, D), self._embeds.dtype)
+            return False
+        c0 = self._off
+        c1 = min(c0 + self.chunk_len, self._n_true)
+        emb = jax.lax.slice_in_dim(self._embeds, c0, c1, axis=1)
+        pos = jax.lax.slice_in_dim(self._pos3, c0, c1, axis=1)
+        self._cache, self._h_last = _prefill_chunk(
+            self.params, self.cfg, self._cache, self._h_last, emb, pos,
+            jnp.asarray(c0, jnp.int32), self.batch.seq_len)
+        self._off = c1
+        if c1 < self._n_true:
+            return False
+        next_logits = _finish_chunked_logits(self.params, self.cfg,
+                                             self._h_last)
+        cache, self._cache = self._cache, None
+        self._embeds = self._pos3 = self._h_last = None
+        self._state = DecodeState(
+            next_logits=next_logits, cache=cache, pos=self.batch.seq_len,
+            done=jnp.zeros((self._B,), bool),
+            step=jnp.zeros((), jnp.int32))
+        return True
+
+    def result(self) -> DecodeState:
+        assert self._state is not None, "stepper not finished"
+        return self._state
+
+
 class DecodeState(NamedTuple):
     """Carried decode state for chunked/streaming generation."""
 

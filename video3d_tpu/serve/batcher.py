@@ -135,7 +135,8 @@ class ContinuousBatcher:
                  draft_params=None, draft_cfg=None,
                  paged: bool = False, page_size: int = 128,
                  total_pages: Optional[int] = None,
-                 share_prefix_pages: bool = True):
+                 share_prefix_pages: bool = True,
+                 chunked_prefill: int = 0):
         self.engine = engine
         self.num_slots = num_slots
         self.chunk = chunk
@@ -229,6 +230,17 @@ class ContinuousBatcher:
             self.state = empty_decode_state(engine.cfg, num_slots,
                                             self.max_cache_len,
                                             cache_dtype=engine._cache_dtype())
+        # Sarathi-style chunked prefill (models/generate.py
+        # ChunkedPrefill): cold FULL-mode admissions run chunked_prefill
+        # tokens per scheduler iteration between shared decode chunks,
+        # bounding the decode stall to ~max(tower, one chunk) instead of
+        # the whole prompt prefill. One job at a time, FIFO; prefix-mode
+        # admissions stay atomic (already ~1 decode step), speculative
+        # mode disables it (verify blocks interleave poorly with a
+        # half-prefilled target cache).
+        self.chunk_prefill = 0 if self.spec else max(0, int(chunked_prefill))
+        self._job = None          # {"req", "prep", "stepper", "bucket"}
+        self._chunkq: list = []   # (req, prep) awaiting the job pipeline
         self.slots: list = [None] * num_slots          # BatchedRequest or None
         self.emitted = [0] * num_slots
         # acceptance guard (ecfg.speculative_min_acceptance): measured from
@@ -318,6 +330,7 @@ class ContinuousBatcher:
         # _loop can't concurrently emit to / finish the same slots
         err = RuntimeError("batcher shut down")
         with self._lock:
+            self._fail_chunk_pipeline(err)
             for s in range(self.num_slots):
                 req = self.slots[s]
                 if req is not None:
@@ -346,7 +359,14 @@ class ContinuousBatcher:
 
         eng = self.engine
         try:
-            if isinstance(prepared, dict):
+            if isinstance(prepared, dict) \
+                    and prepared.get("mode") == "chunked_state":
+                # a finished ChunkedPrefill (the job pipeline): the
+                # prefill already ran chunk-by-chunk; only the slot/page
+                # grafting below remains
+                batch = vision_features = None
+                bucket = prepared["bucket"]
+            elif isinstance(prepared, dict):
                 # prefix-aware prep (engine.prepare_request); prefill runs
                 # through engine.start_request against this batcher's rows.
                 # Refresh HERE (idempotent; start_request refreshes too) so
@@ -492,7 +512,10 @@ class ContinuousBatcher:
                             self.state, jnp.asarray(slot, jnp.int32), sub,
                             row, n_pages=prompt_pages, skip_pages=skip)
                     else:
-                        if isinstance(prepared, dict):
+                        if isinstance(prepared, dict) \
+                                and prepared.get("mode") == "chunked_state":
+                            sub = prepared["state"]
+                        elif isinstance(prepared, dict):
                             sub = eng.start_request(
                                 prepared, max_cache_len=prompt_pages * page)
                         else:
@@ -556,7 +579,10 @@ class ContinuousBatcher:
                     self.emitted[slot] = 1
                     req._q.put(1)
                 return True
-            if isinstance(prepared, dict):
+            if isinstance(prepared, dict) \
+                    and prepared.get("mode") == "chunked_state":
+                sub = prepared["state"]
+            elif isinstance(prepared, dict):
                 sub = eng.start_request(prepared,
                                         max_cache_len=self.max_cache_len)
             else:
@@ -573,6 +599,102 @@ class ContinuousBatcher:
             req.error = e
             req._q.put(BatchedRequest._DONE)
             return False
+
+    def _step_admission_job(self):
+        """One bounded unit of a cold admission (chunked prefill): start
+        the next queued job, advance the current one by one chunk, or
+        graft a finished state into a free slot. Runs on the scheduler
+        thread between decode chunks — the decode stall per iteration is
+        ~max(tower, one chunk forward) instead of the whole prefill."""
+        from video3d_tpu.models.generate import ChunkedPrefill
+
+        eng = self.engine
+        with self._lock:
+            if self._job is None and self._chunkq:
+                req, prep = self._chunkq.pop(0)
+                if req.cancelled.is_set():
+                    req._q.put(BatchedRequest._DONE)
+                    return
+                self._job = {"req": req, "prep": prep, "stepper": None,
+                             "bucket": None}
+            job = self._job
+        if job is None:
+            return
+        req = job["req"]
+        if req.cancelled.is_set():
+            with self._lock:
+                self._job = None
+            req._q.put(BatchedRequest._DONE)
+            return
+        try:
+            if job["stepper"] is None:
+                prep = job["prep"]
+                if isinstance(prep, dict):
+                    # a prefix may have appeared while queued: refresh
+                    # decides (prefix-upgraded preps come back as a
+                    # finished state from start_request_chunked)
+                    prep = eng._refresh_prep(prep)
+                    job["prep"] = prep
+                    job["bucket"] = prep["bucket"]
+                else:
+                    job["bucket"] = int(prep[0].text_ids.shape[1])
+                if self.paged:
+                    from video3d_tpu.models.paged_kv import pages_needed
+
+                    mcl = pages_needed(job["bucket"],
+                                       self.page_size) * self.page_size
+                else:
+                    mcl = self.max_cache_len
+                if isinstance(prep, dict):
+                    job["stepper"] = eng.start_request_chunked(
+                        prep, max_cache_len=mcl,
+                        chunk_len=self.chunk_prefill)
+                else:
+                    batch, vf = prep
+                    job["stepper"] = ChunkedPrefill(
+                        eng.params, eng.cfg, batch, max_cache_len=mcl,
+                        chunk_len=self.chunk_prefill,
+                        cache_dtype=eng._cache_dtype(),
+                        vision_features=vf)
+            stepper = job["stepper"]
+            if isinstance(stepper, ChunkedPrefill):
+                if not stepper.step():
+                    return                      # more chunks to go
+                state = stepper.result()
+                if isinstance(job["prep"], dict):
+                    # harvest the scene prefix like the atomic full path
+                    state = eng.finish_chunked(job["prep"], state)
+                job["stepper"] = state
+            state = job["stepper"]              # a finished DecodeState
+        except Exception as e:  # noqa: BLE001 — request-level failure
+            with self._lock:
+                self._job = None
+            req.error = e
+            req._q.put(BatchedRequest._DONE)
+            return
+        with self._lock:
+            slot = next((s for s in range(self.num_slots)
+                         if self.slots[s] is None), None)
+            if slot is None:
+                return                          # retry when a slot frees
+            prepared = {"mode": "chunked_state", "state": state,
+                        "bucket": job["bucket"]}
+            if self._admit(slot, req, prepared) is self._DEFER:
+                return                          # retry when pages free
+            self._job = None
+
+    def _fail_chunk_pipeline(self, err: Exception):
+        """Fail the in-progress job and every queued chunk admission
+        (decode-failure reset / shutdown). Caller holds ``_lock``."""
+        if self._job is not None:
+            req = self._job["req"]
+            self._job = None
+            req.error = err
+            req._q.put(BatchedRequest._DONE)
+        for req, _ in self._chunkq:
+            req.error = err
+            req._q.put(BatchedRequest._DONE)
+        self._chunkq.clear()
 
     def _finish(self, slot: int):
         import jax.numpy as jnp
@@ -691,13 +813,25 @@ class ContinuousBatcher:
                     if req.cancelled.is_set():
                         req._q.put(BatchedRequest._DONE)
                         continue              # same slot, next candidate
+                    if self.chunk_prefill and (
+                            not isinstance(prepared, dict)
+                            or eng._refresh_prep(prepared)["mode"]
+                            == "full"):
+                        # cold admission: chunked-prefill job pipeline
+                        # (prefix-mode admissions stay atomic — ~1 step)
+                        self._chunkq.append((req, prepared))
+                        continue              # same slot, next candidate
                     if self._admit(s, req, prepared) is self._DEFER:
                         self._deferred.append((req, prepared))
                         break
                     s += 1
+            # ---- one bounded chunk of an in-progress cold admission ----
+            if self.chunk_prefill:
+                self._step_admission_job()
             if all(r is None for r in self.slots):
-                self._wake.wait(timeout=0.1)
-                self._wake.clear()
+                if self._job is None and not self._chunkq:
+                    self._wake.wait(timeout=0.1)
+                    self._wake.clear()
                 continue
             # ---- one decode chunk for every in-flight request ----
             try:
@@ -756,6 +890,7 @@ class ContinuousBatcher:
                 print(f"[batcher] decode failed: {e!r}; failing "
                       f"{sum(r is not None for r in self.slots)} requests")
                 with self._lock:
+                    self._fail_chunk_pipeline(e)
                     for s in range(self.num_slots):
                         req = self.slots[s]
                         if req is not None:

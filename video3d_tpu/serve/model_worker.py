@@ -522,18 +522,23 @@ def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
                  port: int = 21002, controller_addr: Optional[str] = None,
                  background: bool = False, heartbeat: bool = True,
                  num_slots: int = 0, paged: bool = False,
-                 page_size: int = 128, total_pages: Optional[int] = None):
+                 page_size: int = 128, total_pages: Optional[int] = None,
+                 chunked_prefill: int = 0):
     """``num_slots > 0`` enables continuous batching: concurrent requests
     share one S-slot decode loop (serve/batcher.py) instead of serializing
     through the engine. ``paged`` switches the shared cache to the page
-    pool (models/paged_kv.py) sized by ``total_pages``."""
+    pool (models/paged_kv.py) sized by ``total_pages``.
+    ``chunked_prefill`` (tokens) bounds the decode stall of cold
+    admissions by running the prompt prefill in chunks between decode
+    chunks (Sarathi-style; 0 = atomic admissions)."""
     batcher = None
     if num_slots > 0:
         from video3d_tpu.serve.batcher import ContinuousBatcher
 
         batcher = ContinuousBatcher(engine, num_slots=num_slots,
                                     paged=paged, page_size=page_size,
-                                    total_pages=total_pages)
+                                    total_pages=total_pages,
+                                    chunked_prefill=chunked_prefill)
     worker_addr = f"http://{host}:{port}"
     worker = ModelWorker(engine, model_name, controller_addr, worker_addr,
                          heartbeat=heartbeat, batcher=batcher)
@@ -578,6 +583,10 @@ if __name__ == "__main__":
     parser.add_argument("--paged-kv", action="store_true",
                         help="paged KV pool instead of dense cache rows")
     parser.add_argument("--page-size", type=int, default=128)
+    parser.add_argument("--chunked-prefill", type=int, default=0,
+                        help="tokens per admission prefill chunk (bounds "
+                             "the decode stall of cold admissions; "
+                             "0 = atomic)")
     parser.add_argument("--total-pages", type=int, default=0,
                         help="page pool size (0 = dense-equivalent)")
     parser.add_argument("--tp", type=int, default=1,
@@ -624,4 +633,5 @@ if __name__ == "__main__":
                  controller_addr=args.controller_address,
                  num_slots=args.num_slots, paged=args.paged_kv,
                  page_size=args.page_size,
-                 total_pages=args.total_pages or None)
+                 total_pages=args.total_pages or None,
+                 chunked_prefill=args.chunked_prefill)
