@@ -82,6 +82,11 @@ class ModelWorker:
             m["slots_in_use"] = sum(sum(r is not None for r in p.slots)
                                     for p in pools)
             m["speculative_batching"] = int(any(p.spec for p in pools))
+            if any(getattr(p, "chunk_prefill", 0) for p in pools):
+                m["admissions_chunking"] = sum(
+                    int(p._job is not None) for p in pools)
+                m["admissions_chunk_queued"] = sum(
+                    len(p._chunkq) for p in pools)
             paged = [p for p in pools if p.paged]
             if paged:
                 m["pages"] = sum(p.total_pages - 1 for p in paged)
