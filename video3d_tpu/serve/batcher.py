@@ -241,6 +241,10 @@ class ContinuousBatcher:
         self.chunk_prefill = 0 if self.spec else max(0, int(chunked_prefill))
         self._job = None          # {"req", "prep", "stepper", "bucket"}
         self._chunkq: list = []   # (req, prep) awaiting the job pipeline
+        # True while a FINISHED job waits on a slot/pages — the idle path
+        # must sleep then (stepping can't progress; only releases or
+        # eviction drains free resources), not busy-spin
+        self._job_blocked = False
         self.slots: list = [None] * num_slots          # BatchedRequest or None
         self.emitted = [0] * num_slots
         # acceptance guard (ecfg.speculative_min_acceptance): measured from
@@ -272,8 +276,10 @@ class ContinuousBatcher:
 
     def submit(self, record, box_input=None, coord_token_id=None,
                max_new_tokens: Optional[int] = None) -> BatchedRequest:
-        req = BatchedRequest(record, box_input, coord_token_id,
-                             max_new_tokens or self.engine.ecfg.max_new_tokens)
+        req = BatchedRequest(
+            record, box_input, coord_token_id,
+            self.engine.ecfg.max_new_tokens if max_new_tokens is None
+            else max(0, int(max_new_tokens)))   # 0 is a valid budget
 
         def prepare():
             try:
@@ -609,6 +615,7 @@ class ContinuousBatcher:
         from video3d_tpu.models.generate import ChunkedPrefill
 
         eng = self.engine
+        self._job_blocked = False
         with self._lock:
             if self._job is None and self._chunkq:
                 req, prep = self._chunkq.pop(0)
@@ -632,8 +639,15 @@ class ContinuousBatcher:
                 if isinstance(prep, dict):
                     # a prefix may have appeared while queued: refresh
                     # decides (prefix-upgraded preps come back as a
-                    # finished state from start_request_chunked)
-                    prep = eng._refresh_prep(prep)
+                    # finished state from start_request_chunked). Same
+                    # outgrow fallback as _admit: keep the full prep when
+                    # the upgraded prefix bucket (total+max_new) doesn't
+                    # fit this pool's rows.
+                    refreshed = eng._refresh_prep(prep)
+                    if refreshed is not prep \
+                            and self.max_cache_len \
+                            - refreshed["bucket"] > 0:
+                        prep = refreshed
                     job["prep"] = prep
                     job["bucket"] = prep["bucket"]
                 else:
@@ -676,11 +690,13 @@ class ContinuousBatcher:
             slot = next((s for s in range(self.num_slots)
                          if self.slots[s] is None), None)
             if slot is None:
-                return                          # retry when a slot frees
+                self._job_blocked = True        # retry when a slot frees
+                return
             prepared = {"mode": "chunked_state", "state": state,
                         "bucket": job["bucket"]}
             if self._admit(slot, req, prepared) is self._DEFER:
-                return                          # retry when pages free
+                self._job_blocked = True        # retry when pages free
+                return
             self._job = None
 
     def _fail_chunk_pipeline(self, err: Exception):
@@ -813,10 +829,21 @@ class ContinuousBatcher:
                     if req.cancelled.is_set():
                         req._q.put(BatchedRequest._DONE)
                         continue              # same slot, next candidate
+                    if self.chunk_prefill and isinstance(prepared, dict):
+                        # refresh ONCE here and forward the result (an
+                        # upgraded prefix dict re-refreshes as a no-op in
+                        # _admit / the job, so the suffix batch is never
+                        # built twice); keep the original full prep when
+                        # the upgraded bucket outgrows this pool's rows
+                        # (same fallback as _admit's atomic path)
+                        refreshed = eng._refresh_prep(prepared)
+                        if refreshed is not prepared \
+                                and self.max_cache_len \
+                                - refreshed["bucket"] > 0:
+                            prepared = refreshed
                     if self.chunk_prefill and (
                             not isinstance(prepared, dict)
-                            or eng._refresh_prep(prepared)["mode"]
-                            == "full"):
+                            or prepared["mode"] == "full"):
                         # cold admission: chunked-prefill job pipeline
                         # (prefix-mode admissions stay atomic — ~1 step)
                         self._chunkq.append((req, prepared))
@@ -829,7 +856,8 @@ class ContinuousBatcher:
             if self.chunk_prefill:
                 self._step_admission_job()
             if all(r is None for r in self.slots):
-                if self._job is None and not self._chunkq:
+                if (self._job is None and not self._chunkq) \
+                        or self._job_blocked:
                     self._wake.wait(timeout=0.1)
                     self._wake.clear()
                 continue

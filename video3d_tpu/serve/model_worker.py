@@ -44,6 +44,12 @@ class ModelWorker:
         self.n_errors = 0
         self.inference_seconds = 0.0
         self.lock = threading.Lock()
+        self._sampling_combos: set = set()
+        # requests that bypass the batcher (per-request sampling) lose
+        # its S-slot admission control; serialize them so N concurrent
+        # override requests can't each allocate a full prefill+decode
+        # cache on the chip alongside the batcher's pool
+        self._bypass_sem = threading.Semaphore(1)
         self._hb_stop = threading.Event()
         if controller_addr and worker_addr:
             self.register()
@@ -134,17 +140,42 @@ class ModelWorker:
                      {"from": "gpt", "value": None}]
         return {"video": request.get("video", ""), "conversations": convs}
 
+    # sampling knobs are jit-static on the decode graph: every distinct
+    # combination compiles once. Quantize client values to a coarse grid
+    # and cap the number of distinct combinations a long-lived worker
+    # will compile — otherwise a client sweeping temperature=0.700001,
+    # 0.700002, ... forces unbounded multi-second recompiles (and cached
+    # executables) on the serving chip.
+    _MAX_SAMPLING_COMBOS = 8
+
     def _sampling(self, request: dict):
         """Per-request sampling overrides (reference worker parity,
         llava/serve/model_worker.py:140-167). Returns (overrides dict for
-        generate_answer_stream, differs-from-engine-defaults bool)."""
+        generate_answer_stream, differs-from-engine-defaults bool).
+        Values are quantized (temperature/top_p to 0.05, top_k exact) and
+        novel combinations beyond _MAX_SAMPLING_COMBOS are rejected."""
         ecfg = self.engine.ecfg
         out = {}
         for k, cast in (("temperature", float), ("top_p", float),
                         ("top_k", int)):
             v = request.get(k)
-            if v is not None and cast(v) != cast(getattr(ecfg, k)):
-                out[k] = cast(v)
+            if v is None:
+                continue
+            v = cast(v)
+            if cast is float:
+                v = round(round(v / 0.05) * 0.05, 2)
+            if v != cast(getattr(ecfg, k)):
+                out[k] = v
+        if out:
+            combo = tuple(sorted(out.items()))
+            if combo not in self._sampling_combos:
+                if len(self._sampling_combos) >= self._MAX_SAMPLING_COMBOS:
+                    raise ValueError(
+                        "too many distinct sampling configurations for "
+                        "this worker (each compiles a decode graph); "
+                        "reuse an earlier temperature/top_p/top_k or "
+                        "restart the worker")
+                self._sampling_combos.add(combo)
         return out, bool(out)
 
     @staticmethod
@@ -166,27 +197,54 @@ class ModelWorker:
             self.queue_length += 1
         try:
             record = self._record(request)
+            ecfg = self.engine.ecfg
             mnt = request.get("max_new_tokens")
-            mnt = None if mnt is None else int(mnt)
+            # clamp to the engine budget (the batcher clamps only to its
+            # cache-row room, which can exceed the configured budget)
+            mnt = None if mnt is None else min(int(mnt),
+                                               ecfg.max_new_tokens)
             sampling, differs = self._sampling(request)
+            stop = request.get("stop")
             t0 = time.time()
+            kw = {} if mnt is None else {"max_new_tokens": mnt}
             if self.batcher is not None and not differs:
-                text = self.batcher.generate(
-                    record, **({} if mnt is None
-                               else {"max_new_tokens": mnt}))
-            elif differs or (mnt is not None
-                             and mnt < self.engine.ecfg.max_new_tokens):
-                # per-request cap / sampling without recompiling the
-                # static decode loop: drive the host-chunked stream to
-                # completion (a batched pool decodes every slot with ONE
-                # sampling config, so overrides route through the engine)
-                text = ""
-                for text in self.engine.generate_answer_stream(
-                        record, max_new_tokens=mnt, **sampling):
-                    pass
+                if stop:
+                    # early-stop through the stream instead of decoding
+                    # the whole budget past the stop sequence; cancel
+                    # releases the slot at the next boundary
+                    handle = self.batcher.submit(record, **kw)
+                    text = ""
+                    try:
+                        for t in handle.text_stream(
+                                self.engine._decode_text):
+                            text = self._apply_stop(t, stop)
+                            if text != t:
+                                break
+                    finally:
+                        handle.cancel()
+                else:
+                    text = self.batcher.generate(record, **kw)
+            elif differs or stop or (mnt is not None
+                                     and mnt < ecfg.max_new_tokens):
+                # per-request cap / sampling / stop without recompiling
+                # the static decode loop: drive the host-chunked stream
+                # (a batched pool decodes every slot with ONE sampling
+                # config, so overrides route through the engine —
+                # serialized by _bypass_sem to keep admission control)
+                import contextlib
+
+                ctx = (self._bypass_sem if self.batcher is not None
+                       else contextlib.nullcontext())
+                with ctx:
+                    text = ""
+                    for t in self.engine.generate_answer_stream(
+                            record, max_new_tokens=mnt, **sampling):
+                        text = self._apply_stop(t, stop)
+                        if text != t:
+                            break
             else:
                 text = self.engine.generate_answer(record)
-            text = self._apply_stop(text, request.get("stop"))
+            text = self._apply_stop(text, stop)
             dt = time.time() - t0
             with self.lock:
                 self.inference_seconds += dt
@@ -288,7 +346,13 @@ class ModelWorker:
         mnt = request.get("max_tokens",
                           request.get("max_completion_tokens"))
         if mnt is not None:
-            wire["max_new_tokens"] = int(mnt)
+            try:
+                wire["max_new_tokens"] = int(mnt)
+            except (TypeError, ValueError):
+                return None, ({"error": {
+                    "message": "max_tokens must be an integer",
+                    "type": "invalid_request_error",
+                    "param": "max_tokens", "code": None}}, 400)
         for k in ("temperature", "top_p", "stop"):
             if request.get(k) is not None:
                 wire[k] = request[k]
@@ -310,7 +374,18 @@ class ModelWorker:
                                  "finish_reason": finish}]}
 
         yield chunk({"role": "assistant", "content": ""})
+        # SSE deltas are append-only, but a stop sequence can make the
+        # cumulative text SHRINK at a chunk boundary (a partial stop
+        # suffix was already streamed). Hold back maxlen(stop)-1 chars
+        # from intermediate deltas so the emitted prefix never overshoots
+        # the final truncated answer; the tail flushes at the end.
+        stop = request.get("stop")
+        hold = 0
+        if stop:
+            ss = [stop] if isinstance(stop, str) else stop
+            hold = max((len(s) for s in ss if s), default=1) - 1
         prev = ""
+        final = ""
         inner = self.generate_stream(request)
         try:
             for payload in inner:
@@ -320,13 +395,15 @@ class ModelWorker:
                         "type": "server_error", "param": None,
                         "code": None}}
                     return
-                text = payload["text"]
-                delta = text[len(prev):] if text.startswith(prev) else text
-                prev = text
-                if delta:
-                    yield chunk({"content": delta})
+                final = payload["text"]
+                safe = final[:len(final) - hold] if hold else final
+                if len(safe) > len(prev) and safe.startswith(prev):
+                    yield chunk({"content": safe[len(prev):]})
+                    prev = safe
         finally:
             inner.close()       # propagate cancellation on client hangup
+        if len(final) > len(prev) and final.startswith(prev):
+            yield chunk({"content": final[len(prev):]})
         yield chunk({}, finish="stop")
 
     def chat_completions(self, request: dict):
@@ -382,16 +459,24 @@ class ModelWorker:
             record = self._record(request)
             chunk = int(request.get("stream_chunk", 16))
             mnt = request.get("max_new_tokens")
-            mnt = None if mnt is None else int(mnt)
+            mnt = None if mnt is None else min(
+                int(mnt), self.engine.ecfg.max_new_tokens)
             sampling, differs = self._sampling(request)
             stop = request.get("stop")
             handle = None
+            bypass = False
             if self.batcher is not None and not differs:
                 handle = self.batcher.submit(
                     record, **({} if mnt is None
                                else {"max_new_tokens": mnt}))
                 stream = handle.text_stream(self.engine._decode_text)
             else:
+                # sampling overrides bypass the batcher; serialize them
+                # (see _bypass_sem) so they can't multiply prefill/decode
+                # caches on the chip unboundedly
+                bypass = self.batcher is not None
+                if bypass:
+                    self._bypass_sem.acquire()
                 stream = self.engine.generate_answer_stream(
                     record, chunk=chunk, max_new_tokens=mnt, **sampling)
             try:
@@ -401,6 +486,8 @@ class ModelWorker:
                     if cut != text:
                         break        # stop sequence hit: end the stream
             finally:
+                if bypass:
+                    self._bypass_sem.release()
                 # client gone mid-stream (the handler close()s this
                 # generator on a broken pipe): release the batcher slot
                 # instead of decoding the full budget for nobody. No-op
