@@ -263,6 +263,40 @@ class TestInt4:
         np.testing.assert_allclose(got[:, :out], want[:, :out],
                                    rtol=2e-2, atol=2e-2)
 
+    def test_int8_kernel_interpret_matches_xla(self):
+        """int8_matmul (decode lm_head matvec kernel) == the XLA dequant
+        dot, including the lead-dim reshape and the (1, out) scale row."""
+        from video3d_tpu.kernels.quant_matvec import int8_matmul
+        from video3d_tpu.models.quant import quantize_weight
+
+        rng = np.random.default_rng(7)
+        for b_shape, in_, out in (((1,), 64, 256), ((5,), 64, 384),
+                                  ((2, 3), 128, 256)):
+            w = jnp.asarray(rng.normal(size=(in_, out)).astype(np.float32))
+            x = jnp.asarray(
+                rng.normal(size=(*b_shape, in_)).astype(np.float32))
+            d = quantize_weight(w)
+            got = np.asarray(int8_matmul(x, d["q"], d["scale"],
+                                         interpret=True))
+            # exact f32 dequant dot; atol absorbs the kernels' bf16
+            # compute (B>1 MXU path) on top of rtol for quant error
+            want = np.asarray(
+                x @ d["q"].astype(jnp.float32)
+                * d["scale"].astype(jnp.float32))
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
+
+    def test_int8_block_pick_fallback(self):
+        """Shapes whose out dim has no 128-multiple divisor refuse the
+        kernel (dispatch then keeps the XLA path)."""
+        from video3d_tpu.kernels.quant_matvec import _pick_block_out
+
+        assert _pick_block_out(64, 100) == 0
+        assert _pick_block_out(3584, 152064) == 1536  # lm_head: 99 tiles
+        assert _pick_block_out(3584, 18944) == 512    # mlp up/gate
+        # VMEM cap: double-buffered tiles stay under ~12 MB total
+        assert _pick_block_out(3584, 4096) * 3584 * 2 <= 12 << 20
+
     def test_int4_decode_end_to_end(self):
         """quantize_tree(bits=4) on the tiny LLM -> greedy decode runs and
         emits in-vocab tokens through the standard matmul dispatch."""

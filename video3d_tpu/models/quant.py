@@ -188,6 +188,21 @@ def matmul(x: jax.Array, w) -> jax.Array:
     if isinstance(w, W8A8Weight):
         return matmul_w8a8(x, w.q, w.scale)
     if isinstance(w, dict) and "q" in w:
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if (jax.default_backend() == "tpu" and rows == 1
+                and w["q"].shape[1] >= 32768):
+            # B=1 vocab-head matvec: the pallas VPU kernel's measured +3%
+            # over XLA (433 vs 420 GB/s; DMA probe ceiling 435 — XLA is
+            # already near the wall). Every other shape/batch measured at
+            # parity or worse, so they keep the XLA dequant dot
+            # (kernels/quant_matvec.py docstring has the numbers).
+            from video3d_tpu.kernels.quant_matvec import (_pick_block_out,
+                                                          int8_matmul)
+
+            if _pick_block_out(*w["q"].shape):
+                return int8_matmul(x, w["q"], w["scale"])
         y = x @ w["q"].astype(x.dtype)
         return y * w["scale"].astype(x.dtype)
     return x @ w
