@@ -630,10 +630,15 @@ def _grounding_object_features(params: Params, cfg: ModelConfig,
     the scene's coords/features and its proposal boxes."""
     side = cfg.vision.num_patches_per_side
     g = -(-side // cfg.spatial_pool_stride)
+    # patch/pool pixel sizes derive from the COORD image height (the
+    # reference hardcodes 378 = 27x14px / 14x27px for its 384-res coords,
+    # llava_arch.py:362-378; at 384 these are identical: 384//27 = 14,
+    # 384//14 = 27)
+    H = world_coords.shape[-3]
     masks = object_patch_masks(world_coords, object_boxes,
                                cfg.world_3d.object_feature_type,
-                               side=side, patch_px=cfg.vision.patch_size,
-                               grid=g, pool_px=cfg.vision.image_size // g)
+                               side=side, patch_px=H // side,
+                               grid=g, pool_px=H // g)
     feats = vt.raw[0] if cfg.world_3d.object_feature_type == ObjectFeatureType.PATCH14 \
         else vt.pooled[0]
     # Objects whose box covers no patch keep a zero feature vector and are
@@ -727,10 +732,11 @@ def grounding_forward_batch(params: Params, cfg: ModelConfig, batch: Batch,
     hidden, vt = forward_hidden(params, cfg, batch, remat=remat)
     side = cfg.vision.num_patches_per_side
     g = -(-side // cfg.spatial_pool_stride)
-    masks = jax.vmap(lambda wc, ob: object_patch_masks(
+    H = world_coords.shape[-3]   # coord-image px per patch (see
+    masks = jax.vmap(lambda wc, ob: object_patch_masks(  # _grounding_object_features)
         wc, ob, cfg.world_3d.object_feature_type, side=side,
-        patch_px=cfg.vision.patch_size, grid=g,
-        pool_px=cfg.vision.image_size // g))(world_coords, object_boxes)
+        patch_px=H // side, grid=g,
+        pool_px=H // g))(world_coords, object_boxes)
     feats = vt.raw if cfg.world_3d.object_feature_type == ObjectFeatureType.PATCH14 \
         else vt.pooled                                        # (B, V, P, D)
     obj_feats, _ = jax.vmap(object_features_from_masks)(feats, masks)
