@@ -43,6 +43,7 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from video3d_tpu.config import (LLMConfig, ModelConfig, PosEmbedType,  # noqa: E402
@@ -81,6 +82,14 @@ def _import_reference():
                  "prune_linear_layer"):
         if not hasattr(mu, name):
             setattr(mu, name, getattr(pu, name))
+    from transformers.cache_utils import DynamicCache
+
+    if not hasattr(DynamicCache, "get_usable_length"):
+        # removed in newer transformers; for non-sliding caches it returned
+        # the current past length
+        DynamicCache.get_usable_length = (
+            lambda self, new_seq_length, layer_idx=0:
+            self.get_seq_length(layer_idx))
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from llava.model.language_model.llava_qwen import (LlavaQwenConfig,
@@ -343,3 +352,99 @@ class TestCompositionGolden:
                                        H.cfg.ground_head_temperature))
         np.testing.assert_allclose(loss, float(ref_loss), rtol=1e-4,
                                    atol=1e-5)
+
+    def test_gradients_match(self, H):
+        """Training backward: d(loss)/d(param) through the whole multimodal
+        chain equals torch autograd on the reference model — projector,
+        image_newline, lm_head, embed_tokens, and a decoder q_proj."""
+        ref = H.ref_forward(IDS, LABELS, [0, 1])
+        H.model.zero_grad(set_to_none=True)
+        # re-run with grad enabled (ref_forward is no_grad)
+        Lt = max(len(x) for x in IDS)
+        input_ids = torch.zeros((2, Lt), dtype=torch.long)
+        attn = torch.zeros((2, Lt), dtype=torch.bool)
+        labels_t = torch.full((2, Lt), IGNORE_INDEX, dtype=torch.long)
+        for i, (ids, lab) in enumerate(zip(IDS, LABELS)):
+            input_ids[i, :len(ids)] = torch.tensor(ids)
+            attn[i, :len(ids)] = True
+            labels_t[i, :len(lab)] = torch.tensor(lab)
+        out = H.model(
+            input_ids=input_ids, attention_mask=attn, labels=labels_t,
+            images=[torch.from_numpy(H.images[i]) for i in range(2)],
+            modalities=["video", "video"],
+            video_dict={"world_coords": torch.from_numpy(H.world_coords),
+                        "box_input": []},
+            use_cache=False, return_dict=True)
+        assert torch.allclose(out.loss, ref.loss)
+        out.loss.backward()
+
+        plan, batch = H.plan_and_batch(IDS, LABELS, [0, 1])
+
+        def loss_fn(p):
+            logits = lv3d.forward(p, H.cfg, batch)
+            return lv3d.language_model_loss(logits, jnp.asarray(plan.labels))
+
+        grads = jax.grad(loss_fn)(H.params)
+        m = H.model
+        pairs = [
+            (grads["projector"]["w1"],
+             m.model.mm_projector[0].weight.grad.T),
+            (grads["image_newline"], m.model.image_newline.grad),
+            (grads["llm"]["lm_head"], m.lm_head.weight.grad.T),
+            (grads["llm"]["embed_tokens"], m.model.embed_tokens.weight.grad),
+            (grads["llm"]["layers"][0]["attn"]["wq"],
+             m.model.layers[0].self_attn.q_proj.weight.grad.T),
+        ]
+        for ours_g, ref_g in pairs:
+            np.testing.assert_allclose(np.asarray(ours_g),
+                                       ref_g.float().numpy(),
+                                       rtol=5e-4, atol=5e-6)
+
+    def test_greedy_decode_matches(self, H):
+        """KV-cache greedy decode: our prefill + while_loop decode emits the
+        same tokens as a torch greedy loop over the reference forward (whose
+        prepare() passes length-1 steps straight through, skipping the PE
+        branch — llava_arch.py:437)."""
+        from video3d_tpu.models import generate as gen
+
+        ids = [IDS[0]]
+        lab = [[IGNORE_INDEX] * len(IDS[0])]
+        steps, eos = 12, VOCAB - 1
+
+        input_ids = torch.tensor(ids)
+        attn = torch.ones_like(input_ids, dtype=torch.bool)
+        toks = []
+        with torch.no_grad():
+            out = H.model(
+                input_ids=input_ids, attention_mask=attn,
+                images=[torch.from_numpy(H.images[0])], modalities=["video"],
+                video_dict={"world_coords":
+                            torch.from_numpy(H.world_coords[:1]),
+                            "box_input": []},
+                use_cache=True, return_dict=True)
+            past = out.past_key_values
+            n_spliced = out.logits.shape[1]
+            tok = int(out.logits[0, -1].argmax())
+            for t in range(steps):
+                toks.append(tok)
+                if tok == eos:
+                    break
+                pos = torch.full((1, 1, 3), n_spliced + t, dtype=torch.long)
+                out = H.model(input_ids=torch.tensor([[tok]]),
+                              position_ids=pos, past_key_values=past,
+                              use_cache=True, return_dict=True)
+                past = out.past_key_values
+                tok = int(out.logits[0, -1].argmax())
+
+        plan, batch = H.plan_and_batch(ids, lab, [0])
+        state = gen.start_decode(H.params, H.cfg, batch,
+                                 max_cache_len=n_spliced + steps + 1,
+                                 cache_dtype=jnp.float32)
+        res = gen.generate_from_state(H.params, H.cfg, state,
+                                      max_new_tokens=steps,
+                                      eos_token_id=eos)
+        # res.tokens is the emission stream, eos-padded once done — pad the
+        # torch stream the same way and compare verbatim
+        ref_padded = (toks + [eos] * steps)[:steps]
+        ours_padded = [int(t) for t in np.asarray(res.tokens[0])]
+        assert ours_padded == ref_padded
