@@ -242,9 +242,10 @@ def build_vision_tower(vision_tower: str, cfg: Optional[VisionConfig] = None,
     """Name-based dispatch mirroring the reference builder
     (multimodal_encoder/builder.py:13-38): path-or-openai/laion/ShareGPT4V
     -> CLIP; 'siglip' substring -> SigLIP; 'hf:' prefix -> HF families;
-    'open_clip_hub:' -> OpenCLIP; 'imagebind_huge' -> requires the external
-    imagebind package (unavailable — same for the reference). EVA towers are
-    commented out of the reference builder (builder.py:9-10,32-35)."""
+    'open_clip_hub:' -> OpenCLIP; 'imagebind_huge' -> the native
+    models/imagebind.py vision trunk (the reference needs the external
+    imagebind package for it). EVA towers are commented out of the
+    reference builder (builder.py:9-10,32-35)."""
     import os
 
     from video3d_tpu.models import clip as clip_mod
