@@ -51,6 +51,12 @@ def main():
                          "grad = fwd+bwd, full = + optimizer update")
     ap.add_argument("--no-scan", action="store_true",
                     help="unrolled layer loop instead of scan-over-layers")
+    ap.add_argument("--master-dtype", default="bfloat16",
+                    choices=("bfloat16", "float32"),
+                    help="param storage dtype; float32 = the trainer "
+                         "default (f32 master weights cast to bf16 at use "
+                         "— train_step.cast_to_compute); bfloat16 = the "
+                         "legacy pure-bf16 state")
     a = ap.parse_args()
 
     from video3d_tpu.config import ModelConfig
@@ -72,8 +78,10 @@ def main():
     print(f"mesh {dict(mesh.shape)}  B={B} L={L} V={V}", flush=True)
 
     # ---- shapes only: params -> optimizer state -> train state ----
+    master = jnp.float32 if a.master_dtype == "float32" else jnp.bfloat16
+    cdt = jnp.bfloat16 if master is jnp.float32 else None
     p_shapes = jax.eval_shape(
-        lambda k: lv3d.init_model(k, cfg, dtype=jnp.bfloat16),
+        lambda k: lv3d.init_model(k, cfg, dtype=master),
         jax.random.PRNGKey(0))
     tx = build_optimizer(p_shapes, OptimConfig(total_steps=100))
     s_shapes = jax.eval_shape(lambda p: create_train_state(p, tx), p_shapes)
@@ -122,16 +130,17 @@ def main():
     scan = not a.no_scan
     if a.stage == "full":
         step = functools.partial(train_step, cfg=cfg, tx=tx, remat=True,
-                                 force_chunked_ce=True, scan_layers=scan)
+                                 force_chunked_ce=True, scan_layers=scan,
+                                 compute_dtype=cdt)
         fn, args = step, (s_in, b_in)
     elif a.stage == "grad":
         def grad_step(params, batch):
             return jax.value_and_grad(loss_fn, has_aux=True)(
-                params, cfg, batch, True, True, scan)
+                params, cfg, batch, True, True, scan, cdt)
         fn, args = grad_step, (s_in.params, b_in)
     else:
         def loss_step(params, batch):
-            return loss_fn(params, cfg, batch, True, True, scan)
+            return loss_fn(params, cfg, batch, True, True, scan, cdt)
         fn, args = loss_step, (s_in.params, b_in)
     print(f"lowering + compiling stage={a.stage} scan={scan} "
           "(28L + so400m, remat, chunked CE)...", flush=True)

@@ -64,6 +64,70 @@ def _get_text(url, timeout=60):
         return r.headers.get("Content-Type", ""), r.read().decode()
 
 
+class TestSceneAffinity:
+    """scene_affinity dispatch (Controller, beyond reference): same-scene
+    requests stick to the worker whose engine LRU holds the scene's
+    feature/prefix caches, with a bounded-backlog rebalance guard."""
+
+    def _c(self, **kw):
+        from video3d_tpu.serve.controller import Controller
+
+        c = Controller("scene_affinity", **kw)
+        for w in ("http://w1", "http://w2"):
+            c.register_worker(w, True, {"model_names": ["m"], "speed": 1,
+                                        "queue_length": 0})
+        return c
+
+    def _reset_queues(self, c):
+        c.receive_heart_beat("http://w1", 0)
+        c.receive_heart_beat("http://w2", 0)
+
+    def test_same_scene_sticks(self):
+        c = self._c()
+        first = c.get_worker_address("m", scene="scannet/scene0000_00")
+        assert first
+        for _ in range(5):
+            self._reset_queues(c)     # stickiness, not queue noise, decides
+            assert c.get_worker_address(
+                "m", scene="scannet/scene0000_00") == first
+
+    def test_distinct_scenes_balance(self):
+        c = self._c()
+        a = c.get_worker_address("m", scene="sA")   # bumps a's queue
+        b = c.get_worker_address("m", scene="sB")   # shortest -> the other
+        assert {a, b} == {"http://w1", "http://w2"}
+
+    def test_overloaded_sticky_rebalances_and_resticks(self):
+        c = self._c(affinity_max_backlog=2)
+        a = c.get_worker_address("m", scene="sA")
+        other = "http://w2" if a == "http://w1" else "http://w1"
+        c.receive_heart_beat(a, 10)        # sticky backlog over threshold
+        c.receive_heart_beat(other, 0)
+        moved = c.get_worker_address("m", scene="sA")
+        assert moved == other
+        self._reset_queues(c)              # the scene re-stuck to `moved`
+        assert c.get_worker_address("m", scene="sA") == moved
+
+    def test_dead_sticky_worker_falls_back(self):
+        c = self._c()
+        a = c.get_worker_address("m", scene="sA")
+        with c.lock:
+            del c.workers[a]
+        b = c.get_worker_address("m", scene="sA")
+        assert b and b != a
+
+    def test_no_scene_uses_shortest_queue(self):
+        c = self._c()
+        assert {c.get_worker_address("m"), c.get_worker_address("m")} \
+            == {"http://w1", "http://w2"}
+
+    def test_scene_map_is_lru_bounded(self):
+        c = self._c(affinity_scenes=4)
+        for i in range(10):
+            c.get_worker_address("m", scene=f"s{i}")
+        assert len(c._scene_worker) <= 4
+
+
 class TestServe:
     def test_register_and_list_models(self, stack):
         info, caddr, waddr, controller = stack

@@ -118,6 +118,92 @@ class TestTrainerLoop:
         assert os.path.isdir(os.path.join(out, "model"))
 
 
+class TestMasterWeights:
+    """f32 master weights + bf16 compute (TrainingConfig.master_f32,
+    train_step.cast_to_compute) — the DeepSpeed-bf16 equivalent of the
+    reference recipe (scripts/zero3.json: bf16 compute over fp32
+    master/optimizer partitions)."""
+
+    def test_bf16_storage_rounds_away_small_updates(self):
+        """At the reference's lr=1e-5, AdamW updates (~lr) are below half
+        a bf16 ulp of a ~1.0 weight (2^-8): applied to bf16 storage they
+        round to nothing every step, while an f32 master accumulates."""
+        import optax
+
+        cfg = OptimConfig(learning_rate=1e-5, warmup_ratio=0.0,
+                          total_steps=1000, weight_decay=0.0)
+
+        def run(dtype):
+            params = {"llm": {"w": jnp.full((8,), 1.0, dtype)}}
+            tx = build_optimizer(params, cfg)
+            opt = tx.init(params)
+            p = params
+            for _ in range(8):
+                g = jax.tree.map(lambda x: jnp.full_like(x, 1e-2), p)
+                up, opt = tx.update(g, opt, p)
+                p = optax.apply_updates(p, up)
+            return np.asarray(p["llm"]["w"], np.float32)
+
+        assert np.all(run(jnp.bfloat16) == 1.0)          # all updates lost
+        assert np.all(run(jnp.float32) < 1.0 - 2e-5)     # all accumulated
+
+    def test_trainer_master_f32_computes_bf16(self, tmp_path_factory):
+        """Same batch through both modes: identical step-0 loss (the f32
+        master is cast to bf16 at use, so the forward sees the same
+        values), f32 params after the update, and the update actually
+        lands (master leaf changes)."""
+        root = str(tmp_path_factory.mktemp("data_mw"))
+        info = make_fake_scene(root, n_frames=2)
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        ds = SupervisedDataset(ann, FakeTokenizer(), dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(max_len=160, frames_upbound=2))
+        from video3d_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+
+        def make(master_f32):
+            return Trainer(
+                CFG, lv3d.init_model(jax.random.PRNGKey(0), CFG), ds, col,
+                OptimConfig(total_steps=4, learning_rate=1e-3,
+                            warmup_ratio=0.0),
+                TrainingConfig(
+                    output_dir=str(tmp_path_factory.mktemp("out_mw")),
+                    num_epochs=1, per_device_batch_size=1,
+                    gradient_accumulation_steps=1, save_steps=100,
+                    group_by="none", bf16=True, master_f32=master_f32,
+                    dp=1, tp=1),
+                mesh=mesh)
+
+        tr32, tr16 = make(True), make(False)
+
+        def float_dtypes(params):
+            return {x.dtype for x in jax.tree.leaves(params)
+                    if hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jnp.floating)}
+
+        assert float_dtypes(tr32.state.params) == {jnp.dtype(jnp.float32)}
+        assert float_dtypes(tr16.state.params) == {jnp.dtype(jnp.bfloat16)}
+
+        batch = tr32._to_batch(col([ds[0]]))
+        before = np.asarray(tr32.state.params["llm"]["embed_tokens"],
+                            np.float32).copy()
+        s32, m32 = tr32._step_fn(tr32.state, batch)       # donates tr32.state
+        s16, m16 = tr16._step_fn(tr16.state, batch)
+        # the bf16-cast master forward sees the exact bf16-stored values
+        assert float(m32["lm_loss"]) == pytest.approx(
+            float(m16["lm_loss"]), rel=1e-6)
+        assert float_dtypes(s32.params) == {jnp.dtype(jnp.float32)}
+        # step 0 trains at warmup lr=0; the second step applies a real lr
+        s32, _ = tr32._step_fn(s32, batch)
+        after = np.asarray(s32.params["llm"]["embed_tokens"], np.float32)
+        assert not np.array_equal(before, after)          # update landed
+
+
 class TestGroundingTrainStep:
     def test_ground_step_runs_and_updates(self, tmp_path):
         """ScanRefer-style record -> collator grounding extras ->

@@ -160,6 +160,7 @@ def cmd_train(args):
                        gradient_accumulation_steps=args.gradient_accumulation_steps,
                        save_steps=args.save_steps, group_by=args.group_by,
                        metrics_file=args.metrics_file,
+                       master_f32=(args.master_dtype == "float32"),
                        dp=args.dp, tp=args.tp, sp=args.sp))
     trainer.train(resume=not args.no_resume)
 
@@ -257,6 +258,13 @@ def main(argv=None):
     pt.add_argument("--save-steps", type=int, default=1000)
     pt.add_argument("--group-by", default="task_length")
     pt.add_argument("--max-len", type=int, default=8192)
+    pt.add_argument("--master-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="optimizer master-weight dtype; float32 (default) "
+                         "matches the reference's DeepSpeed-bf16 fp32 "
+                         "master partitions — bfloat16 saves one f32-vs-"
+                         "bf16 param tree per shard but rounds away "
+                         "lr~1e-5 updates")
     pt.add_argument("--dp", type=int, default=1)
     pt.add_argument("--tp", type=int, default=1)
     pt.add_argument("--sp", type=int, default=1)

@@ -15,6 +15,7 @@ import json
 import threading
 import time
 import urllib.request
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -41,9 +42,30 @@ def _post_json(url: str, payload: dict, timeout: float = 30.0) -> dict:
 
 
 class Controller:
-    def __init__(self, dispatch_method: str = "shortest_queue"):
-        assert dispatch_method in ("lottery", "shortest_queue")
+    """``dispatch_method``:
+
+    * ``lottery`` / ``shortest_queue`` — the reference's two policies
+      (controller.py:156-228).
+    * ``scene_affinity`` (beyond reference) — route same-scene requests to
+      the worker that served the scene last. Workers LRU-cache per-scene
+      state (tower features + prefix KV, eval/drivers.py InferenceEngine);
+      a prefix hit admits at ~1/13 the cost of a cold prefill at 7B depth
+      (BENCH_NOTES "Scene-prefix KV cache"), so affinity beats pure queue
+      balancing unless the sticky worker's backlog exceeds the shortest
+      queue by more than ``affinity_max_backlog`` requests — then the
+      scene re-sticks to the worker actually chosen. Requests without a
+      scene (or whose sticky worker died) fall back to shortest_queue.
+    """
+
+    def __init__(self, dispatch_method: str = "shortest_queue",
+                 affinity_max_backlog: int = 8,
+                 affinity_scenes: int = 4096):
+        assert dispatch_method in ("lottery", "shortest_queue",
+                                   "scene_affinity")
         self.dispatch_method = dispatch_method
+        self.affinity_max_backlog = affinity_max_backlog
+        self.affinity_scenes = affinity_scenes
+        self._scene_worker: "OrderedDict[tuple, str]" = OrderedDict()
         self.workers: Dict[str, WorkerInfo] = {}
         self.lock = threading.Lock()
 
@@ -95,7 +117,8 @@ class Controller:
 
     # ---- dispatch (controller.py:156-228) ----
 
-    def get_worker_address(self, model_name: str) -> str:
+    def get_worker_address(self, model_name: str,
+                           scene: Optional[str] = None) -> str:
         self.remove_stale_workers()
         with self.lock:
             candidates = [(n, i) for n, i in self.workers.items()
@@ -110,6 +133,26 @@ class Controller:
             # shortest_queue, speed-normalized
             qlens = [i.queue_length / max(i.speed, 1e-6) for _, i in candidates]
             idx = int(np.argmin(qlens))
+            if self.dispatch_method == "scene_affinity" and scene:
+                key = (model_name, scene)
+                sticky = self._scene_worker.get(key)
+                by_name = dict(candidates)
+                if sticky in by_name and (
+                        by_name[sticky].queue_length
+                        - candidates[idx][1].queue_length
+                        <= self.affinity_max_backlog):
+                    # the sticky worker holds this scene's feature/prefix
+                    # caches: a warm admission is ~13x cheaper than a cold
+                    # prefill (BENCH_NOTES), worth a bounded queue premium
+                    self._scene_worker.move_to_end(key)
+                    by_name[sticky].queue_length += 1
+                    return sticky
+                # new scene / dead or overloaded sticky worker: rebalance
+                # and stick the scene to the worker that will now warm it
+                self._scene_worker[key] = candidates[idx][0]
+                self._scene_worker.move_to_end(key)
+                while len(self._scene_worker) > self.affinity_scenes:
+                    self._scene_worker.popitem(last=False)
             candidates[idx][1].queue_length += 1
             return candidates[idx][0]
 
@@ -146,9 +189,11 @@ class _ControllerHandler(BaseHTTPRequestHandler):
         elif self.path == "/list_models":
             self._reply({"models": c.list_models()})
         elif self.path == "/get_worker_address":
-            self._reply({"address": c.get_worker_address(data["model"])})
+            self._reply({"address": c.get_worker_address(
+                data["model"], scene=data.get("video"))})
         elif self.path in ("/worker_generate", "/worker_ground"):
-            addr = c.get_worker_address(data.get("model", ""))
+            addr = c.get_worker_address(data.get("model", ""),
+                                        scene=data.get("video"))
             if not addr:
                 self._reply({"error": "no worker", "error_code": 2}, 503)
                 return
@@ -159,8 +204,10 @@ class _ControllerHandler(BaseHTTPRequestHandler):
 
 def serve_controller(host: str = "127.0.0.1", port: int = 21001,
                      dispatch_method: str = "shortest_queue",
-                     background: bool = False):
-    controller = Controller(dispatch_method)
+                     background: bool = False,
+                     affinity_max_backlog: int = 8):
+    controller = Controller(dispatch_method,
+                            affinity_max_backlog=affinity_max_backlog)
     handler = type("Handler", (_ControllerHandler,), {"controller": controller})
     server = ThreadingHTTPServer((host, port), handler)
     if background:
@@ -176,6 +223,14 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=21001)
-    parser.add_argument("--dispatch-method", default="shortest_queue")
+    parser.add_argument("--dispatch-method", default="shortest_queue",
+                        choices=("lottery", "shortest_queue",
+                                 "scene_affinity"))
+    parser.add_argument("--affinity-max-backlog", type=int, default=8,
+                        help="scene_affinity: max extra queued requests "
+                             "the sticky (cache-warm) worker may carry "
+                             "over the shortest queue before the scene "
+                             "rebalances")
     args = parser.parse_args()
-    serve_controller(args.host, args.port, args.dispatch_method)
+    serve_controller(args.host, args.port, args.dispatch_method,
+                     affinity_max_backlog=args.affinity_max_backlog)

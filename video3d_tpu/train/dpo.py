@@ -74,14 +74,20 @@ def dpo_step_loss(params, ref_params, model_cfg: ModelConfig,
     return dpo_loss(pc, pr, rc, rr, dpo_cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "dpo_cfg", "tx", "remat"),
+@functools.partial(jax.jit, static_argnames=("model_cfg", "dpo_cfg", "tx",
+                                             "remat", "compute_dtype"),
                    donate_argnums=(0,))
 def dpo_train_step(state, ref_params, batch_pair, model_cfg: ModelConfig,
                    dpo_cfg: DPOConfig, tx: optax.GradientTransformation,
-                   remat: bool = True):
+                   remat: bool = True, compute_dtype=None):
+    """``compute_dtype=jnp.bfloat16`` with f32 ``state.params`` keeps f32
+    master weights while computing in bf16 (train_step.cast_to_compute)."""
     chosen, rejected = batch_pair
 
     def lf(p):
+        if compute_dtype is not None:
+            from video3d_tpu.train.train_step import cast_to_compute
+            p = cast_to_compute(p, compute_dtype)
         return dpo_step_loss(p, ref_params, model_cfg, chosen, rejected,
                              dpo_cfg, remat)
 

@@ -32,10 +32,32 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+def cast_to_compute(params, compute_dtype=jnp.bfloat16):
+    """Cast f32 MASTER params to the compute dtype at point of use.
+
+    Mixed-precision semantics matching the reference's DeepSpeed bf16 mode
+    (scripts/zero3.json "bf16" + fp32 master/optimizer partitions): the
+    optimizer owns an f32 copy so updates accumulate exactly, while the
+    forward/backward run in bf16 on the MXU. Applying AdamW updates
+    directly to bf16 storage silently drops them at the reference recipe's
+    lr=1e-5: |update| ~ lr is below half a bf16 ulp of typical weight
+    magnitudes (ulp(0.02) = 7.8e-5), so round-to-nearest returns the old
+    weight. The astype here is under jit — XLA fuses the cast into the
+    consuming matmuls, and its transpose accumulates bf16 grads into f32
+    leaves. Non-f32 leaves (already-bf16 trees, int quant scales) pass
+    through unchanged, so this is a no-op for bf16-master states.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+
 def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
             remat: bool = True, force_chunked_ce: bool = False,
-            scan_layers: bool = True
+            scan_layers: bool = True, compute_dtype=None
             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    if compute_dtype is not None:
+        params = cast_to_compute(params, compute_dtype)
     # scan_layers defaults ON for training: numerically identical, but the
     # unrolled 28-layer graph lets the scheduler keep every fsdp-gathered
     # layer alive at once (+12 GiB peak on the v5e-8 recipe — measured,
@@ -61,14 +83,20 @@ def loss_fn(params, cfg: ModelConfig, batch: lv3d.Batch,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "remat",
                                              "force_chunked_ce",
-                                             "scan_layers"),
+                                             "scan_layers", "compute_dtype"),
                    donate_argnums=(0,))
 def train_step(state: TrainState, batch: lv3d.Batch, cfg: ModelConfig,
                tx: optax.GradientTransformation, remat: bool = True,
-               force_chunked_ce: bool = False, scan_layers: bool = True):
-    """One optimizer step. Returns (new_state, metrics)."""
+               force_chunked_ce: bool = False, scan_layers: bool = True,
+               compute_dtype=None):
+    """One optimizer step. Returns (new_state, metrics).
+
+    ``compute_dtype=jnp.bfloat16`` with f32 ``state.params`` gives
+    mixed-precision training (f32 master weights, bf16 compute — the
+    DeepSpeed-bf16 equivalent; see :func:`cast_to_compute`)."""
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, batch, remat, force_chunked_ce, scan_layers)
+        state.params, cfg, batch, remat, force_chunked_ce, scan_layers,
+        compute_dtype)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)

@@ -47,6 +47,14 @@ class TrainingConfig:
     seed: int = 0
     group_by: str = "task_length"      # task_length | length | modality_length | none
     bf16: bool = True
+    # f32 MASTER weights with bf16 compute (the reference's DeepSpeed-bf16
+    # semantics, scripts/zero3.json: fp32 master/optimizer partitions).
+    # False stores params in bf16 outright — at the recipe's lr=1e-5 that
+    # silently rounds away most AdamW updates (|update| ~ lr is below half
+    # a bf16 ulp of typical weight magnitudes) and freezes the second-
+    # moment EMA; keep True unless HBM-bound (costs one extra f32-vs-bf16
+    # param tree per fsdp shard). See train_step.cast_to_compute.
+    master_f32: bool = True
     remat: bool = True
     dp: int = 1
     tp: int = 1
@@ -92,10 +100,22 @@ class Trainer:
         self.dataset = dataset
         self.collator = collator
         self.mesh = mesh or create_mesh(dp=train_cfg.dp, tp=train_cfg.tp, sp=train_cfg.sp)
-        if train_cfg.bf16:
+        # bf16 + master_f32 (default): params stay f32 (the optimizer's
+        # master copy; checkpoint imports arrive bf16 -> upcast) and are
+        # cast to bf16 at use inside the jitted step. bf16 alone: params
+        # stored bf16 outright (legacy; loses sub-ulp updates — see
+        # TrainingConfig.master_f32).
+        self._compute_dtype = jnp.bfloat16 if train_cfg.bf16 else None
+        if train_cfg.bf16 and train_cfg.master_f32:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                params)
+        elif train_cfg.bf16:
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+            self._compute_dtype = None      # params already bf16
         self.params = shard_params(params, self.mesh)
         base_tx = build_optimizer(self.params, optim_cfg)
         if train_cfg.gradient_accumulation_steps > 1:
@@ -110,11 +130,12 @@ class Trainer:
 
     def _build_step(self):
         cfg, tx, remat = self.cfg, self.tx, self.tcfg.remat
+        cdt = self._compute_dtype
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: lv3d.Batch):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, cfg, batch, remat)
+                state.params, cfg, batch, remat, False, True, cdt)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
@@ -126,11 +147,15 @@ class Trainer:
     def _build_ground_step(self):
         cfg, tx, remat = self.cfg, self.tx, self.tcfg.remat
         w = self.tcfg.grounding_loss_weight
+        cdt = self._compute_dtype
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: lv3d.Batch, world_coords, objects,
                  objects_valid, ground_slot, box_label_hot):
             def lf(p):
+                if cdt is not None:
+                    from video3d_tpu.train.train_step import cast_to_compute
+                    p = cast_to_compute(p, cdt)
                 loss, metrics = grounding_loss_fn(
                     p, cfg, batch, world_coords, objects, objects_valid,
                     ground_slot, box_label_hot, remat)
@@ -181,7 +206,8 @@ class Trainer:
 
         @jax.jit
         def eval_loss(params, batch):
-            return loss_fn(params, self.cfg, batch, remat=False)[0]
+            return loss_fn(params, self.cfg, batch, remat=False,
+                           compute_dtype=self._compute_dtype)[0]
 
         losses = []
         with self.mesh:
@@ -303,5 +329,14 @@ class Trainer:
             signal.signal(sig, h)
         if metrics_f:
             metrics_f.close()
-        ckpt.save_params_only(self.tcfg.output_dir, self.state.params)
+        # final export in bf16, the reference's
+        # stage3_gather_16bit_weights_on_model_save (zero3.json:32): the f32
+        # master copy is an optimizer detail, not the published model
+        export = self.state.params
+        if self.tcfg.bf16 and self.tcfg.master_f32:
+            export = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                export)
+        ckpt.save_params_only(self.tcfg.output_dir, export)
         return self.state
