@@ -78,6 +78,18 @@ def _import_reference():
     import transformers.modeling_utils as mu
     import transformers.pytorch_utils as pu
 
+    # Other golden tests (test_anyres / test_hf_vision / test_preprocess_
+    # golden) register a plain-ModuleType "llava" stub so they can exec
+    # single reference FILES without the package's heavy __init__. A stub
+    # has no __path__, so importing the real package through it fails with
+    # "'llava' is not a package" — purge stub entries first (suite-order
+    # dependent: only hit when those files run before this one).
+    stub = sys.modules.get("llava")
+    if stub is not None and not hasattr(stub, "__path__"):
+        for name in [m for m in sys.modules
+                     if m == "llava" or m.startswith("llava.")]:
+            del sys.modules[name]
+
     for name in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
                  "prune_linear_layer"):
         if not hasattr(mu, name):

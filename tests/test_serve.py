@@ -153,6 +153,21 @@ class TestServe:
         assert isinstance(out["text"], str)
         assert out["inference_time"] > 0
 
+    def test_cli_one_shot_message(self, stack, capsys):
+        """serve/cli.py --message: the reference's test_message.py smoke
+        client (list models -> resolve worker -> one generate -> print)."""
+        from video3d_tpu.serve import cli
+
+        info, caddr, waddr, controller = stack
+        rc = cli.main(["--controller", caddr, "--model", "video3d-tiny",
+                       "--video", info["sample_idx"],
+                       "--max-new-tokens", "2",
+                       "--message", "what is in the room"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "video3d-tiny" in out          # model listing
+        assert waddr in out                   # resolved worker address
+
     def test_openai_chat_completions(self, stack):
         """/v1/chat/completions: OpenAI request shape (messages with text +
         video_id content parts) -> standard completion response whose

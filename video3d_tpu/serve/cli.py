@@ -1,5 +1,10 @@
 """Interactive serving CLI (reference llava/serve/cli.py equivalent):
-talks to a controller (or directly to a worker) over HTTP."""
+talks to a controller (or directly to a worker) over HTTP.
+
+``--message`` sends ONE message and exits — the reference's smoke-test
+client (llava/serve/test_message.py:9-47: list models, resolve a worker
+through the controller, send a single generate request, print the text).
+"""
 
 from __future__ import annotations
 
@@ -14,9 +19,25 @@ def main(argv=None):
     parser.add_argument("--model", default="video3d-qwen2-7b")
     parser.add_argument("--video", required=True, help="e.g. scannet/scene0000_00")
     parser.add_argument("--max-new-tokens", type=int, default=512)
+    parser.add_argument("--message", default=None,
+                        help="one-shot: send this message, print the reply, "
+                             "exit (test_message.py equivalent)")
     args = parser.parse_args(argv)
 
     print(f"models: {_post_json(args.controller + '/list_models', {})['models']}")
+    if args.message is not None:
+        addr = _post_json(args.controller + "/get_worker_address",
+                          {"model": args.model,
+                           "video": args.video})["address"]
+        print(f"worker_addr: {addr}")
+        out = _post_json(args.controller + "/worker_generate", {
+            "model": args.model, "video": args.video,
+            "conversations": [
+                {"from": "human", "value": f"<image>\n{args.message}"},
+                {"from": "gpt", "value": None}],
+            "max_new_tokens": args.max_new_tokens}, timeout=600)
+        print(out.get("text", out))
+        return 0 if out.get("error_code", 0) == 0 else 1
     # multi-turn: accumulate the conversation client-side and re-prompt
     # with the full history (the reference cli.py conversation loop,
     # llava/serve/cli.py:58-86, as a stateless wire field)
