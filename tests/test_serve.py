@@ -168,6 +168,26 @@ class TestServe:
         assert "video3d-tiny" in out          # model listing
         assert waddr in out                   # resolved worker address
 
+    def test_manual_register_worker(self, stack):
+        """serve/register_worker.py: manual registration with
+        worker_status=None (reference register_worker.py:19-26), then
+        --refresh pulls the worker's real model list so the controller can
+        dispatch to it again."""
+        from video3d_tpu.serve import register_worker
+
+        info, caddr, waddr, controller = stack
+        with controller.lock:
+            controller.workers.clear()        # simulate a controller restart
+        assert _post_json(caddr + "/list_models", {})["models"] == []
+
+        rc = register_worker.main(["--controller-address", caddr,
+                                   "--worker-name", waddr,
+                                   "--check-heart-beat", "--refresh"])
+        assert rc == 0
+        assert "video3d-tiny" in _post_json(caddr + "/list_models", {})["models"]
+        assert _post_json(caddr + "/get_worker_address",
+                          {"model": "video3d-tiny"})["address"] == waddr
+
     def test_openai_chat_completions(self, stack):
         """/v1/chat/completions: OpenAI request shape (messages with text +
         video_id content parts) -> standard completion response whose
