@@ -127,6 +127,36 @@ class TestSceneAffinity:
             c.get_worker_address("m", scene=f"s{i}")
         assert len(c._scene_worker) <= 4
 
+    def test_backlog_guard_is_speed_normalized(self):
+        """On heterogeneous-speed fleets the sticky premium is measured in
+        queue/speed units (same as the shortest-queue choice): a 10x-fast
+        sticky worker with raw backlog 10 carries a normalized wait of 1.0
+        and stays sticky under max_backlog=2, even though its raw backlog
+        exceeds the threshold."""
+        from video3d_tpu.serve.controller import Controller
+
+        c = Controller("scene_affinity", affinity_max_backlog=2)
+        c.register_worker("http://fast", True,
+                          {"model_names": ["m"], "speed": 10,
+                           "queue_length": 0})
+        c.register_worker("http://slow", True,
+                          {"model_names": ["m"], "speed": 1,
+                           "queue_length": 0})
+        first = c.get_worker_address("m", scene="sA")
+        sticky = first
+        c.receive_heart_beat("http://fast", 10)   # normalized 1.0
+        c.receive_heart_beat("http://slow", 0)
+        if sticky != "http://fast":               # force the fast worker sticky
+            with c.lock:
+                c._scene_worker[("m", "sA")] = "http://fast"
+        assert c.get_worker_address("m", scene="sA") == "http://fast"
+        # and a SLOW sticky worker with the same raw backlog re-balances
+        with c.lock:
+            c._scene_worker[("m", "sB")] = "http://slow"
+        c.receive_heart_beat("http://slow", 10)   # normalized 10.0 > 2
+        c.receive_heart_beat("http://fast", 0)
+        assert c.get_worker_address("m", scene="sB") == "http://fast"
+
 
 class TestServe:
     def test_register_and_list_models(self, stack):

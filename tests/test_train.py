@@ -203,6 +203,54 @@ class TestMasterWeights:
         after = np.asarray(s32.params["llm"]["embed_tokens"], np.float32)
         assert not np.array_equal(before, after)          # update landed
 
+    def test_resume_upcasts_bf16_checkpoint_to_f32_master(
+            self, tmp_path_factory):
+        """Orbax restores SAVED dtypes: resuming a bf16-stored checkpoint
+        (e.g. written by a pure-bf16 run) under master_f32=True must upcast
+        params AND optimizer moments back to f32 — otherwise
+        cast_to_compute no-ops and training silently reverts to the
+        bf16-storage update-rounding failure."""
+        root = str(tmp_path_factory.mktemp("data_ru"))
+        info = make_fake_scene(root, n_frames=2)
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        ds = SupervisedDataset(ann, FakeTokenizer(), dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(max_len=160, frames_upbound=2))
+        from video3d_tpu.parallel.mesh import create_mesh
+        from video3d_tpu.train.train_step import TrainState
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        out = str(tmp_path_factory.mktemp("out_ru"))
+        trainer = Trainer(
+            CFG, lv3d.init_model(jax.random.PRNGKey(0), CFG), ds, col,
+            OptimConfig(total_steps=4, learning_rate=1e-3, warmup_ratio=0.0),
+            TrainingConfig(output_dir=out, num_epochs=1,
+                           per_device_batch_size=1,
+                           gradient_accumulation_steps=1, save_steps=100,
+                           group_by="none", bf16=True, master_f32=True,
+                           dp=1, tp=1),
+            mesh=mesh)
+        # simulate a pre-master_f32 checkpoint: bf16 params + bf16 moments,
+        # step already past the tiny epoch so resume runs zero steps
+        downcast = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            trainer.state)
+        legacy = TrainState(downcast.params, downcast.opt_state,
+                            jnp.asarray(2, jnp.int32))
+        ckpt.save_checkpoint(out, 2, legacy)
+
+        state = trainer.train(resume=True)
+        float_dtypes = {x.dtype for x in jax.tree.leaves(
+            (state.params, state.opt_state))
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)}
+        assert float_dtypes == {jnp.dtype(jnp.float32)}
+        assert int(state.step) == 2
+
 
 class TestGroundingTrainStep:
     def test_ground_step_runs_and_updates(self, tmp_path):
@@ -422,6 +470,92 @@ class TestScanLayers:
                                    kv_len=jnp.asarray([4], jnp.int32),
                                    scan_layers=True)
         assert h.shape == (1, 4, 32)
+
+
+@pytest.mark.slow
+class TestResumeFidelity:
+    """Interrupt-and-resume reproduces the uninterrupted run EXACTLY
+    (VERDICT r2 #5; the reference gets this from HF Trainer's
+    skip_first_batches, train_3d.py:1863-1864): the resumed run consumes
+    precisely the batches the uninterrupted run would have, in order, and
+    the final params/opt-state match bit-for-bit."""
+
+    def _mk(self, tmp_path_factory, root, ds, col, out):
+        from video3d_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        return Trainer(
+            CFG, lv3d.init_model(jax.random.PRNGKey(0), CFG), ds, col,
+            OptimConfig(total_steps=6, learning_rate=1e-3, warmup_ratio=0.0),
+            TrainingConfig(output_dir=out, num_epochs=2,
+                           per_device_batch_size=1,
+                           gradient_accumulation_steps=1, save_steps=1000,
+                           group_by="none", bf16=False, seed=7,
+                           pos_skipping_range=4, dp=1, tp=1),
+            mesh=mesh)
+
+    @staticmethod
+    def _record(trainer, log, interrupt_at=None):
+        """Wrap the jitted step to log each consumed batch's token ids (and
+        position ids — covers pos-skipping RNG fidelity); optionally fire
+        SIGTERM as step `interrupt_at` runs, so the trainer checkpoints at
+        that boundary and exits."""
+        import signal
+
+        orig = trainer._step_fn
+
+        def stepper(state, batch):
+            log.append((np.asarray(batch.text_ids).copy(),
+                        np.asarray(batch.position_ids).copy()))
+            if interrupt_at is not None and len(log) == interrupt_at:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return orig(state, batch)
+
+        trainer._step_fn = stepper
+
+    def test_resumed_run_matches_uninterrupted_bitwise(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("data_rf"))
+        info = make_fake_scene(root, n_frames=2)
+        ann = make_fake_annotations(root, info["sample_idx"], n=3)
+        dc = DataConfig(video_folder=root,
+                        annotation_dir=os.path.join(root, "embodiedscan"),
+                        metadata_dir=os.path.join(root, "metadata"),
+                        frames_upbound=2)
+        ds = SupervisedDataset(ann, FakeTokenizer(), dc,
+                               image_processor=SigLipImageProcessor(size=(56, 56)))
+        col = Collator(CFG, CollatorConfig(max_len=160, frames_upbound=2))
+
+        # ---- run A: 2 epochs x 3 batches = 6 steps, uninterrupted ----
+        out_a = str(tmp_path_factory.mktemp("out_rf_a"))
+        tr_a = self._mk(tmp_path_factory, root, ds, col, out_a)
+        log_a = []
+        self._record(tr_a, log_a)
+        state_a = tr_a.train(resume=False)
+        assert int(state_a.step) == 6 and len(log_a) == 6
+
+        # ---- run B: interrupted at step 2 (mid-epoch-0), then resumed ----
+        out_b = str(tmp_path_factory.mktemp("out_rf_b"))
+        tr_b1 = self._mk(tmp_path_factory, root, ds, col, out_b)
+        log_b = []
+        self._record(tr_b1, log_b, interrupt_at=2)
+        state_b1 = tr_b1.train(resume=False)
+        assert int(state_b1.step) == 2 and len(log_b) == 2
+        assert ckpt.latest_checkpoint(out_b).endswith("checkpoint-2")
+
+        tr_b2 = self._mk(tmp_path_factory, root, ds, col, out_b)
+        self._record(tr_b2, log_b)
+        state_b = tr_b2.train(resume=True)
+        assert int(state_b.step) == 6
+
+        # (a) identical batch sequence, including pos-skipping offsets
+        assert len(log_b) == 6
+        for (ia, pa), (ib, pb) in zip(log_a, log_b):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(pa, pb)
+        # (b) bit-identical final params AND optimizer state
+        for a, b in zip(jax.tree.leaves((state_a.params, state_a.opt_state)),
+                        jax.tree.leaves((state_b.params, state_b.opt_state))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestPreemption:

@@ -26,11 +26,17 @@ def main(argv=None):
 
     print(f"models: {_post_json(args.controller + '/list_models', {})['models']}")
     if args.message is not None:
+        # Resolve ONCE and post straight to that worker (the reference
+        # test_message.py:20-33 flow). Routing through the controller's
+        # /worker_generate proxy here would dispatch AGAIN — the printed
+        # address could differ from the worker actually used under
+        # shortest_queue, and each one-shot would double-increment
+        # queue_length until the next heartbeat.
         addr = _post_json(args.controller + "/get_worker_address",
                           {"model": args.model,
                            "video": args.video})["address"]
         print(f"worker_addr: {addr}")
-        out = _post_json(args.controller + "/worker_generate", {
+        out = _post_json(addr + "/worker_generate", {
             "model": args.model, "video": args.video,
             "conversations": [
                 {"from": "human", "value": f"<image>\n{args.message}"},

@@ -52,7 +52,10 @@ class Controller:
       a prefix hit admits at ~1/13 the cost of a cold prefill at 7B depth
       (BENCH_NOTES "Scene-prefix KV cache"), so affinity beats pure queue
       balancing unless the sticky worker's backlog exceeds the shortest
-      queue by more than ``affinity_max_backlog`` requests — then the
+      queue by more than ``affinity_max_backlog`` speed-normalized
+      requests (queue_length/speed, the same units the shortest-queue
+      candidate is chosen by; = raw requests on a homogeneous fleet) —
+      then the
       scene re-sticks to the worker actually chosen. Requests without a
       scene (or whose sticky worker died) fall back to shortest_queue.
     """
@@ -137,9 +140,15 @@ class Controller:
                 key = (model_name, scene)
                 sticky = self._scene_worker.get(key)
                 by_name = dict(candidates)
+                # the premium is measured in the same speed-normalized units
+                # the shortest-queue candidate was chosen by (queue/speed);
+                # comparing raw queue_length would mismeasure it on
+                # heterogeneous-speed fleets (a fast sticky worker's raw
+                # backlog overstates its actual wait)
                 if sticky in by_name and (
                         by_name[sticky].queue_length
-                        - candidates[idx][1].queue_length
+                        / max(by_name[sticky].speed, 1e-6)
+                        - qlens[idx]
                         <= self.affinity_max_backlog):
                     # the sticky worker holds this scene's feature/prefix
                     # caches: a warm admission is ~13x cheaper than a cold

@@ -84,6 +84,14 @@ def dpo_train_step(state, ref_params, batch_pair, model_cfg: ModelConfig,
     master weights while computing in bf16 (train_step.cast_to_compute)."""
     chosen, rejected = batch_pair
 
+    if compute_dtype is not None:
+        # the frozen reference forward must run in the SAME compute dtype
+        # as the policy: f32 ref params would give dtype-inconsistent
+        # chosen/rejected logratios vs the bf16 policy plus ~2x ref-forward
+        # time/HBM
+        from video3d_tpu.train.train_step import cast_to_compute
+        ref_params = cast_to_compute(ref_params, compute_dtype)
+
     def lf(p):
         if compute_dtype is not None:
             from video3d_tpu.train.train_step import cast_to_compute

@@ -51,9 +51,13 @@ def _path_str(path) -> str:
 
 def cosine_warmup_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
     warmup = max(1, int(cfg.total_steps * cfg.warmup_ratio))
+    # optax's cosine phase spans (decay_steps - warmup_steps), which must be
+    # positive — a tiny run whose total_steps rounds down to <= warmup (e.g.
+    # smoke datasets smaller than one global batch) would crash otherwise
+    total = max(cfg.total_steps, warmup + 1)
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=peak_lr, warmup_steps=warmup,
-        decay_steps=cfg.total_steps, end_value=0.0)
+        decay_steps=total, end_value=0.0)
 
 
 def _module_of(path: str) -> str:

@@ -229,10 +229,25 @@ class Trainer:
             if latest:
                 print(f"[trainer] resuming from {latest}")
                 self.state = ckpt.restore_checkpoint(latest, self.state)
+                if self.tcfg.bf16 and self.tcfg.master_f32:
+                    # Orbax restores SAVED dtypes: a checkpoint written by a
+                    # pure-bf16 run would restore bf16 params/moments into the
+                    # f32 master target, cast_to_compute would no-op, and
+                    # training would silently revert to bf16 storage (the
+                    # exact lr~1e-5 update-rounding failure master_f32
+                    # exists to prevent). Upcast any bf16 leaves back to f32.
+                    upcast = lambda x: (x.astype(jnp.float32)
+                                        if hasattr(x, "dtype")
+                                        and x.dtype == jnp.bfloat16 else x)
+                    self.state = TrainState(
+                        jax.tree.map(upcast, self.state.params),
+                        jax.tree.map(upcast, self.state.opt_state),
+                        self.state.step)
                 start_step = int(self.state.step)
 
         rng = np.random.default_rng(self.tcfg.seed)
         global_step = start_step
+        consumed = 0        # batches drawn from the data order since epoch 0
         metrics_f = open(self.tcfg.metrics_file, "a") if self.tcfg.metrics_file else None
         from video3d_tpu.train.prefetch import BatchPrefetcher
 
@@ -266,20 +281,34 @@ class Trainer:
                     print(f"[trainer] WARNING: epoch {epoch} has no batches "
                           f"(dataset of {len(self.dataset)} < one "
                           f"'{self.tcfg.group_by}' megabatch after drop-last)")
-                # skip already-trained batches on resume
+                # skip already-trained batches on resume (HF Trainer's
+                # skip_first_batches semantics, train_3d.py:1863-1864):
+                # `consumed` counts batches drawn from the (deterministic,
+                # seed-replayed) epoch order across epochs, independent of
+                # global_step — which starts AT start_step, so comparing it
+                # against start_step would never skip anything and a resumed
+                # run would re-train every batch (round-3 fix; regression
+                # test: TestResumeFidelity).
                 to_run = []
                 for batch_idx in order:
-                    if global_step < start_step:
-                        global_step += 1
+                    if consumed < start_step:
+                        consumed += 1
                         continue
+                    consumed += 1
                     to_run.append(batch_idx)
                 prefetcher = BatchPrefetcher(self.dataset, self.collator, to_run)
                 for arrays in prefetcher:
                     if self.tcfg.pos_skipping_range:
                         arrays = dict(arrays)
+                        # per-step derived rng (seed, step) rather than the
+                        # shared stream: skipped-on-resume batches draw
+                        # nothing, so a resumed run applies the SAME offsets
+                        # an uninterrupted run would at each step
+                        ps_rng = np.random.default_rng(
+                            (self.tcfg.seed, global_step))
                         arrays["position_ids"] = apply_pos_skipping(
                             arrays["position_ids"],
-                            self.tcfg.pos_skipping_range, rng)
+                            self.tcfg.pos_skipping_range, ps_rng)
                     if self.tcfg.profile_steps and \
                             global_step == self.tcfg.profile_steps[0]:
                         jax.profiler.start_trace(self.tcfg.profile_dir)
