@@ -1,0 +1,102 @@
+"""Multi-process worker for tests/test_multiprocess.py (VERDICT r2 #2).
+
+Runs as `python mp_worker.py <pid> <nproc> <port> <outfile>` — one real
+`jax.distributed` process with 4 virtual CPU devices, gloo cross-process
+collectives, and a global 8-device mesh spanning both processes. Exercises
+the actual multi-host code paths the single-process dryrun cannot:
+
+* process-striped data loading (parallel.mesh.process_batch_slice)
+* global-batch assembly from process-local rows (shard_batch ->
+  jax.make_array_from_process_local_data)
+* parameter sharding onto non-addressable devices (shard_params ->
+  jax.make_array_from_callback)
+* one full sharded train step (dp=2 x fsdp=2 x tp=2, mixed precision,
+  chunked CE) + a tp=2-inference greedy decode on a cross-process mesh
+
+Writes a JSON line with loss/grad_norm/param-checksum/greedy tokens; the
+pytest parent compares both processes' outputs for equality and checks
+them against a single-process 8-device run of the same global batch.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __graft_entry__ as g
+    from video3d_tpu.config import ModelConfig
+    from video3d_tpu.models import generate
+    from video3d_tpu.models import llava_video3d as lv3d
+    from video3d_tpu.parallel.mesh import (create_mesh, process_batch_slice,
+                                           shard_batch, shard_params)
+    from video3d_tpu.train.optim import OptimConfig, build_optimizer
+    from video3d_tpu.train.train_step import create_train_state, train_step
+
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == 4
+
+    cfg = ModelConfig.tiny()
+    mesh = create_mesh(dp=2, tp=2, devices=jax.devices())   # fsdp = 2
+    params = shard_params(lv3d.init_model(jax.random.PRNGKey(0), cfg), mesh)
+    tx = build_optimizer(params, OptimConfig(total_steps=10))
+    state = create_train_state(params, tx)
+
+    B = 4
+    gbatch = g._make_batch(cfg, B=B, V=2, L=256)             # seed-identical
+    sl = process_batch_slice(B)
+    assert sl == slice(pid * 2, pid * 2 + 2)
+    local = jax.tree.map(lambda x: np.asarray(x)[sl], gbatch)
+    batch = shard_batch(local, mesh)
+
+    with mesh:
+        state, metrics = train_step(state, batch, cfg, tx, remat=True,
+                                    force_chunked_ce=True,
+                                    compute_dtype=jnp.bfloat16)
+        loss = float(metrics["lm_loss"])
+        grad_norm = float(metrics["grad_norm"])
+
+    @jax.jit
+    def checksum(p):
+        leaves = [jnp.sum(jnp.abs(x).astype(jnp.float32))
+                  for x in jax.tree.leaves(p)]
+        return sum(leaves)
+
+    cs = float(checksum(state.params))
+
+    # tp-inference on a CROSS-PROCESS tp mesh (tp spans the process
+    # boundary: attention-head collectives ride the inter-host link)
+    mesh_tp = create_mesh(dp=1, fsdp=4, tp=2, devices=jax.devices())
+    p_inf = shard_params(lv3d.init_model(jax.random.PRNGKey(0), cfg), mesh_tp)
+    batch_inf = jax.tree.map(np.asarray, g._make_batch(cfg, B=1, V=2, L=256))
+    batch_inf = shard_batch(batch_inf, mesh_tp)   # B=1 -> replicated globals
+    with mesh_tp:
+        st = generate.start_decode(p_inf, cfg, batch_inf, max_cache_len=288)
+        _, toks = generate.decode_chunk(p_inf, cfg, st, chunk=8,
+                                        eos_token_id=-1)
+    toks = np.asarray(toks).tolist()
+
+    with open(f"{outfile}.{pid}", "w") as f:
+        json.dump({"pid": pid, "loss": loss, "grad_norm": grad_norm,
+                   "checksum": cs, "tokens": toks}, f)
+    print(f"[mp_worker {pid}] loss={loss:.6f} grad_norm={grad_norm:.6f} "
+          f"checksum={cs:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

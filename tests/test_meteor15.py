@@ -96,16 +96,37 @@ class TestAligner:
 class TestOptionalModules:
     def test_synonym_module(self):
         syn = {"cat": {"n1"}, "feline": {"n1"}}
-        s = Meteor15(synonyms=syn).sentence_score("feline", ["cat"])
+        s = Meteor15(synonyms=syn, paraphrases=()).sentence_score(
+            "feline", ["cat"])
         f = 0.8 * 0.8 / (ALPHA * 0.8 + (1 - ALPHA) * 0.8)
         assert s == pytest.approx((1 - pen(1, 1)) * f, abs=1e-9)
-        assert Meteor15().sentence_score("feline", ["cat"]) == 0.0
+        # modules disabled -> no match at all
+        assert Meteor15(synonyms={}, paraphrases=()).sentence_score(
+            "feline", ["cat"]) == 0.0
 
     def test_paraphrase_module(self):
-        par = {("sofa", "couch")}
-        s = Meteor15(paraphrases=par).sentence_score("sofa", ["couch"])
+        par = {("settee", "bench")}
+        s = Meteor15(synonyms={}, paraphrases=par).sentence_score(
+            "settee", ["bench"])
         f = 0.6 * 0.6 / (ALPHA * 0.6 + (1 - ALPHA) * 0.6)
         assert s == pytest.approx((1 - pen(1, 1)) * f, abs=1e-9)
+
+    def test_vendored_tables_fire_by_default(self):
+        """Meteor15() loads the vendored synonym/paraphrase tables
+        (metrics/meteor_data.py), so the cascade's 3rd/4th modules run in
+        protocol-level scoring: couch/sofa share a vendored synset and
+        fridge/refrigerator a paraphrase pair."""
+        m = Meteor15()
+        assert m.sentence_score("couch", ["sofa"]) > 0.0
+        assert m.sentence_score("fridge", ["refrigerator"]) > 0.0
+        assert m.sentence_score("couch", ["refrigerator"]) == 0.0
+        off = Meteor15(synonyms={}, paraphrases=())
+        assert off.sentence_score("couch", ["sofa"]) == 0.0
+        prov = m.provenance()
+        assert prov["impl"] == "meteor15-py"
+        assert prov["synonym_words"] > 200
+        assert prov["paraphrase_pairs"] >= 50
+        assert prov["jar_compatible"] is False
 
 
 FIXTURE = [
@@ -134,6 +155,37 @@ class TestCorpusAndDrift:
         assert per.shape == (len(FIXTURE),)
         assert 0.0 <= mean <= 1.0
         assert per[6] < 0.1          # the unrelated pair scores ~0
+
+    def test_drift_200_pair_fixture(self):
+        """VERDICT r2 #6: the 1.0-vs-1.5 drift quantified on a 220-pair
+        graded-corruption fixture (scripts/eval/meteor_drift.py), not 8
+        hand-written captions. Absolute scales differ by design (1.5-en's
+        penalty range is compressed: gamma*(1/m)**0.2 is ~0.35 even for a
+        perfect single-chunk alignment), so the assertion is on RANK
+        agreement + sane per-corruption ordering; the numbers are recorded
+        in PARITY.md."""
+        import importlib.util
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "meteor_drift",
+            os.path.join(repo, "scripts", "eval", "meteor_drift.py"))
+        drift = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(drift)
+        out = drift.main()
+        assert out["pairs"] >= 200
+        assert out["spearman"] > 0.9
+        assert out["pearson"] > 0.9
+        k = out["by_kind"]
+        # both scorers order the corruption severities identically
+        for m in ("m10", "m15"):
+            assert k["identity"][m] >= k["drop2"][m] >= k["drop4"][m]
+            assert k["drop4"][m] > k["unrelated"][m] == 0.0
+        # the vendored synonym/paraphrase modules keep swapped captions
+        # near identity for 1.5 (1.0 has no such modules -> bigger gap)
+        assert k["identity"]["m15"] - k["syn_swap"]["m15"] < 0.05
+        assert k["identity"]["m15"] - k["par_swap"]["m15"] < 0.05
 
     def test_drift_vs_meteor10_is_monotone(self):
         """Characterize the 1.0-vs-1.5 deviation (PARITY.md): absolute

@@ -28,15 +28,20 @@ Resource notes (documented deviations, PARITY.md):
   * stem: nltk's algorithmic SnowballStemmer("english") — the same Snowball
     English stemmer the jar uses, no corpus download needed;
   * synonym: the jar reads WordNet synset files. WordNet data is absent
-    here; pass ``synonyms={word: {synset_ids}}`` (e.g. loaded from a user's
-    WordNet installation) to enable the module — without it the synonym
-    stage contributes nothing;
-  * paraphrase: the jar's ~100 MB paraphrase table is likewise absent; pass
-    ``paraphrases={(a, b), ...}`` word pairs to enable (single-token pairs
-    only in this implementation);
+    here; a compact curated table targeting the scene-caption vocabulary is
+    vendored (metrics/meteor_data.py) and used BY DEFAULT. Pass
+    ``synonyms={word: {synset_ids}}`` to substitute a real WordNet load, or
+    ``synonyms={}`` to disable the module;
+  * paraphrase: the jar's ~100 MB PPDB table is likewise absent; a curated
+    single-token pair table is vendored and used by default. Pass
+    ``paraphrases={(a, b), ...}`` to substitute, ``()`` to disable;
   * function words: the jar ships a corpus-frequency-derived
     ``function.words`` list; a standard English closed-class list +
     punctuation is vendored below.
+
+Because none of the jar's data files are byte-reproducible offline, every
+protocol report stamps :meth:`Meteor15.provenance` next to the METEOR
+number so it is never silently compared against jar-scored tables.
 """
 
 from __future__ import annotations
@@ -93,9 +98,31 @@ class Meteor15:
     def __init__(self,
                  synonyms: Optional[Mapping[str, Set]] = None,
                  paraphrases: Optional[Iterable[Tuple[str, str]]] = None):
+        # None -> the vendored tables (meteor_data.py); pass {} / () to
+        # disable a module outright, or a real WordNet/PPDB load to
+        # substitute.
+        if synonyms is None:
+            from video3d_tpu.eval.metrics.meteor_data import synonym_table
+
+            synonyms = synonym_table()
+        if paraphrases is None:
+            from video3d_tpu.eval.metrics.meteor_data import PARAPHRASE_PAIRS
+
+            paraphrases = PARAPHRASE_PAIRS
         self._stem = _default_stemmer()
-        self._syn = synonyms or {}
-        self._par = frozenset(paraphrases or ())
+        self._syn = synonyms
+        self._par = frozenset(paraphrases)
+
+    def provenance(self) -> dict:
+        """Metric-provenance stamp for eval reports: identifies the scorer
+        implementation and its knowledge tables so METEOR numbers are never
+        silently compared against jar-scored baseline tables."""
+        return {"impl": "meteor15-py",
+                "algorithm": "METEOR 1.5 (Denkowski & Lavie 2014), en",
+                "synonym_words": len(self._syn),
+                "paraphrase_pairs": len(self._par),
+                "function_words": "vendored closed-class list",
+                "jar_compatible": False}
 
     # ---------------- matching ----------------
 

@@ -42,7 +42,8 @@ def scanqa_metrics(records: Sequence[dict], id2answers: Dict[str, List[str]]) ->
     bleu, _ = Bleu().compute_score(gts, res)
     # METEOR-1.5 algorithm (the reference scores with the 1.5 jar;
     # metrics/meteor15.py documents the offline-resource deviations)
-    meteor, _ = Meteor15().compute_score(gts, res)
+    m15 = Meteor15()
+    meteor, _ = m15.compute_score(gts, res)
     rouge, _ = Rouge().compute_score(gts, res)
     return {
         "count": len(gts),
@@ -52,6 +53,7 @@ def scanqa_metrics(records: Sequence[dict], id2answers: Dict[str, List[str]]) ->
         "METEOR": meteor * 100,
         "ROUGE-L": rouge * 100,
         "EM": n_correct / len(records),
+        "meteor_provenance": m15.provenance(),
     }
 
 
@@ -124,10 +126,12 @@ def scan2cap_metrics(records: Sequence[dict]) -> dict:
         gts[item["sample_id"]] = [_scan2cap_wrap(t) for t in item["gt_response"]]
     cider, _ = Cider().compute_score(gts, res)
     bleu, _ = Bleu().compute_score(gts, res)
-    meteor, _ = Meteor15().compute_score(gts, res)
+    m15 = Meteor15()
+    meteor, _ = m15.compute_score(gts, res)
     rouge, _ = Rouge().compute_score(gts, res)
     return {"CIDEr": cider * 100, "BLEU-4": bleu[3] * 100,
-            "METEOR": meteor * 100, "ROUGE-L": rouge * 100}
+            "METEOR": meteor * 100, "ROUGE-L": rouge * 100,
+            "meteor_provenance": m15.provenance()}
 
 
 # ---------------------------------------------------------------------------

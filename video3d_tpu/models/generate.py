@@ -365,8 +365,13 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
     hidden, _ = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
         cache_positions=cache_positions, kv_len=batch.seq_len)
-    query = hidden[0, ground_slot - prefix_len]
-    return lv3d.ground_scores(params, query, obj_feats, object_valid, cfg)
+    # score EVERY row (scene-grouped batched queries share the prefix and
+    # the object features); B=1 keeps the engine's (N+1,) contract
+    queries = hidden[:, ground_slot - prefix_len]          # (B, D)
+    scores = jax.vmap(
+        lambda q: lv3d.ground_scores(params, q, obj_feats, object_valid,
+                                     cfg))(queries)
+    return scores[0] if B == 1 else scores
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",

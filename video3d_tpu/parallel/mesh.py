@@ -323,27 +323,84 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_params(params, mesh: Mesh):
-    """Device-put a param pytree according to the partition rules."""
+    """Device-put a param pytree according to the partition rules.
+
+    Multi-process (``jax.process_count() > 1``): every process holds the
+    SAME host-global param values (identical init seed / checkpoint), and
+    each materializes only its addressable shards via
+    ``jax.make_array_from_callback`` — ``device_put`` cannot target
+    non-addressable devices."""
     shardings = param_shardings(params, mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, params, shardings)
+
+    def put(x, sh):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, params, shardings)
 
 
-def shard_batch(batch, mesh: Mesh):
+def process_batch_slice(n_global_rows: int) -> slice:
+    """This process's contiguous stripe of a global batch.
+
+    Per-rank data loading (the reference's DistributedSampler semantics,
+    llava_trainer.py:353-407, as contiguous blocks instead of stride-
+    striping): with P processes, process p loads global rows
+    ``[p*B/P, (p+1)*B/P)``. ``jax.devices()`` orders devices process-major,
+    so these rows are exactly the shards this process's devices own under
+    a leading-dim sharding — the layout
+    :func:`jax.make_array_from_process_local_data` assembles."""
+    nproc = jax.process_count()
+    per = n_global_rows // nproc
+    assert per * nproc == n_global_rows, \
+        f"global batch {n_global_rows} not divisible by {nproc} processes"
+    pid = jax.process_index()
+    return slice(pid * per, (pid + 1) * per)
+
+
+def shard_batch(batch, mesh: Mesh, global_rows: Optional[int] = None):
     """Device-put a batch pytree: leading dim over (dp, fsdp).
 
     Tolerates meshes without dp/fsdp axes (e.g. a hand-built pure-tp
-    serving mesh): everything is then replicated."""
+    serving mesh): everything is then replicated.
+
+    Multi-process: each process passes its PROCESS-LOCAL stripe (the rows
+    :func:`process_batch_slice` selected; the trainer does this) and the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` of a
+    host-local array onto a cross-process sharding is invalid. Arrays whose
+    global leading dim does not divide the (dp, fsdp) shard count must be
+    passed HOST-GLOBAL (identical on every process) and are replicated.
+    ``global_rows`` overrides the inferred global batch (local rows x
+    process count) for rank-deficient trailing batches."""
     batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
     total = int(np.prod([mesh.shape[a] for a in batch_axes])) \
         if batch_axes else 1
+    nproc = jax.process_count()
+    spec = None
+    if batch_axes:
+        spec = batch_axes if len(batch_axes) > 1 else batch_axes[0]
 
     def put(x):
         if x is None:
             return None
         nd = getattr(x, "ndim", 0)
-        if nd == 0 or total == 1 or x.shape[0] % total != 0:
-            return jax.device_put(x, replicated(mesh))
-        spec = batch_axes if len(batch_axes) > 1 else batch_axes[0]
-        return jax.device_put(
-            x, NamedSharding(mesh, P(spec, *([None] * (nd - 1)))))
+        if nproc == 1:
+            if nd == 0 or total == 1 or x.shape[0] % total != 0:
+                return jax.device_put(x, replicated(mesh))
+            return jax.device_put(
+                x, NamedSharding(mesh, P(spec, *([None] * (nd - 1)))))
+        x = np.asarray(x)
+        g_rows = (global_rows if global_rows is not None
+                  else (x.shape[0] * nproc if nd else 0))
+        if nd == 0 or total == 1 or g_rows % total != 0:
+            # host-global on every process -> replicated
+            return jax.make_array_from_process_local_data(
+                replicated(mesh), x, x.shape)
+        sharding = NamedSharding(mesh, P(spec, *([None] * (nd - 1))))
+        return jax.make_array_from_process_local_data(
+            sharding, x, (g_rows,) + x.shape[1:])
     return jax.tree.map(put, batch)

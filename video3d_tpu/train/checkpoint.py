@@ -36,7 +36,13 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
 
 def save_checkpoint(output_dir: str, step: int, state: Any) -> str:
     path = os.path.join(os.path.abspath(output_dir), f"checkpoint-{step}")
-    _checkpointer().save(path, jax.device_get(state), force=True)
+    if jax.process_count() > 1:
+        # multi-host: hand orbax the sharded jax.Arrays directly — each
+        # host serializes its addressable shards (device_get of a
+        # non-fully-addressable array would raise)
+        _checkpointer().save(path, state, force=True)
+    else:
+        _checkpointer().save(path, jax.device_get(state), force=True)
     return path
 
 
@@ -58,5 +64,8 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 def save_params_only(output_dir: str, params: Any, name: str = "model") -> str:
     """Final model export (train_3d.py:1871-1888 equivalent)."""
     path = os.path.join(os.path.abspath(output_dir), name)
+    if jax.process_count() > 1:
+        _checkpointer().save(path, params, force=True)
+        return path
     _checkpointer().save(path, jax.device_get(params), force=True)
     return path

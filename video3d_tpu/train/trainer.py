@@ -214,7 +214,12 @@ class Trainer:
             for s in range(0, len(dataset) - bs + 1, bs):
                 if max_batches is not None and len(losses) >= max_batches:
                     break
-                samples = [dataset[i] for i in range(s, s + bs)]
+                idx = list(range(s, s + bs))
+                if jax.process_count() > 1:
+                    from video3d_tpu.parallel.mesh import process_batch_slice
+
+                    idx = idx[process_batch_slice(len(idx))]
+                samples = [dataset[i] for i in idx]
                 batch = self._to_batch(self.collator(samples))
                 losses.append(float(eval_loss(self.state.params, batch)))
         return {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
@@ -248,7 +253,11 @@ class Trainer:
         rng = np.random.default_rng(self.tcfg.seed)
         global_step = start_step
         consumed = 0        # batches drawn from the data order since epoch 0
-        metrics_f = open(self.tcfg.metrics_file, "a") if self.tcfg.metrics_file else None
+        # metrics jsonl from process 0 only (every process computes the same
+        # replicated metrics; N writers would duplicate every line)
+        metrics_f = (open(self.tcfg.metrics_file, "a")
+                     if self.tcfg.metrics_file and jax.process_index() == 0
+                     else None)
         from video3d_tpu.train.prefetch import BatchPrefetcher
 
         # Preemption safety (beyond reference — the reference relies on a
@@ -296,6 +305,16 @@ class Trainer:
                         continue
                     consumed += 1
                     to_run.append(batch_idx)
+                if jax.process_count() > 1:
+                    # per-process data loading (the reference's per-rank
+                    # DistributedSampler, llava_trainer.py:353-407): the
+                    # epoch order is seed-identical on every process; each
+                    # loads only its contiguous stripe of every global
+                    # batch, and shard_batch assembles the global array
+                    # from the process-local rows.
+                    from video3d_tpu.parallel.mesh import process_batch_slice
+
+                    to_run = [b[process_batch_slice(len(b))] for b in to_run]
                 prefetcher = BatchPrefetcher(self.dataset, self.collator, to_run)
                 for arrays in prefetcher:
                     if self.tcfg.pos_skipping_range:
@@ -315,9 +334,11 @@ class Trainer:
                     batch = self._to_batch(arrays)
                     t0 = time.time()
                     if "ground_slot" in arrays:
-                        extras = [jnp.asarray(arrays[k]) for k in
-                                  ("world_coords_full", "objects", "objects_valid",
-                                   "ground_slot", "box_label_hot")]
+                        keys = ("world_coords_full", "objects", "objects_valid",
+                                "ground_slot", "box_label_hot")
+                        extras_tree = shard_batch(
+                            {k: arrays[k] for k in keys}, self.mesh)
+                        extras = [extras_tree[k] for k in keys]
                         self.state, metrics = self._ground_step_fn(
                             self.state, batch, *extras)
                     else:
