@@ -53,7 +53,8 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(B, gh * gw, C * patch_size * patch_size)
 
 
-def attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+def attention(p: Params, x: jax.Array, num_heads: int,
+              key_bias: jax.Array | None = None) -> jax.Array:
     """Bidirectional MHA over the patch tokens.
 
     Plain XLA einsum attention: measured on the v5e chip, the Pallas flash
@@ -63,6 +64,9 @@ def attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     bandwidth-optimal, so we keep the simpler form. Projections route
     through quant.matmul so the tower supports int8 / w8a8 serving
     (attention score/value math itself stays bf16).
+
+    ``key_bias`` (N,) is an additive pre-softmax score bias used by the
+    padded-sequence fast path to mask pad keys (-1e30 -> exp == 0).
     """
     from video3d_tpu.models.quant import matmul as _mm
 
@@ -72,28 +76,41 @@ def attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     k = (_mm(x, p["wk"]) + p["bk"]).reshape(B, N, num_heads, hd)
     v = (_mm(x, p["wv"]) + p["bv"]).reshape(B, N, num_heads, hd)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    scores = scores.astype(jnp.float32)
+    if key_bias is not None:
+        scores = scores + key_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
     return _mm(out, p["wo"]) + p["bo"]
 
 
-def encoder_layer(p: Params, x: jax.Array, cfg: VisionConfig) -> jax.Array:
+def encoder_layer(p: Params, x: jax.Array, cfg: VisionConfig,
+                  key_bias: jax.Array | None = None) -> jax.Array:
     from video3d_tpu.models.quant import matmul as _mm
 
     h = _layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layer_norm_eps)
-    x = x + attention(p["attn"], h, cfg.num_attention_heads)
+    x = x + attention(p["attn"], h, cfg.num_attention_heads, key_bias)
     h = _layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.layer_norm_eps)
     h = _mm(gelu_tanh(_mm(h, p["mlp"]["w1"]) + p["mlp"]["b1"]), p["mlp"]["w2"]) + p["mlp"]["b2"]
     return x + h
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+@functools.partial(jax.jit, static_argnames=("cfg", "remat", "pad_seq_to"))
 def vision_tower_forward(params: Params, pixel_values: jax.Array,
-                         cfg: VisionConfig, remat: bool = False) -> jax.Array:
+                         cfg: VisionConfig, remat: bool = False,
+                         pad_seq_to: int | None = None) -> jax.Array:
     """Run the tower.
 
     Args:
       pixel_values: (B, 3, image_size, image_size), normalized.
+      pad_seq_to: optional MXU-aligned sequence length (e.g. 768 for the
+        729-patch so400m). The patch sequence is zero-padded to this length
+        before the encoder stack and sliced back after; pad keys are masked
+        out of every softmax (-1e30 bias), so real-token outputs equal the
+        unpadded run (exp(pad) == 0 exactly; pad-key matmul columns
+        contribute exact zeros — the MXU pads contractions to lane
+        multiples internally either way). tests/test_siglip_pad.py asserts
+        equality on the unpadded slice.
     Returns:
       (B, num_patches, hidden) features of the last kept encoder layer
       (reference: hidden_states[-1] with the 27th layer removed).
@@ -102,12 +119,18 @@ def vision_tower_forward(params: Params, pixel_values: jax.Array,
     x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
     x = x + params["pos_embed"]
 
+    key_bias = None
+    n_real = x.shape[1]
+    if pad_seq_to is not None and pad_seq_to > n_real:
+        x = jnp.pad(x, ((0, 0), (0, pad_seq_to - n_real), (0, 0)))
+        key_bias = jnp.where(jnp.arange(pad_seq_to) < n_real, 0.0, -1e30)
+
     layer_fn = encoder_layer
     if remat:
         layer_fn = jax.checkpoint(encoder_layer, static_argnums=(2,))
     for lp in params["layers"]:
-        x = layer_fn(lp, x, cfg)
-    return x
+        x = layer_fn(lp, x, cfg, key_bias)
+    return x[:, :n_real] if x.shape[1] != n_real else x
 
 
 def init_vision_tower(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> Params:
