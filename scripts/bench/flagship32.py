@@ -402,19 +402,42 @@ def run_prefix(B: int = 1, iters: int = 20):
                       "prefix_len": P, "suffix_bucket": SUF, "B": B}))
 
 
-def run_ctx32k(L: int = 32768, iters: int = 1):
-    """32k-token prefill through the 28-layer int8 LLM (flash attention,
-    model_max_length feasibility + timing)."""
+def run_ctx32k(L: int = 32768, iters: int = 1, chunk: int = 4096):
+    """32k-token prefill through the 28-layer int8 LLM at model_max_length
+    (train_multi.sh:76). A single monolithic 32k forward is IMPOSSIBLE on
+    one chip: the 28 unrolled layers keep ~13.4 GiB of (32768, D)-activation
+    temps live (XLA OOM report, BENCH_NOTES r3) on top of 7.1 GiB of args.
+    The production path for long prompts is the serve stack's chunked
+    prefill (models/generate._prefill_chunk, Sarathi-style): this measures
+    the same machinery as an on-device lax.scan of L/chunk cached-attention
+    chunks (int8 KV cache, per-query causal masking via cache_positions)."""
     from video3d_tpu.models import qwen2
 
     cfg = _full_cfg()
     llm = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))
+    nC = L // chunk
+    assert nC * chunk == L
 
     def fwd(llm, ids):
-        emb = jnp.take(llm["embed_tokens"], ids, axis=0)[None]
-        pos = jnp.broadcast_to(jnp.arange(L)[None, :, None], (1, L, 3))
-        hidden, _ = qwen2.qwen2_forward(llm, cfg.llm, emb, pos)
-        return jnp.sum(hidden[:, -1].astype(jnp.float32))
+        emb = jnp.take(llm["embed_tokens"], ids, axis=0)[None]    # (1, L, D)
+        cache = qwen2.KVCache.zeros(cfg.llm, 1, L, dtype=jnp.int8)
+        kv_len = jnp.full((1,), L, jnp.int32)
+
+        def step(cache, c):
+            start = c * chunk
+            emb_c = jax.lax.dynamic_slice(emb, (0, start, 0),
+                                          (1, chunk, emb.shape[-1]))
+            pos_c = jnp.broadcast_to(
+                (start + jnp.arange(chunk))[None, :, None], (1, chunk, 3))
+            cpos = jnp.broadcast_to((start + jnp.arange(chunk))[None],
+                                    (1, chunk))
+            hidden, cache = qwen2.qwen2_forward(
+                llm, cfg.llm, emb_c, pos_c, kv_cache=cache,
+                cache_positions=cpos, kv_len=kv_len)
+            return cache, jnp.sum(hidden[:, -1].astype(jnp.float32))
+
+        _, outs = jax.lax.scan(step, cache, jnp.arange(nC))
+        return outs[-1]
 
     ids0 = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.llm.vocab_size, size=(L,)),
@@ -426,7 +449,8 @@ def run_ctx32k(L: int = 32768, iters: int = 1):
             return acc + fwd(llm, (ids + i) % cfg.llm.vocab_size)
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-    print(f"compiling 32k prefill (L={L}, 28L int8)...", flush=True)
+    print(f"compiling 32k chunked prefill (L={L}, chunk {chunk}, 28L "
+          "int8)...", flush=True)
     for _ in range(2):
         total = float(repeat(llm, ids0))
     t0 = time.perf_counter()
@@ -438,7 +462,7 @@ def run_ctx32k(L: int = 32768, iters: int = 1):
     per_tok = 2 * (2 * D * D + 2 * D * kvd + 3 * D * I)
     fl = cfg.llm.num_hidden_layers * (L * per_tok + 2 * 2 * L * L * D / 2)
     print(json.dumps({
-        "mode": "ctx32k_int8", "L": L,
+        "mode": "ctx32k_int8_chunked", "L": L, "chunk": chunk,
         "prefill_s": round(dt, 2),
         "tok_per_s": round(L / dt, 0),
         "tflop": round(fl / 1e12, 1),

@@ -133,6 +133,73 @@ class TestBackward:
                                    rtol=2e-3, atol=2e-3)
 
 
+class TestBlockPadding:
+    """L not divisible by the requested blocks: the wrapper zero-pads the
+    sequence up to a block multiple instead of shrinking blocks (shrinking
+    ran the flagship 6784-token prefill at 128x128 blocks, ~40% MFU —
+    BENCH_NOTES r3). Padded keys are masked via lengths; padded query rows
+    are sliced off; the pad VJP zeroes their upstream grads."""
+
+    @pytest.mark.parametrize("L,bq,bk", [(320, 256, 256), (192, 128, 128),
+                                         (100, 64, 64)])
+    def test_nondivisible_matches_reference(self, L, bq, bk):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        rng = np.random.default_rng(7)
+        B, H, KV, hd = 2, 2, 1, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        got = np.asarray(flash_attention(q, k, v, block_q=bq, block_k=bk,
+                                         interpret=True))
+        ref = np.asarray(mha_reference(q, k, v, causal=True))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        assert np.isfinite(got).all()
+
+    def test_nondivisible_with_lengths(self):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        rng = np.random.default_rng(8)
+        B, L, H, KV, hd = 2, 320, 2, 1, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        lengths = jnp.asarray([300, 200], jnp.int32)
+        got = np.asarray(flash_attention(q, k, v, lengths=lengths,
+                                         block_q=256, block_k=256,
+                                         interpret=True))
+        ref = np.asarray(mha_reference(q, k, v, causal=True, kv_len=lengths))
+        for b, n in enumerate([300, 200]):
+            np.testing.assert_allclose(got[b, :n], ref[b, :n],
+                                       rtol=2e-4, atol=2e-4)
+        assert np.isfinite(got).all()
+
+    def test_nondivisible_grads_match_reference(self):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        rng = np.random.default_rng(9)
+        B, L, H, KV, hd = 1, 320, 2, 1, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, L, KV, hd)).astype(np.float32))
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, block_q=256, block_k=256,
+                                  interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, gf, gr in zip("qkv", g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name}")
+
+
 class TestShardMapFlash:
     def test_sharded_forward_and_grad(self):
         """flash under shard_map on the 8-dev CPU mesh: output stays sharded

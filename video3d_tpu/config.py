@@ -153,6 +153,12 @@ class VisionConfig:
     image_size: int = 384
     patch_size: int = 14
     layer_norm_eps: float = 1e-6
+    # Optional MXU-aligned padded sequence length for the encoder stack
+    # (e.g. 768 for the 729-patch so400m). None = run at num_patches.
+    # Pad keys are softmax-masked so outputs match the unpadded run to
+    # reduction-tree rounding (tests/test_siglip_pad.py); flip on only if
+    # it measures faster on the target chip (scripts/bench/tower_profile.py).
+    tower_pad_seq: Optional[int] = None
 
     @property
     def num_patches_per_side(self) -> int:

@@ -377,28 +377,37 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     S, KV = k.shape[1], k.shape[2]
     assert H % KV == 0 and L == S, (q.shape, k.shape)
 
-    def _fit(block: int, n: int) -> int:
-        # largest 128-aligned block <= requested that divides n, so any
-        # 128-multiple sequence length works (e.g. 1792 -> block_k 256
-        # instead of rejecting the non-divisor 512)
-        block = min(block, n)
-        while n % block and block > 128:
-            block -= 128
-        return block
-
-    block_q = _fit(block_q, L)
-    block_k = _fit(block_k, S)
-    assert L % block_q == 0 and S % block_k == 0, (L, S, block_q, block_k)
+    # Keep the requested (large) blocks and zero-pad the sequence up to a
+    # block multiple instead of shrinking blocks to a divisor. Shrinking is
+    # a performance cliff: the flagship V=32 bucket L=6784 (= 53*128) has no
+    # 256/512 divisor, and the resulting 128x128 blocks ran the 28-layer
+    # prefill at ~40% MFU vs ~70% with 256/512 blocks (BENCH_NOTES r3).
+    # Correctness of padding: pad keys are masked by the per-sample
+    # ``lengths`` (set to the true S below, before padding); pad query rows
+    # are zero-filled -> finite garbage sliced off after the kernel, and the
+    # pad VJP feeds exactly-zero upstream grads for them, so dK/dV
+    # contributions from pad rows vanish (do == 0 and delta == 0 there).
+    block_q = min(block_q, -(-L // 128) * 128)
+    block_k = min(block_k, -(-S // 128) * 128)
+    Lp = -(-L // block_q) * block_q
+    Sp = -(-S // block_k) * block_k
     if sm_scale is None:
         sm_scale = hd ** -0.5
+    if lengths is None:
+        lengths = jnp.full((B,), S, jnp.int32)
 
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, L, hd)
     kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
     vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
-    if lengths is None:
-        lengths = jnp.full((B,), S, jnp.int32)
+    if Lp != L:
+        qf = jnp.pad(qf, ((0, 0), (0, Lp - L), (0, 0)))
+    if Sp != S:
+        kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, 0)))
     len_bh = jnp.repeat(lengths.astype(jnp.int32), H)[:, None]   # (B*H, 1)
 
     out = _flash_core(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
                       float(sm_scale), interpret)
+    if Lp != L:
+        out = out[:, :L]
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)

@@ -191,8 +191,9 @@ def encode_video_pooled(params: Params, cfg: ModelConfig, images: jax.Array,
     side = cfg.vision.num_patches_per_side              # 27
 
     flat = images.reshape(B * V, *images.shape[2:])
-    feats = siglip.vision_tower_forward(params["vision"], flat, cfg.vision,
-                                        remat=remat)     # (BV, 729, Dv)
+    feats = siglip.vision_tower_forward(
+        params["vision"], flat, cfg.vision, remat=remat,
+        pad_seq_to=cfg.vision.tower_pad_seq)             # (BV, 729, Dv)
     feats = project_features(params["projector"], feats)  # (BV, 729, D)
     raw = feats.reshape(B, V, side * side, -1)
 
