@@ -45,6 +45,9 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     length = len_ref[bh, 0] if use_lengths else None
+    # per-row absolute query offset (KV-cache chunked prefill: query row r
+    # sits at cache position off + r; 0 for the plain L == S prefill)
+    off = len_ref[bh, 1]
 
     @pl.when(ki == 0)
     def _init():
@@ -52,7 +55,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
+    run = (ki * block_k <= off + (qi + 1) * block_q - 1) if causal else True
     if use_lengths:
         run = run & (ki * block_k < length)
 
@@ -67,7 +70,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32) * sm_scale   # (bq, bk)
 
         if causal or use_lengths:
-            rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            rows = off + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             allow = cols <= rows if causal else (cols == cols)
             if use_lengths:
@@ -104,7 +107,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                 qi, ki, *, sm_scale, block_q, block_k, causal, use_lengths,
-                length):
+                length, offset):
     """Shared dS computation: returns (p_T, ds_T) each (block_k, block_q)."""
     q = q_ref[0].astype(jnp.float32)                 # (bq, hd)
     k = k_ref[0].astype(jnp.float32)                 # (bk, hd)
@@ -118,7 +121,8 @@ def _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
         preferred_element_type=jnp.float32) * sm_scale        # (bk, bq)
     if causal or use_lengths:
         cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
-        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
+        rows = offset + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s_t.shape, 1)
         allow = cols <= rows if causal else (cols == cols)
         if use_lengths:
             allow = allow & (cols < length)
@@ -139,12 +143,13 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref,
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     length = len_ref[bh, 0] if use_lengths else None
+    off = len_ref[bh, 1]
 
     @pl.when(ki == 0)
     def _init():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    run = (ki * block_k <= (qi + 1) * block_q - 1) if causal else True
+    run = (ki * block_k <= off + (qi + 1) * block_q - 1) if causal else True
     if use_lengths:
         run = run & (ki * block_k < length)
 
@@ -153,7 +158,8 @@ def _dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref,
         _, ds_t = _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                               qi, ki, sm_scale=sm_scale, block_q=block_q,
                               block_k=block_k, causal=causal,
-                              use_lengths=use_lengths, length=length)
+                              use_lengths=use_lengths, length=length,
+                              offset=off)
         k = k_ref[0].astype(jnp.float32)
         # dQ_block += ds^T_T @ K  == contract ds_t dim0 with k dim0
         dq_scratch[:] += jax.lax.dot_general(
@@ -173,13 +179,14 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
     length = len_ref[bh, 0] if use_lengths else None
+    off = len_ref[bh, 1]
 
     @pl.when(qi == 0)
     def _init():
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
-    run = ((qi + 1) * block_q - 1 >= ki * block_k) if causal else True
+    run = (off + (qi + 1) * block_q - 1 >= ki * block_k) if causal else True
     if use_lengths:
         run = run & (ki * block_k < length)
 
@@ -188,7 +195,8 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
         p_t, ds_t = _bwd_common(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                                 qi, ki, sm_scale=sm_scale, block_q=block_q,
                                 block_k=block_k, causal=causal,
-                                use_lengths=use_lengths, length=length)
+                                use_lengths=use_lengths, length=length,
+                                offset=off)
         q = q_ref[0].astype(jnp.float32)
         do = do_ref[0].astype(jnp.float32)
         dv_scratch[:] += jax.lax.dot_general(
@@ -224,7 +232,7 @@ def _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k, sm_scale,
                           use_lengths=use_lengths),
         grid=(BH, L // block_q, S // block_k),
         in_specs=[
-            pl.BlockSpec((BH, 1), lambda bh, qi, ki: (0, 0),
+            pl.BlockSpec((BH, 2), lambda bh, qi, ki: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, hd), kv_index),
@@ -282,7 +290,7 @@ def _flash_core_bwd(H, KV, causal, block_q, block_k, sm_scale, interpret,
         return (b * KV + h // group, ki, 0)
 
     common_in_specs = [
-        pl.BlockSpec((BH, 1), lambda bh, i, j: (0, 0),
+        pl.BlockSpec((BH, 2), lambda bh, i, j: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
 
@@ -359,23 +367,31 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     causal: bool = True,
                     block_q: int = 256, block_k: int = 512,
                     sm_scale: float = None,
+                    q_offsets: jax.Array = None,
                     interpret: bool = False) -> jax.Array:
     """Flash attention (causal or bidirectional) with per-sample key-length
     masking and a full custom VJP (trainable end to end).
 
     Args:
-      q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0, L == S.
+      q: (B, L, H, hd); k, v: (B, S, KV, hd) with H % KV == 0 and L == S
+        (unless ``q_offsets`` is given — the KV-cache chunk case).
       lengths: optional (B,) int32 — keys at s >= lengths[b] are masked
         (right-padded batches). Outputs at padded query rows are garbage but
         finite; callers mask them (their gradients are exactly zero when the
         loss masks them).
       sm_scale: softmax scale; default hd**-0.5.
+      q_offsets: optional (B,) int32 — absolute position of each row's
+        FIRST query (chunked cached prefill: query r of row b sits at cache
+        position q_offsets[b] + r, and causal masking uses that absolute
+        position, so an L-token chunk can attend an S-slot cache, S != L).
+        None == all zeros (plain prefill).
     Returns:
       (B, L, H, hd) in q.dtype.
     """
     B, L, H, hd = q.shape
     S, KV = k.shape[1], k.shape[2]
-    assert H % KV == 0 and L == S, (q.shape, k.shape)
+    assert H % KV == 0 and (L == S or q_offsets is not None), \
+        (q.shape, k.shape)
 
     # Keep the requested (large) blocks and zero-pad the sequence up to a
     # block multiple instead of shrinking blocks to a divisor. Shrinking is
@@ -404,7 +420,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if Sp != S:
         kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, 0)))
-    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)[:, None]   # (B*H, 1)
+    if q_offsets is None:
+        q_offsets = jnp.zeros((B,), jnp.int32)
+    # SMEM table per (batch*head) row: [key length, query offset]
+    len_bh = jnp.stack([jnp.repeat(lengths.astype(jnp.int32), H),
+                        jnp.repeat(q_offsets.astype(jnp.int32), H)],
+                       axis=1)                                   # (B*H, 2)
 
     out = _flash_core(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k,
                       float(sm_scale), interpret)

@@ -69,14 +69,26 @@ def scene_universe(scene_vox: jax.Array, scene_valid: jax.Array = None
 
 def membership_bitmap(vox: jax.Array, sorted_ids: jax.Array,
                       lo: jax.Array, sizes: jax.Array) -> jax.Array:
-    """(N, 3) voxels -> (M,) bool: which scene-universe slots they cover."""
+    """(N, 3) voxels -> (M,) bool: which scene-universe slots they cover.
+
+    Direction matters for speed: the frame side is large (N ~ 3e5 pixels)
+    and the scene side small (M ~ 1e4-5e5), so we sort the FRAME ids once
+    and binary-search the M scene ids into them — M queries instead of N,
+    and no N-element scatter (TPU scatters serialize; the old
+    scatter-per-frame formulation cost ~2.5 s for a 64-frame pool on chip,
+    BENCH_NOTES r3). Duplicate scene slots are masked to their first
+    occurrence so each distinct voxel is still counted exactly once.
+    """
     pids = _linear_ids(vox.reshape(-1, 3), lo, sizes)
-    m = sorted_ids.shape[0]
-    idx = jnp.searchsorted(sorted_ids, pids)
-    hit = (pids >= 0) & (idx < m) & (sorted_ids[jnp.minimum(idx, m - 1)]
-                                     == pids)
-    occ = jnp.zeros((m,), bool)
-    return occ.at[jnp.minimum(idx, m - 1)].max(hit)
+    n = pids.shape[0]
+    sp = jnp.sort(pids)                          # -1 (non-members) sort first
+    idx = jnp.searchsorted(sp, sorted_ids)
+    hit = ((sorted_ids != _SENTINEL) & (idx < n)
+           & (sp[jnp.minimum(idx, n - 1)] == sorted_ids))
+    # dedup: only the first of equal adjacent scene slots counts
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             sorted_ids[1:] != sorted_ids[:-1]])
+    return hit & first
 
 
 @functools.partial(jax.jit, static_argnames=("max_frames",))
