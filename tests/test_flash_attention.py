@@ -275,6 +275,51 @@ class TestQueryOffsets:
                                        err_msg=f"d{name}")
 
 
+class TestNonCausalHeadPad:
+    """The SigLIP tower path: bidirectional attention at N = 729, hd = 72.
+    The wrapper lane-pads the head dim (72 -> 128) and the sequence
+    (729 -> block multiple, pad keys masked via the default lengths)."""
+
+    def test_tower_shape_matches_reference(self):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        rng = np.random.default_rng(21)
+        B, N, H, hd = 2, 729, 4, 72
+        q = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+        got = np.asarray(flash_attention(q, k, v, causal=False, block_q=256,
+                                         block_k=256, interpret=True))
+        ref = np.asarray(mha_reference(q, k, v, causal=False))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        assert np.isfinite(got).all()
+
+    def test_tower_grads_match_reference(self):
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        rng = np.random.default_rng(22)
+        B, N, H, hd = 1, 320, 2, 72
+        q = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, causal=False, block_q=64,
+                                  block_k=64, interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, causal=False) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, gf, gr in zip("qkv", g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name}")
+
+
 class TestShardMapFlash:
     def test_sharded_forward_and_grad(self):
         """flash under shard_map on the 8-dev CPU mesh: output stays sharded

@@ -408,7 +408,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Lp = -(-L // block_q) * block_q
     Sp = -(-S // block_k) * block_k
     if sm_scale is None:
-        sm_scale = hd ** -0.5
+        sm_scale = hd ** -0.5       # from the TRUE head dim, before padding
     if lengths is None:
         lengths = jnp.full((B,), S, jnp.int32)
 
@@ -420,6 +420,15 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if Sp != S:
         kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, 0)))
+    # Lane-align the head dim (e.g. the SigLIP tower's hd = 72 -> 128).
+    # Zero pad channels are exact: scores gain 0-terms, output pad channels
+    # are zero and sliced off, and their VJP contributions vanish the same
+    # way (ds is head-pad-independent; dq/dk/dv pad columns multiply zeros).
+    hd_p = -(-hd // 128) * 128
+    if hd_p != hd:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, hd_p - hd)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, hd_p - hd)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, hd_p - hd)))
     if q_offsets is None:
         q_offsets = jnp.zeros((B,), jnp.int32)
     # SMEM table per (batch*head) row: [key length, query offset]
@@ -431,4 +440,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       float(sm_scale), interpret)
     if Lp != L:
         out = out[:, :L]
+    if hd_p != hd:
+        out = out[..., :hd]
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)

@@ -57,16 +57,20 @@ def attention(p: Params, x: jax.Array, num_heads: int,
               key_bias: jax.Array | None = None) -> jax.Array:
     """Bidirectional MHA over the patch tokens.
 
-    Plain XLA einsum attention: measured on the v5e chip, the Pallas flash
-    kernel (padded 729 -> 768 seq, 72 -> 128 head dim) at best TIES this
-    (2.05 vs 2.1 ms for the 8-frame batch) — at N = 729 the score tensor is
-    VMEM-friendly per (batch, head) tile and XLA's fusion is already
-    bandwidth-optimal, so we keep the simpler form. Projections route
-    through quant.matmul so the tower supports int8 / w8a8 serving
-    (attention score/value math itself stays bf16).
+    The attention core dispatches to the Pallas flash kernel on TPU
+    (non-causal, head dim lane-padded 72 -> 128 inside the kernel wrapper):
+    the XLA einsum path materializes the (B, H, N, N) score tensor in HBM
+    — at N = 729 / B = 8 that is ~540 MB of softmax traffic per layer, and
+    the tower profile measured the einsum+softmax core at 15% of peak
+    (17.2 of 47 ms across 26 layers, scripts/bench/tower_profile.py r3) —
+    flash keeps scores in VMEM. CPU / mesh-sharded / key_bias paths keep
+    the einsum form (the jnp reference is the numerical ground truth; a
+    training mesh shards the tower by fsdp, which the einsum path lets
+    GSPMD partition freely). Projections route through quant.matmul so the
+    tower supports int8 / w8a8 serving.
 
     ``key_bias`` (N,) is an additive pre-softmax score bias used by the
-    padded-sequence fast path to mask pad keys (-1e30 -> exp == 0).
+    padded-sequence path to mask pad keys (-1e30 -> exp == 0).
     """
     from video3d_tpu.models.quant import matmul as _mm
 
@@ -75,12 +79,28 @@ def attention(p: Params, x: jax.Array, num_heads: int,
     q = (_mm(x, p["wq"]) + p["bq"]).reshape(B, N, num_heads, hd)
     k = (_mm(x, p["wk"]) + p["bk"]).reshape(B, N, num_heads, hd)
     v = (_mm(x, p["wv"]) + p["bv"]).reshape(B, N, num_heads, hd)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-    scores = scores.astype(jnp.float32)
-    if key_bias is not None:
-        scores = scores + key_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
+
+    use_flash = key_bias is None and N >= 256
+    if use_flash:
+        try:
+            use_flash = jax.default_backend() not in ("cpu",)
+        except RuntimeError:
+            use_flash = False
+    if use_flash:
+        from video3d_tpu.kernels.attention import _active_mesh
+        use_flash = _active_mesh() is None
+    if use_flash:
+        from video3d_tpu.kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, causal=False, block_q=256,
+                              block_k=256).reshape(B, N, D)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+        scores = scores.astype(jnp.float32)
+        if key_bias is not None:
+            scores = scores + key_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
     return _mm(out, p["wo"]) + p["bo"]
 
 
