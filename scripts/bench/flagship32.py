@@ -433,7 +433,8 @@ def run_ctx32k(L: int = 32768, iters: int = 1, chunk: int = 4096):
                                     (1, chunk))
             hidden, cache = qwen2.qwen2_forward(
                 llm, cfg.llm, emb_c, pos_c, kv_cache=cache,
-                cache_positions=cpos, kv_len=kv_len)
+                cache_positions=cpos, kv_len=kv_len,
+                contiguous_update=True)
             return cache, jnp.sum(hidden[:, -1].astype(jnp.float32))
 
         _, outs = jax.lax.scan(step, cache, jnp.arange(nC))

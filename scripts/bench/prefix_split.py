@@ -44,6 +44,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--contiguous", action="store_true",
+                    help="cache writes via dynamic_update_slice instead of "
+                         "the per-row scatter (qwen2 contiguous_update)")
     a = ap.parse_args()
     B, iters = a.batch, a.iters
     print(f"devices: {jax.devices()}", flush=True)
@@ -125,7 +128,8 @@ def main():
             hidden, _ = qwen2.qwen2_forward(
                 params["llm"], cfg.llm, embeds, pos3,
                 kv_cache=qwen2.KVCache(ck, cv, cks + eps, cvs + eps),
-                cache_positions=cache_positions, kv_len=batch.seq_len)
+                cache_positions=cache_positions, kv_len=batch.seq_len,
+                contiguous_update=a.contiguous)
             last = jnp.take_along_axis(
                 hidden, (batch.seq_len - 1 - P)[:, None, None], axis=1)
             logits = qwen2.lm_head(params["llm"], last)[:, 0]
@@ -145,7 +149,8 @@ def main():
                      prefix.k_scale, prefix.v_scale)
     fwd_ms = timed("suffix fwd", repeat_fwd, params, cache0.k, cache0.v,
                    cache0.k_scale, cache0.v_scale, batch.text_ids)
-    print(json.dumps({"mode": f"prefix_split_b{B}", "B": B,
+    print(json.dumps({"mode": f"prefix_split_b{B}"
+                              + ("_contig" if a.contiguous else ""), "B": B,
                       "alloc_copy_ms": alloc_ms, "suffix_fwd_ms": fwd_ms,
                       "prefix_len": P, "suffix_bucket": SUF, "mcl": mcl}))
 

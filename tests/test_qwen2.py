@@ -158,6 +158,46 @@ class TestKVCacheDecode:
                                        rtol=2e-4, atol=2e-4, err_msg=f"step {t}")
 
 
+class TestContiguousCacheUpdate:
+    """contiguous_update=True (one dynamic_update_slice) must be bit-equal
+    to the vmapped per-row scatter when every row writes the same slot
+    range — the chunked-prefill / suffix-over-prefix contract
+    (models/generate.py start_decode_prefix, _prefill_chunk)."""
+
+    @pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+    def test_matches_scatter(self, params, cache_dtype):
+        rng = np.random.default_rng(5)
+        B, P, L, max_len = 2, 5, 4, 16
+        ids = rng.integers(0, TINY.vocab_size, size=(B, P + L))
+
+        def run(contig):
+            cache = qwen2.KVCache.zeros(TINY, B, max_len, dtype=cache_dtype)
+            # seed the prefix slots
+            pre = qwen2.embed_tokens(params, jnp.asarray(ids[:, :P]))
+            pre_pos = replicate_positions(
+                np.broadcast_to(np.arange(P), (B, P)))
+            _, cache = qwen2.qwen2_forward(
+                params, TINY, pre, pre_pos, kv_cache=cache,
+                cache_positions=jnp.broadcast_to(jnp.arange(P), (B, P)),
+                kv_len=jnp.full((B,), P), contiguous_update=contig)
+            # chunk write at [P, P+L) for every row
+            chunk = qwen2.embed_tokens(params, jnp.asarray(ids[:, P:]))
+            pos = replicate_positions(
+                np.broadcast_to(P + np.arange(L), (B, L)))
+            hidden, cache = qwen2.qwen2_forward(
+                params, TINY, chunk, pos, kv_cache=cache,
+                cache_positions=jnp.broadcast_to(P + jnp.arange(L), (B, L)),
+                kv_len=jnp.full((B,), P + L), contiguous_update=contig)
+            return hidden, cache
+
+        h0, c0 = run(False)
+        h1, c1 = run(True)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        for a, b in zip(c0, c1):
+            if a is not None:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestLlamaFamily:
     """attention_bias=False path (LLaMA/Mistral wrappers, SURVEY M9)."""
 

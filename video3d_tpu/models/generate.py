@@ -136,7 +136,8 @@ def _prefill_chunk(params, cfg: ModelConfig, cache: qwen2.KVCache,
     cache_positions = start + jnp.broadcast_to(jnp.arange(C)[None], (B, C))
     hidden, cache = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds_c, pos3_c, kv_cache=cache,
-        cache_positions=cache_positions, kv_len=kv_len)
+        cache_positions=cache_positions, kv_len=kv_len,
+        contiguous_update=True)
     idx = jnp.clip(kv_len - 1 - start, 0, C - 1)            # (B,)
     cand = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
     in_chunk = (kv_len - 1 >= start) & (kv_len - 1 < start + C)
@@ -321,7 +322,8 @@ def start_decode_prefix(params, cfg: ModelConfig, batch: lv3d.Batch,
     # suffix queries see prefix keys + their own causal block.
     hidden, cache = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
-        cache_positions=cache_positions, kv_len=batch.seq_len)
+        cache_positions=cache_positions, kv_len=batch.seq_len,
+        contiguous_update=True)
     last = jnp.take_along_axis(
         hidden, (batch.seq_len - 1 - prefix_len)[:, None, None], axis=1)
     next_logits = qwen2.lm_head(params["llm"], last)[:, 0]
@@ -364,7 +366,8 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
         jnp.arange(Ls)[None], (B, Ls))
     hidden, _ = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
-        cache_positions=cache_positions, kv_len=batch.seq_len)
+        cache_positions=cache_positions, kv_len=batch.seq_len,
+        contiguous_update=True)
     # score EVERY row (scene-grouped batched queries share the prefix and
     # the object features); B=1 keeps the engine's (N+1,) contract
     queries = hidden[:, ground_slot - prefix_len]          # (B, D)

@@ -168,7 +168,8 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                   kv_len: Optional[jax.Array] = None,
                   attn_mask: Optional[jax.Array] = None,
                   prefill: bool = False,
-                  paged: Optional[tuple] = None):
+                  paged: Optional[tuple] = None,
+                  contiguous_update: bool = False):
     """One decoder block.
 
     Args:
@@ -178,6 +179,12 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         against the cache (decode / chunked prefill).
       cache_positions: (B, L) absolute slot indices for the new tokens.
       kv_len: (B,) number of valid cache entries AFTER this call's insert.
+      contiguous_update: static promise that ``cache_positions`` rows are
+        the SAME contiguous range for every batch row (chunked prefill /
+        suffix-over-prefix). Writes become one ``dynamic_update_slice``
+        instead of a vmapped scatter — XLA lowers the per-row scatter to a
+        serial loop over the L inserted slots on TPU, which dominated the
+        suffix-prefill profile (scripts/bench/prefix_split.py r3).
       attn_mask: (B, L, S) boolean (True = attend) when kv is None.
       paged: optional paged-KV decode step (L == 1, mutually exclusive with
         ``kv``): (layer_pools 4-tuple, page_table, pids, off, lens_after)
@@ -242,6 +249,14 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         v_scale = kv[3] if len(kv) > 3 else None
 
         def scatter(cache, new):
+            if contiguous_update:
+                # every row inserts the same [start, start+L) range: one
+                # dynamic_update_slice, no scatter
+                start = cache_positions[0, 0]
+                zero = jnp.zeros((), start.dtype)
+                idx = (zero, start) + (zero,) * (cache.ndim - 2)
+                return jax.lax.dynamic_update_slice(cache, new, idx)
+
             # (max_len, kv, hd) cache; (L, kv, hd) new; (L,) slots
             def one(cache_b, new_b, pos_b):
                 return cache_b.at[pos_b].set(new_b)
@@ -314,7 +329,8 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
                   remat: bool = False,
                   paged_cache=None,
                   paged_active: Optional[jax.Array] = None,
-                  scan_layers: bool = False):
+                  scan_layers: bool = False,
+                  contiguous_update: bool = False):
     """Run the decoder stack.
 
     Args:
@@ -332,6 +348,10 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
         verify pass. ``paged_active`` (B,) bool masks dead slots: their
         append lands on the sacrificial scratch page and their length does
         not advance.
+      contiguous_update: static promise that every batch row's
+        ``cache_positions`` are the same contiguous range (chunked prefill,
+        suffix-over-prefix); cache writes use one dynamic_update_slice
+        instead of a per-row scatter (see decoder_layer).
       scan_layers: run the stack as ONE ``lax.scan`` over stacked layer
         params (cache-free paths only). Numerically identical to the
         unrolled loop; structurally bounds the fsdp all-gather liveness to
@@ -362,12 +382,14 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     layer = decoder_layer
     if remat:
         layer = jax.checkpoint(
-            functools.partial(decoder_layer, prefill=prefill),
+            functools.partial(decoder_layer, prefill=prefill,
+                              contiguous_update=contiguous_update),
             static_argnums=(4,),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
     else:
-        layer = functools.partial(decoder_layer, prefill=prefill)
+        layer = functools.partial(decoder_layer, prefill=prefill,
+                                  contiguous_update=contiguous_update)
 
     if (scan_layers and kv_cache is None and paged_cache is None
             and len(params["layers"]) > 1

@@ -57,17 +57,15 @@ def attention(p: Params, x: jax.Array, num_heads: int,
               key_bias: jax.Array | None = None) -> jax.Array:
     """Bidirectional MHA over the patch tokens.
 
-    The attention core dispatches to the Pallas flash kernel on TPU
-    (non-causal, head dim lane-padded 72 -> 128 inside the kernel wrapper):
-    the XLA einsum path materializes the (B, H, N, N) score tensor in HBM
-    — at N = 729 / B = 8 that is ~540 MB of softmax traffic per layer, and
-    the tower profile measured the einsum+softmax core at 15% of peak
-    (17.2 of 47 ms across 26 layers, scripts/bench/tower_profile.py r3) —
-    flash keeps scores in VMEM. CPU / mesh-sharded / key_bias paths keep
-    the einsum form (the jnp reference is the numerical ground truth; a
-    training mesh shards the tower by fsdp, which the einsum path lets
-    GSPMD partition freely). Projections route through quant.matmul so the
-    tower supports int8 / w8a8 serving.
+    The attention core keeps the XLA einsum form. Measured negative result
+    (scripts/bench/tower_profile.py, r3, on chip): routing this through the
+    Pallas flash kernel with the head dim lane-padded 72 -> 128 ran the
+    8-frame tower batch at 69.4 ms vs 47.0 ms for the einsum — the 1.8x
+    padded-FLOP overhead at hd = 72 outweighs keeping the (B, H, N, N)
+    score tensor out of HBM at N = 729. (pad_seq_to=768 and fused QKV were
+    also measured slower: 52.7 / 49.1 ms.) The einsum also lets GSPMD
+    partition the tower freely under a training mesh. Projections route
+    through quant.matmul so the tower supports int8 / w8a8 serving.
 
     ``key_bias`` (N,) is an additive pre-softmax score bias used by the
     padded-sequence path to mask pad keys (-1e30 -> exp == 0).
@@ -80,27 +78,12 @@ def attention(p: Params, x: jax.Array, num_heads: int,
     k = (_mm(x, p["wk"]) + p["bk"]).reshape(B, N, num_heads, hd)
     v = (_mm(x, p["wv"]) + p["bv"]).reshape(B, N, num_heads, hd)
 
-    use_flash = key_bias is None and N >= 256
-    if use_flash:
-        try:
-            use_flash = jax.default_backend() not in ("cpu",)
-        except RuntimeError:
-            use_flash = False
-    if use_flash:
-        from video3d_tpu.kernels.attention import _active_mesh
-        use_flash = _active_mesh() is None
-    if use_flash:
-        from video3d_tpu.kernels.flash_attention import flash_attention
-
-        out = flash_attention(q, k, v, causal=False, block_q=256,
-                              block_k=256).reshape(B, N, D)
-    else:
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-        scores = scores.astype(jnp.float32)
-        if key_bias is not None:
-            scores = scores + key_bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+    scores = scores.astype(jnp.float32)
+    if key_bias is not None:
+        scores = scores + key_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
     return _mm(out, p["wo"]) + p["bo"]
 
 
