@@ -90,6 +90,35 @@ def main():
     for name, a, b in zip("qkv", gf, gr):
         check(f"flash_attention bwd d{name}", a, b, atol=0.0, rtol=3e-2)
 
+    # --- GQA-folded cached-chunk flash (suffix-over-prefix path) ----------
+    from video3d_tpu.kernels.flash_attention import flash_attention_gqa_folded
+
+    Sg, Lg, Hg, KVg = 768, 64, 28, 4            # Qwen2-7B head layout
+    qg = jax.random.normal(nk(), (B, Lg, Hg, hd), jnp.bfloat16)
+    kg = jax.random.normal(nk(), (B, Sg, KVg, hd), jnp.bfloat16)
+    vg = jax.random.normal(nk(), (B, Sg, KVg, hd), jnp.bfloat16)
+    offs = jnp.asarray([640, 500], jnp.int32)
+    lens_g = jnp.asarray([704, 564], jnp.int32)
+    qpos = offs[:, None] + jnp.arange(Lg)[None]
+    out = jax.jit(flash_attention_gqa_folded)(qg, kg, vg, lens_g, offs)
+    ref = mha_reference(qg.astype(jnp.float32), kg.astype(jnp.float32),
+                        vg.astype(jnp.float32), causal=True,
+                        q_positions=qpos, kv_len=lens_g)
+    check("flash_attention gqa-folded chunk", out, ref, atol=2e-2)
+
+    k8 = jnp.clip(jnp.round(kg.astype(jnp.float32) * 32), -127, 127) \
+        .astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(vg.astype(jnp.float32) * 32), -127, 127) \
+        .astype(jnp.int8)
+    sc = jnp.full((B, Sg, KVg, 1), 1 / 32, jnp.float32)
+    out = jax.jit(flash_attention_gqa_folded)(qg, k8, v8, lens_g, offs,
+                                              k_scale=sc, v_scale=sc)
+    ref = mha_reference(qg.astype(jnp.float32),
+                        k8.astype(jnp.float32) / 32,
+                        v8.astype(jnp.float32) / 32, causal=True,
+                        q_positions=qpos, kv_len=lens_g)
+    check("flash_attention gqa-folded int8 cache", out, ref, atol=4e-2)
+
     # --- decode attention (bf16 cache, then int8 cache + scales) -----------
     S = 256
     qd = jax.random.normal(nk(), (B, 1, H, hd), jnp.bfloat16)

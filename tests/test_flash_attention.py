@@ -371,3 +371,84 @@ class TestShardMapFlash:
         gq_ref = jax.grad(ref_loss)(q, k, v)
         np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestGqaFolded:
+    """GQA-folded cached-chunk kernel (flash_attention_gqa_folded): the
+    group's q heads ride the query-row dim so each KV head streams once.
+    Must match the per-head reference exactly in semantics (same masking,
+    same online softmax) for every (group, L, S, offsets) combination the
+    serving path produces."""
+
+    @pytest.mark.parametrize("H,KV,L", [(4, 2, 64), (6, 2, 64), (7, 7, 64),
+                                        (8, 1, 128)])
+    def test_matches_reference(self, H, KV, L):
+        from video3d_tpu.kernels.flash_attention import (
+            flash_attention_gqa_folded)
+
+        rng = np.random.default_rng(21)
+        B, S, hd = 2, 512, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, KV, hd)).astype(np.float32))
+        offs = jnp.asarray([100, 257][:B], jnp.int32)
+        kv_len = jnp.asarray([S, 333][:B], jnp.int32)
+        qpos = offs[:, None] + jnp.arange(L)[None]
+        got = np.asarray(flash_attention_gqa_folded(
+            q, k, v, lengths=kv_len, q_offsets=offs,
+            block_q=64, block_k=64, interpret=True))
+        ref = np.asarray(mha_reference(q, k, v, causal=True,
+                                       q_positions=qpos, kv_len=kv_len))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        assert np.isfinite(got).all()
+
+    def test_group_rows_span_q_blocks(self):
+        """group*L not divisible by block_q: fold rows cross q-block
+        boundaries mid-group and the pos_div masking must still hold."""
+        from video3d_tpu.kernels.flash_attention import (
+            flash_attention_gqa_folded)
+
+        rng = np.random.default_rng(22)
+        B, L, H, KV, S, hd = 1, 96, 3, 1, 256, 128   # LG = 288, bq = 64
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, KV, hd)).astype(np.float32))
+        offs = jnp.asarray([64], jnp.int32)
+        kv_len = jnp.asarray([200], jnp.int32)
+        qpos = offs[:, None] + jnp.arange(L)[None]
+        got = np.asarray(flash_attention_gqa_folded(
+            q, k, v, lengths=kv_len, q_offsets=offs,
+            block_q=64, block_k=64, interpret=True))
+        ref = np.asarray(mha_reference(q, k, v, causal=True,
+                                       q_positions=qpos, kv_len=kv_len))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_int8_cache_streams_raw(self):
+        """k_scale/v_scale path: int8 K/V + per-position f32 scales must
+        match attention over the dequantized cache (dequant folds into the
+        score scale / p.V weights in VMEM — decode_attention's contract)."""
+        from video3d_tpu.kernels.flash_attention import (
+            flash_attention_gqa_folded)
+
+        rng = np.random.default_rng(23)
+        B, L, H, KV, S, hd = 2, 64, 4, 2, 384, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k8 = jnp.asarray(rng.integers(-127, 128, size=(B, S, KV, hd))
+                         .astype(np.int8))
+        v8 = jnp.asarray(rng.integers(-127, 128, size=(B, S, KV, hd))
+                         .astype(np.int8))
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, S, KV, 1))
+                         .astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, S, KV, 1))
+                         .astype(np.float32))
+        offs = jnp.asarray([256, 300], jnp.int32)
+        kv_len = jnp.asarray([320, S], jnp.int32)
+        qpos = offs[:, None] + jnp.arange(L)[None]
+        got = np.asarray(flash_attention_gqa_folded(
+            q, k8, v8, lengths=kv_len, q_offsets=offs,
+            k_scale=ks, v_scale=vs, block_q=64, block_k=128,
+            interpret=True))
+        ref = np.asarray(mha_reference(
+            q, k8.astype(jnp.float32) * ks, v8.astype(jnp.float32) * vs,
+            causal=True, q_positions=qpos, kv_len=kv_len))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -177,10 +177,6 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         eff_len = jnp.minimum(q_positions[:, 0] + 1, kv_len)
         return decode_attention(q, k, v, eff_len,
                                 k_scale=k_scale, v_scale=v_scale)
-    if k_scale is not None:
-        # quantized cache on a non-kernel path: dequantize here
-        k = k.astype(q.dtype) * k_scale.astype(q.dtype)
-        v = v.astype(q.dtype) * v_scale.astype(q.dtype)
     if (on_tpu and score_bias is None and mask is None
             and q_positions is not None and L >= 64 and kv_len is not None
             and hd % 128 == 0 and (_MANUAL_MODE or _active_mesh() is None)):
@@ -188,14 +184,25 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         # prefill): the dense path materializes a (B, H, L, S) score tensor
         # — 7 GB and an OOM at the 4096-chunk x 32k-cache flagship scale
         # (BENCH_NOTES r3) — so route through the flash kernel with
-        # per-row absolute query offsets. Caller contract (every cached
+        # per-row absolute query offsets, with the GQA group FOLDED into
+        # the query rows so each KV head streams from HBM once, not
+        # H // KV times (the suffix-over-prefix forward was KV-stream
+        # bound: BENCH_NOTES r3), and int8 caches streamed raw (dequant in
+        # VMEM). Caller contract (every cached
         # multi-token call site in models/: generate._prefill_chunk,
         # start_decode_prefix, speculative verify): ``q_positions`` rows
-        # are contiguous ranges q_positions[b, r] == q_positions[b, 0] + r.
-        from video3d_tpu.kernels.flash_attention import flash_attention
+        # are contiguous ranges q_positions[b, r] == q_positions[b, 0] + r,
+        # and none of them differentiate (the folded kernel has no VJP).
+        from video3d_tpu.kernels.flash_attention import (
+            flash_attention_gqa_folded)
 
-        return flash_attention(q, k, v, lengths=kv_len, causal=True,
-                               q_offsets=q_positions[:, 0])
+        return flash_attention_gqa_folded(q, k, v, lengths=kv_len,
+                                          q_offsets=q_positions[:, 0],
+                                          k_scale=k_scale, v_scale=v_scale)
+    if k_scale is not None:
+        # quantized cache on a non-kernel path: dequantize here
+        k = k.astype(q.dtype) * k_scale.astype(q.dtype)
+        v = v.astype(q.dtype) * v_scale.astype(q.dtype)
     if (on_tpu and mask is None and q_positions is None and causal
             and score_bias is None
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):

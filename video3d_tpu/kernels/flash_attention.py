@@ -36,17 +36,28 @@ NEG_INF = -1e30
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scratch, l_scratch, acc_scratch,
-                *, sm_scale: float, block_q: int, block_k: int,
-                causal: bool, use_lengths: bool):
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
+                sm_scale: float, block_q: int, block_k: int,
+                causal: bool, use_lengths: bool, pos_div: int = 1,
+                quantized: bool = False):
+    if quantized:
+        # int8 K/V streamed raw + (1, block_k) f32 per-position scales; the
+        # dequant folds into the score scale and the p·V weights exactly as
+        # in kernels/decode_attention.py::_decode_kernel_int8
+        (ks_ref, vs_ref, o_ref, lse_ref,
+         m_scratch, l_scratch, acc_scratch) = rest
+    else:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     length = len_ref[bh, 0] if use_lengths else None
     # per-row absolute query offset (KV-cache chunked prefill: query row r
-    # sits at cache position off + r; 0 for the plain L == S prefill)
+    # sits at cache position off + r; 0 for the plain L == S prefill).
+    # pos_div > 1 is the GQA-folded layout: the `group` q heads of one KV
+    # head are interleaved along the row dim (row = r*group + g), so the
+    # logical position of row i is off + i // pos_div.
     off = len_ref[bh, 1]
 
     @pl.when(ki == 0)
@@ -55,7 +66,8 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    run = (ki * block_k <= off + (qi + 1) * block_q - 1) if causal else True
+    run = (ki * block_k <= off + ((qi + 1) * block_q - 1) // pos_div) \
+        if causal else True
     if use_lengths:
         run = run & (ki * block_k < length)
 
@@ -68,9 +80,12 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale   # (bq, bk)
+        if quantized:
+            s = s * ks_ref[0]                   # (1, bk) broadcast over rows
 
         if causal or use_lengths:
-            rows = off + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            rows = off + (qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0)) // pos_div
             cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             allow = cols <= rows if causal else (cols == cols)
             if use_lengths:
@@ -87,6 +102,8 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_next = l_prev * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
 
+        if quantized:
+            p = p * vs_ref[0]                   # fold V dequant into weights
         acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         m_scratch[:] = m_next
@@ -217,7 +234,7 @@ def _dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
 # ---------------------------------------------------------------------------
 
 def _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k, sm_scale,
-              use_lengths, interpret):
+              use_lengths, interpret, pos_div=1, ksf=None, vsf=None):
     BH, L, hd = qf.shape
     S = kf.shape[1]
     group = H // KV
@@ -226,10 +243,23 @@ def _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k, sm_scale,
         b, h = bh // H, bh % H
         return (b * KV + h // group, ki, 0)
 
+    def ks_index(bh, qi, ki):
+        b, h = bh // H, bh % H
+        return (b * KV + h // group, 0, ki)
+
+    quantized = ksf is not None
+    scale_ins = []
+    scale_specs = []
+    if quantized:
+        scale_ins = [ksf, vsf]
+        scale_specs = [pl.BlockSpec((1, 1, block_k), ks_index),
+                       pl.BlockSpec((1, 1, block_k), ks_index)]
+
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, block_q=block_q,
                           block_k=block_k, causal=causal,
-                          use_lengths=use_lengths),
+                          use_lengths=use_lengths, pos_div=pos_div,
+                          quantized=quantized),
         grid=(BH, L // block_q, S // block_k),
         in_specs=[
             pl.BlockSpec((BH, 2), lambda bh, qi, ki: (0, 0),
@@ -237,7 +267,7 @@ def _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k, sm_scale,
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, hd), kv_index),
             pl.BlockSpec((1, block_k, hd), kv_index),
-        ],
+        ] + scale_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
@@ -255,7 +285,7 @@ def _fwd_call(qf, kf, vf, len_bh, H, KV, causal, block_q, block_k, sm_scale,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(len_bh, qf, kf, vf)
+    )(len_bh, qf, kf, vf, *scale_ins)
     return out, lse
 
 
@@ -443,3 +473,99 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if hd_p != hd:
         out = out[..., :hd]
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "interpret", "sm_scale"))
+def flash_attention_gqa_folded(q: jax.Array, k: jax.Array, v: jax.Array,
+                               lengths: jax.Array,
+                               q_offsets: jax.Array,
+                               block_q: int = 256, block_k: int = 512,
+                               sm_scale: float = None,
+                               k_scale: jax.Array = None,
+                               v_scale: jax.Array = None,
+                               interpret: bool = False) -> jax.Array:
+    """Causal cached-chunk flash attention with the GQA group FOLDED into
+    the query rows — each KV head's blocks stream from HBM ONCE instead of
+    once per q head.
+
+    :func:`flash_attention`'s grid runs one program per (batch, q head), so
+    a GQA model re-reads every KV block ``group = H // KV`` times (7x for
+    Qwen2-7B). For the suffix-over-prefix serving path (64 queries against
+    a ~7k-slot cache) that KV streaming dominates the whole forward
+    (BENCH_NOTES r3 contiguous-write section). Here q is laid out as
+    (B*KV, L*group, hd) with row ``r*group + g`` holding query r of group
+    member g, so the kernel computes logical positions as ``row // group``
+    (``pos_div``) and the (B*KV)-row grid streams KV exactly once.
+
+    Inference-only (no VJP): the chunked cached-prefill call sites never
+    differentiate. Args as :func:`flash_attention`; requires ``q_offsets``
+    (the KV-cache chunk contract) and causal masking. ``k_scale``/
+    ``v_scale`` (B, S, KV, 1) f32 stream an int8 cache raw — dequant folds
+    into the score scale / p·V weights in VMEM (decode_attention's int8
+    contract), so no bf16 copy of the cache ever touches HBM.
+
+    Returns (B, L, H, hd) in q.dtype, numerically identical to
+    :func:`flash_attention` (same online-softmax, same masking).
+    """
+    B, L, H, hd = q.shape
+    S, KV = k.shape[1], k.shape[2]
+    assert H % KV == 0, (q.shape, k.shape)
+    group = H // KV
+    if group == 1 and k_scale is None:
+        return flash_attention(q, k, v, lengths=lengths, causal=True,
+                               block_q=block_q, block_k=block_k,
+                               sm_scale=sm_scale, q_offsets=q_offsets,
+                               interpret=interpret)
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+
+    LG = L * group
+    # (B, L, H, hd) -> (B, KV, L, group, hd) -> (B*KV, L*group, hd)
+    # row index r*group + g  <=>  q position r, group member g (r-major so
+    # the kernel's row // group recovers the position).
+    qf = (q.reshape(B, L, KV, group, hd)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(B * KV, LG, hd))
+    kf = k.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
+    ksf = vsf = None
+    if k_scale is not None:
+        ksf = k_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
+        vsf = v_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
+
+    block_q = min(block_q, -(-LG // 128) * 128)
+    block_k = min(block_k, -(-S // 128) * 128)
+    Lp = -(-LG // block_q) * block_q
+    Sp = -(-S // block_k) * block_k
+    if Lp != LG:
+        qf = jnp.pad(qf, ((0, 0), (0, Lp - LG), (0, 0)))
+    if Sp != S:
+        kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, 0)))
+        if ksf is not None:
+            # pad scales with zeros: pad cols are masked NEG_INF by the
+            # `cols < length` predicate before softmax regardless
+            ksf = jnp.pad(ksf, ((0, 0), (0, 0), (0, Sp - S)))
+            vsf = jnp.pad(vsf, ((0, 0), (0, 0), (0, Sp - S)))
+    hd_p = -(-hd // 128) * 128
+    if hd_p != hd:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, hd_p - hd)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, hd_p - hd)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, hd_p - hd)))
+
+    len_bh = jnp.stack([jnp.repeat(lengths.astype(jnp.int32), KV),
+                        jnp.repeat(q_offsets.astype(jnp.int32), KV)],
+                       axis=1)                                  # (B*KV, 2)
+
+    out, _ = _fwd_call(qf, kf, vf, len_bh, KV, KV, True, block_q, block_k,
+                       float(sm_scale), True, interpret, pos_div=group,
+                       ksf=ksf, vsf=vsf)
+    if Lp != LG:
+        out = out[:, :LG]
+    if hd_p != hd:
+        out = out[..., :hd]
+    # (B*KV, L*group, hd) -> (B, KV, L, group, hd) -> (B, L, H, hd)
+    return (out.reshape(B, KV, L, group, hd)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(B, L, H, hd))
