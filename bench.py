@@ -167,6 +167,12 @@ def bench_tpu():
     return warm_fps, cold_fps
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def bench_reference_cpu():
     """Literal torch re-derivation of the reference CPU preprocessing
     (video_utils.py:38-68,196-238,286-308 + llava_arch.py:213-272 +
@@ -224,11 +230,12 @@ def bench_reference_cpu():
         return torch.cat(parts, dim=2)
 
     once()  # warm
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        once()
-    dt = (time.perf_counter() - t0) / iters
+    # best-of-5: the 1-core host's load varies run to run, and a mean over
+    # a noisy window moved vs_baseline by >20% between identical rounds
+    # (r2: 7.88x vs r3: 6.09x at a BETTER numerator). min-time is the
+    # standard noise-robust estimator and is conservative for the ratio
+    # (fastest observed baseline = largest honest denominator).
+    dt = min(_timed(once) for _ in range(5))
     return V_FRAMES / dt
 
 

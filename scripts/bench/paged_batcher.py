@@ -11,7 +11,10 @@ One process per run (remote-compile tunnel discipline): the dense and
 paged modes are separate invocations.
 
 Usage: python scripts/bench/paged_batcher.py dense|paged [--slots 8]
-       [--cache-len 4096] [--chunk 256] [--int8]
+       [--cache-len 4096] [--chunk 256] [--int8] [--layers 28 --w-int8]
+
+--layers 28 --w-int8 measures the FLAGSHIP depth (Qwen2-7B, int8
+weights): batched serving throughput at the production configuration.
 """
 
 import argparse
@@ -22,18 +25,19 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def make_cfg():
+def make_cfg(layers=8):
     from video3d_tpu.config import ModelConfig
 
     cfg = ModelConfig()
     return dataclasses.replace(
-        cfg, llm=dataclasses.replace(cfg.llm, num_hidden_layers=8))
+        cfg, llm=dataclasses.replace(cfg.llm, num_hidden_layers=layers))
 
 
 def main():
@@ -43,13 +47,25 @@ def main():
     ap.add_argument("--cache-len", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--layers", type=int, default=8,
+                    help="decoder depth; 28 = flagship Qwen2-7B depth")
+    ap.add_argument("--w-int8", action="store_true",
+                    help="int8-quantize the decoder weights (required to "
+                         "fit 28 layers + cache on one v5e chip)")
     a = ap.parse_args()
 
     from video3d_tpu.models import generate, qwen2
 
-    cfg = make_cfg()
-    params = {"llm": qwen2.init_qwen2(jax.random.PRNGKey(0), cfg.llm,
-                                      dtype=jnp.bfloat16)}
+    cfg = make_cfg(a.layers)
+    if a.w_int8:
+        # layer-by-layer on-device int8 build (full_depth.py helper): peak
+        # transient HBM one bf16 layer, residency ~6.6 GB at 28 layers
+        from full_depth import init_full_depth_llm_int8
+
+        params = {"llm": init_full_depth_llm_int8(cfg, jax.random.PRNGKey(0))}
+    else:
+        params = {"llm": qwen2.init_qwen2(jax.random.PRNGKey(0), cfg.llm,
+                                          dtype=jnp.bfloat16)}
     S, page = a.slots, 128
     cache_dtype = jnp.int8 if a.int8 else jnp.bfloat16
     # heterogeneous live lengths: one long context, the rest short — the
@@ -104,7 +120,8 @@ def main():
     dt = time.perf_counter() - t0
     tok_s = S * a.chunk / dt
     print(json.dumps({
-        "mode": f"{a.mode}{'_int8' if a.int8 else ''}",
+        "mode": f"{a.mode}{'_int8' if a.int8 else ''}"
+                f"{'_w8' if a.w_int8 else ''}_{a.layers}L",
         "slots": S, "chunk": a.chunk,
         "ms_per_step": round(1e3 * dt / a.chunk, 3),
         "tok_per_s_total": round(tok_s, 1),

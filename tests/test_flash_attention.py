@@ -452,3 +452,68 @@ class TestGqaFolded:
             q, k8.astype(jnp.float32) * ks, v8.astype(jnp.float32) * vs,
             causal=True, q_positions=qpos, kv_len=kv_len))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestMeshChunkedDispatch:
+    """mha()'s shard_map mesh wrapper for cached MULTI-token chunks
+    (attention.py: q_positions + L >= 64 under an active mesh). Before r3
+    only L == 1 decode took the wrapper; a chunked prefill / suffix under
+    tp fell back to dense (B, H, L, S) scores — an OOM at 32k context.
+    On the CPU mesh the per-shard recursive mha() resolves to the jnp
+    reference, so this validates the spec plumbing (head/batch splits,
+    scale specs), not kernel numerics (tpu_check covers those on chip)."""
+
+    def _data(self, rng, B, L, H, KV, hd, S):
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, KV, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, KV, hd)).astype(np.float32))
+        offs = jnp.asarray(rng.integers(0, S - L, size=(B,)), jnp.int32)
+        qpos = offs[:, None] + jnp.arange(L)[None]
+        kv_len = jnp.minimum(offs + L, S).astype(jnp.int32)
+        return q, k, v, qpos, kv_len
+
+    def test_chunk_under_dp_tp_mesh(self):
+        from jax.sharding import Mesh
+        from video3d_tpu.kernels.attention import mha
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    ("dp", "tp"))
+        rng = np.random.default_rng(31)
+        q, k, v, qpos, kv_len = self._data(rng, 2, 64, 4, 2, 128, 256)
+        with mesh:
+            out = jax.jit(lambda *a: mha(a[0], a[1], a[2], causal=True,
+                                         q_positions=a[3], kv_len=a[4]))(
+                q, k, v, qpos, kv_len)
+        ref = mha_reference(q, k, v, causal=True, q_positions=qpos,
+                            kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_chunk_int8_scales_under_tp_mesh(self):
+        from jax.sharding import Mesh
+        from video3d_tpu.kernels.attention import mha
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                    ("dp", "tp"))
+        rng = np.random.default_rng(32)
+        B, L, H, KV, hd, S = 1, 64, 4, 2, 128, 192
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        k8 = jnp.asarray(rng.integers(-127, 128, (B, S, KV, hd)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, (B, S, KV, hd)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, S, KV, 1)),
+                         jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, S, KV, 1)),
+                         jnp.float32)
+        offs = jnp.asarray([100], jnp.int32)
+        qpos = offs[:, None] + jnp.arange(L)[None]
+        kv_len = jnp.asarray([164], jnp.int32)
+        with mesh:
+            out = jax.jit(lambda *a: mha(a[0], a[1], a[2], causal=True,
+                                         q_positions=a[3], kv_len=a[4],
+                                         k_scale=a[5], v_scale=a[6]))(
+                q, k8, v8, qpos, kv_len, ks, vs)
+        ref = mha_reference(q, k8.astype(jnp.float32) * ks,
+                            v8.astype(jnp.float32) * vs, causal=True,
+                            q_positions=qpos, kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -125,9 +125,13 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
     B, L, H = q.shape[0], q.shape[1], q.shape[2]
     S, KV, hd = k.shape[1], k.shape[2], k.shape[3]
     if (score_bias is None and mask is None and q_positions is not None
-            and L == 1 and kv_len is not None and not _MANUAL_MODE):
-        # tensor/data-parallel decode (eval/drivers.py InferenceEngine
-        # mesh= path): heads over
+            and (L == 1 or L >= 64) and kv_len is not None
+            and not _MANUAL_MODE):
+        # tensor/data-parallel decode AND cached multi-token chunks
+        # (chunked prefill / suffix-over-prefix; q_positions is only ever
+        # passed on inference cache-read paths, qwen2.py:288-296, so no
+        # VJP flows here) for the eval/drivers.py InferenceEngine
+        # mesh= path: heads over
         # tp, batch over dp/fsdp. GQA stays shard-local (q heads
         # [i*H/tp:(i+1)*H/tp) attend kv heads [i*KV/tp:(i+1)*KV/tp) —
         # contiguous blocks, same grouping _broadcast_kv uses), so the
