@@ -203,3 +203,28 @@ class TestTrainCli:
                   "--global-batch-size", "1", *data_flags(root)])
         # the trainer ran and wrote step metrics
         assert os.path.isdir(out)
+
+    def test_train_qlora(self, env, tmp_path, monkeypatch):
+        """--lora-enable --bits 8: the QLoRA branch (reference
+        train_3d.py:1588-1657) through the CLI entry point."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        out = str(tmp_path / "run_qlora")
+        cli.main(["train", "--model-path", ckpt, "--data-path", ann,
+                  "--output-dir", out, "--num-epochs", "1",
+                  "--gradient-accumulation-steps", "1", "--max-len", "160",
+                  "--global-batch-size", "1", "--group-by", "none",
+                  "--lora-enable", "--lora-r", "4", "--lora-alpha", "8",
+                  "--bits", "8", *data_flags(root)])
+        assert os.path.isdir(out)
+
+    def test_train_bits_without_lora_rejected(self, env, tmp_path,
+                                              monkeypatch):
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        with pytest.raises(SystemExit):
+            cli.main(["train", "--model-path", ckpt, "--data-path", ann,
+                      "--output-dir", str(tmp_path / "x"), "--bits", "8",
+                      *data_flags(root)])

@@ -124,6 +124,11 @@ def cmd_train(args):
     from video3d_tpu.train.optim import OptimConfig
     from video3d_tpu.train.trainer import Trainer, TrainingConfig
 
+    if args.bits != 16 and not args.lora_enable:
+        raise SystemExit("--bits 8/4 quantizes the FROZEN base and only "
+                         "makes sense with --lora-enable (QLoRA); int8 "
+                         "weights cannot take optimizer updates")
+
     params, model_cfg = _load_model(args)
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
@@ -161,6 +166,9 @@ def cmd_train(args):
                        save_steps=args.save_steps, group_by=args.group_by,
                        metrics_file=args.metrics_file,
                        master_f32=(args.master_dtype == "float32"),
+                       lora_r=(args.lora_r if args.lora_enable else 0),
+                       lora_alpha=args.lora_alpha,
+                       lora_bits=args.bits,
                        dp=args.dp, tp=args.tp, sp=args.sp))
     trainer.train(resume=not args.no_resume)
 
@@ -269,6 +277,16 @@ def main(argv=None):
     pt.add_argument("--tp", type=int, default=1)
     pt.add_argument("--sp", type=int, default=1)
     pt.add_argument("--no-resume", action="store_true")
+    # LoRA / QLoRA (reference train_3d.py lora_enable + bits branches)
+    pt.add_argument("--lora-enable", action="store_true",
+                    help="train LoRA adapters on the LLM (base frozen) "
+                         "plus the non-LoRA trainables (projector, "
+                         "world-PE, ground head)")
+    pt.add_argument("--lora-r", type=int, default=128)
+    pt.add_argument("--lora-alpha", type=int, default=256)
+    pt.add_argument("--bits", type=int, default=16, choices=(16, 8, 4),
+                    help="freeze the base in bf16 (16) or quantize it to "
+                         "int8/int4 (QLoRA; requires --lora-enable)")
 
     for task in ("scanqa", "sqa3d", "scan2cap", "scanrefer", "multi3drefer"):
         pe = sub.add_parser(f"eval-{task}")

@@ -151,8 +151,38 @@ def quantize_weight_int4(w: jax.Array, group: int = 512) -> "Int4Weight":
     return Int4Weight(packed, scale.astype(jnp.bfloat16), (in_, out), group)
 
 
+@jax.tree_util.register_pytree_node_class
+class LoraAdapted:
+    """Frozen (possibly quantized) base weight + LoRA factors, evaluated
+    lazily inside :func:`matmul` as ``matmul(x, base) + ((x@A)@B) * scale``.
+
+    The TPU counterpart of the reference's QLoRA recipe (train_3d.py
+    lora_enable + bits 4/8 bitsandbytes branches, :1588-1657): the base
+    stays quantized and frozen — it is never dequantized into a full-size
+    bf16 matrix — while gradients flow through the low-rank delta only.
+    ``scale`` (= alpha/r) is static aux data, so it stays a Python float
+    under jit.
+    """
+
+    def __init__(self, base, A, B, scale: float):
+        self.base = base
+        self.A = A
+        self.B = B
+        self.scale = scale
+
+    def tree_flatten(self):
+        return (self.base, self.A, self.B), self.scale
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
-    """x @ w for plain, int8-, or int4-quantized weights."""
+    """x @ w for plain, int8-, int4-quantized, or LoRA-adapted weights."""
+    if isinstance(w, LoraAdapted):
+        delta = (x @ w.A.astype(x.dtype)) @ w.B.astype(x.dtype)
+        return matmul(x, w.base) + delta * w.scale
     if isinstance(w, Int4Weight):
         from video3d_tpu.kernels.quant_matvec import int4_matmul, unpack_int4
 
@@ -224,7 +254,7 @@ def quantize_tree(params: Any, patterns: Tuple[str, ...] = DEFAULT_PATTERNS,
     assert act == "none" or bits == 8, (bits, act)
 
     def walk(tree, prefix=""):
-        if isinstance(tree, (Int4Weight, W8A8Weight)):
+        if isinstance(tree, (Int4Weight, W8A8Weight, LoraAdapted)):
             return tree
         if isinstance(tree, dict):
             if "q" in tree and "scale" in tree:

@@ -256,6 +256,11 @@ def param_shardings(params, mesh: Mesh):
         return fit(q, wspec), fit(scale, sspec)
 
     def build(tree, prefix=""):
+        if tree is None:
+            # empty subtree (e.g. a LoRA trainable tree's non-adapted
+            # positions) — None must map to None or tree.map over
+            # (params, shardings) raises a prefix mismatch
+            return None
         if isinstance(tree, dict):
             if set(tree) == {"q", "scale"}:
                 q_sh, s_sh = quant_pair(tree["q"], tree["scale"], prefix)

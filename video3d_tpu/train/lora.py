@@ -42,8 +42,35 @@ def _match(path: str, cfg: LoraConfig) -> bool:
     return any(re.search(p, path) for p in cfg.target_patterns)
 
 
+def _weight_shape(w) -> Optional[Tuple[int, int]]:
+    """(in, out) of a plain 2-D or quantized weight leaf, else None."""
+    from video3d_tpu.models.quant import Int4Weight, W8A8Weight
+
+    if isinstance(w, Int4Weight):
+        return w.dims
+    if isinstance(w, W8A8Weight):
+        return tuple(w.q.shape)
+    if isinstance(w, dict) and "q" in w:
+        return tuple(w["q"].shape)
+    if getattr(w, "ndim", 0) == 2:
+        return tuple(w.shape)
+    return None
+
+
+def _adapter_or_base_leaf(x) -> bool:
+    """is_leaf for trees mixing {"A","B"} adapters with (possibly
+    quantized) base weights: stop at Nones, adapter dicts, and every
+    quantized-weight representation so tree.map never zips their internals
+    against a differently-shaped counterpart."""
+    from video3d_tpu.models.quant import Int4Weight, LoraAdapted, W8A8Weight
+
+    return (x is None
+            or isinstance(x, (Int4Weight, W8A8Weight, LoraAdapted))
+            or (isinstance(x, dict) and (set(x) == {"A", "B"} or "q" in x)))
+
+
 def _map_with_path(fn, tree, prefix=""):
-    if isinstance(tree, dict):
+    if isinstance(tree, dict) and not _adapter_or_base_leaf(tree):
         return {k: _map_with_path(fn, v, f"{prefix}/{k}" if prefix else k)
                 for k, v in tree.items()}
     if isinstance(tree, list):
@@ -54,14 +81,17 @@ def _map_with_path(fn, tree, prefix=""):
 def init_lora(key: jax.Array, params: Any, cfg: LoraConfig,
               dtype=jnp.float32) -> Any:
     """Adapter pytree: {"A", "B"} at adapted weights, None elsewhere.
-    A ~ N(0, 0.02), B = 0 (so the initial delta is zero, as in PEFT)."""
+    A ~ N(0, 0.02), B = 0 (so the initial delta is zero, as in PEFT).
+    Works on plain AND quantized param trees (QLoRA: adapters are inited
+    directly against the int8/int4 base)."""
     counter = [0]
 
     def init_leaf(path, w):
-        if getattr(w, "ndim", 0) == 2 and _match(path, cfg):
+        shape = _weight_shape(w)
+        if shape is not None and _match(path, cfg):
             counter[0] += 1
             k = jax.random.fold_in(key, counter[0])
-            din, dout = w.shape
+            din, dout = shape
             return {"A": 0.02 * jax.random.normal(k, (din, cfg.r), dtype),
                     "B": jnp.zeros((cfg.r, dout), dtype)}
         return None
@@ -70,24 +100,95 @@ def init_lora(key: jax.Array, params: Any, cfg: LoraConfig,
 
 
 def apply_lora(params: Any, lora: Any, cfg: LoraConfig) -> Any:
-    """Merged params: w + (A @ B) * scale at adapted leaves."""
+    """Merged params: w + (A @ B) * scale at adapted leaves.
+
+    Quantized base leaves (int8 dict / Int4Weight / W8A8Weight) are wrapped
+    in :class:`~video3d_tpu.models.quant.LoraAdapted` instead of being
+    materialized: the quant matmul then evaluates base + low-rank delta
+    lazily — the QLoRA forward (reference train_3d.py:1588-1657
+    bits-4/8 + lora_enable). Gradients flow only through A/B (and, for
+    weight-only bases, through x); see train/qlora.py for the training
+    step and the w8a8 caveat.
+    """
+    from video3d_tpu.models.quant import LoraAdapted, is_quantized
+
     def merge(w, ad):
         if ad is None:
             return w
-        if isinstance(w, dict):
-            raise TypeError("LoRA cannot merge into int8-quantized weights; "
-                            "apply LoRA before quantize_tree")
+        if not (isinstance(ad, dict) and set(ad) == {"A", "B"}):
+            # full trainable override — the reference's non-LoRA trainables
+            # (projector / world-PE / ground head saved alongside adapters
+            # in non_lora_trainables.bin, llava_trainer.py:560-578)
+            return ad
+        if is_quantized(w):
+            return LoraAdapted(w, ad["A"], ad["B"], cfg.scale)
         delta = (ad["A"] @ ad["B"]) * cfg.scale
         return w + delta.astype(w.dtype)
 
-    return jax.tree.map(merge, params, lora,
-                        is_leaf=lambda x: x is None or
-                        (isinstance(x, dict) and set(x) == {"A", "B"}))
+    return jax.tree.map(merge, params, lora, is_leaf=_adapter_or_base_leaf)
+
+
+# the reference keeps these trained alongside LoRA adapters and saves them
+# as non_lora_trainables.bin (train_3d.py:1875-1884: projector + newline +
+# world-PE + ground head remain trainable under lora_enable)
+DEFAULT_EXTRA_TRAINABLE = ("projector", "world_pe_mlp", "ground_head",
+                           "image_newline")
+
+
+def init_lora_trainable(key: jax.Array, params: Any, cfg: LoraConfig,
+                        extra_prefixes: Tuple[str, ...] =
+                        DEFAULT_EXTRA_TRAINABLE,
+                        dtype=jnp.float32) -> Any:
+    """Trainable tree for LoRA fine-tuning: {"A","B"} adapters at the LLM
+    projection weights, FULL copies of the reference's non-LoRA-trainable
+    modules (projector, world-PE, ground head, image_newline — upcast to
+    ``dtype`` as the optimizer master copy), None everywhere else.
+    Feed to :func:`apply_lora` against the frozen (possibly quantized)
+    base."""
+    lora = init_lora(key, params, cfg, dtype)
+    if not isinstance(params, dict):
+        return lora
+    out = dict(lora)
+    for name in extra_prefixes:
+        if name in params and params[name] is not None:
+            out[name] = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x, params[name])
+    return out
 
 
 def merge_lora_into_params(params: Any, lora: Any, cfg: LoraConfig) -> Any:
-    """Permanent merge for inference (model/builder.py:106-117)."""
-    return apply_lora(params, lora, cfg)
+    """Permanent merge for inference (model/builder.py:106-117).
+
+    Unlike :func:`apply_lora` (which keeps quantized bases lazy), this
+    produces standalone weights: an int8-dict base is dequantized, the
+    delta added, and the result REQUANTIZED to int8 — the merged weight
+    differs from the lazy form by at most one requantization step (the
+    same error profile as quantizing the trained-and-merged bf16 weight
+    directly, which is what a deployment would do). Int4/W8A8 bases are
+    refused — export those to bf16 first or serve with the lazy form.
+    """
+    from video3d_tpu.models.quant import (Int4Weight, W8A8Weight,
+                                          quantize_weight)
+
+    def merge(w, ad):
+        if ad is None:
+            return w
+        if isinstance(w, (Int4Weight, W8A8Weight)):
+            raise TypeError(
+                "permanent merge into int4/w8a8 weights is unsupported; "
+                "keep apply_lora's lazy form or merge into bf16 then "
+                "requantize")
+        delta = (ad["A"].astype(jnp.float32) @ ad["B"].astype(jnp.float32)) \
+            * cfg.scale
+        if isinstance(w, dict) and "q" in w:
+            base = w["q"].astype(jnp.float32) * w["scale"].astype(jnp.float32)
+            return quantize_weight((base + delta).astype(jnp.bfloat16))
+        return w + delta.astype(w.dtype)
+
+    return jax.tree.map(merge, params, lora, is_leaf=_adapter_or_base_leaf)
 
 
 def lora_size(lora: Any) -> int:

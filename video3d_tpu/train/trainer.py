@@ -64,6 +64,16 @@ class TrainingConfig:
     # offsets to position ids before/after a random split point to expose the
     # model to larger absolute positions. 0 disables.
     pos_skipping_range: int = 0
+    # LoRA fine-tuning (reference train_3d.py:1588-1657 lora_enable):
+    # lora_r > 0 trains {"A","B"} adapters on the LLM projections plus the
+    # reference's non-LoRA trainables (projector / world-PE / ground head),
+    # with the base model FROZEN in bf16 storage. lora_bits 8 or 4
+    # additionally quantizes the frozen base (QLoRA — the reference's
+    # bitsandbytes bits-4/8 branch): a 7B base then fine-tunes on one
+    # 16 GB chip (scripts/bench/qlora_step.py).
+    lora_r: int = 0
+    lora_alpha: int = 0        # 0 -> 2 * lora_r
+    lora_bits: int = 16        # 16 = bf16 frozen base; 8 / 4 = quantized
 
 
 def apply_pos_skipping(position_ids: np.ndarray, skip_range: int,
@@ -106,7 +116,40 @@ class Trainer:
         # stored bf16 outright (legacy; loses sub-ulp updates — see
         # TrainingConfig.master_f32).
         self._compute_dtype = jnp.bfloat16 if train_cfg.bf16 else None
-        if train_cfg.bf16 and train_cfg.master_f32:
+        self._lora_cfg = None
+        self.base_params = None
+        if train_cfg.lora_r:
+            # LoRA / QLoRA: the trainable tree is the adapters + non-LoRA
+            # trainables; the base is frozen (bf16 storage — no master
+            # needed for weights that never update) and optionally
+            # int8/int4-quantized.
+            from video3d_tpu.models.quant import quantize_tree
+            from video3d_tpu.train.lora import (LoraConfig,
+                                                init_lora_trainable)
+            from video3d_tpu.train.qlora import check_qlora_base
+
+            self._lora_cfg = LoraConfig(
+                r=train_cfg.lora_r,
+                alpha=train_cfg.lora_alpha or 2 * train_cfg.lora_r)
+            base = params
+            if train_cfg.bf16:
+                base = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    base)
+            if train_cfg.lora_bits in (8, 4):
+                base = quantize_tree(base, bits=train_cfg.lora_bits)
+                check_qlora_base(base)
+            master = (jnp.float32 if (train_cfg.master_f32
+                                      or not train_cfg.bf16)
+                      else jnp.bfloat16)
+            params = init_lora_trainable(
+                jax.random.PRNGKey(train_cfg.seed), base, self._lora_cfg,
+                dtype=master)
+            if master == jnp.bfloat16:
+                self._compute_dtype = None     # trainables already bf16
+            self.base_params = shard_params(base, self.mesh)
+        elif train_cfg.bf16 and train_cfg.master_f32:
             params = jax.tree.map(
                 lambda x: x.astype(jnp.float32)
                 if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
@@ -128,9 +171,43 @@ class Trainer:
 
     # ------------- jitted steps -------------
 
+    def _merged(self, trainable, base):
+        """LoRA mode: trainable tree merged over the frozen base (inside
+        jit; quantized leaves stay lazy LoraAdapted nodes)."""
+        from video3d_tpu.train.lora import apply_lora
+        from video3d_tpu.train.train_step import cast_to_compute
+
+        if self._compute_dtype is not None:
+            trainable = cast_to_compute(trainable, self._compute_dtype)
+        return apply_lora(base, trainable, self._lora_cfg)
+
     def _build_step(self):
         cfg, tx, remat = self.cfg, self.tx, self.tcfg.remat
         cdt = self._compute_dtype
+
+        if self._lora_cfg is not None:
+            merged_fn = self._merged
+
+            # the frozen base rides as an ARGUMENT: a closed-over device
+            # tree would be baked into the program as constants (8+ GB at
+            # 7B scale — doubles HBM and stalls compilation)
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def lora_step(state: TrainState, base, batch: lv3d.Batch):
+                def lf(tr):
+                    return loss_fn(merged_fn(tr, base), cfg, batch, remat,
+                                   False, True, None)
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    lf, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                metrics = dict(metrics)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                return TrainState(params, opt_state, state.step + 1), metrics
+
+            return lambda state, batch: lora_step(state, self.base_params,
+                                                  batch)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: lv3d.Batch):
@@ -148,12 +225,17 @@ class Trainer:
         cfg, tx, remat = self.cfg, self.tx, self.tcfg.remat
         w = self.tcfg.grounding_loss_weight
         cdt = self._compute_dtype
+        merged_fn = self._merged if self._lora_cfg is not None else None
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("with_base",))
         def step(state: TrainState, batch: lv3d.Batch, world_coords, objects,
-                 objects_valid, ground_slot, box_label_hot):
+                 objects_valid, ground_slot, box_label_hot, base=None,
+                 with_base: bool = False):
             def lf(p):
-                if cdt is not None:
+                if with_base:
+                    p = merged_fn(p, base)
+                elif cdt is not None:
                     from video3d_tpu.train.train_step import cast_to_compute
                     p = cast_to_compute(p, cdt)
                 loss, metrics = grounding_loss_fn(
@@ -168,6 +250,9 @@ class Trainer:
             metrics["grad_norm"] = optax.global_norm(grads)
             return TrainState(params, opt_state, state.step + 1), metrics
 
+        if merged_fn is not None:
+            return lambda state, batch, *extras: step(
+                state, batch, *extras, base=self.base_params, with_base=True)
         return step
 
     # ------------- data order -------------
@@ -204,10 +289,20 @@ class Trainer:
         dataset = eval_dataset or self.dataset
         bs = self.tcfg.per_device_batch_size * self.mesh.devices.size
 
-        @jax.jit
-        def eval_loss(params, batch):
-            return loss_fn(params, self.cfg, batch, remat=False,
-                           compute_dtype=self._compute_dtype)[0]
+        if self._lora_cfg is not None:
+            merged_fn = self._merged
+
+            @jax.jit
+            def eval_loss_lora(params, base, batch):
+                return loss_fn(merged_fn(params, base), self.cfg, batch,
+                               remat=False, compute_dtype=None)[0]
+
+            eval_loss = lambda p, b: eval_loss_lora(p, self.base_params, b)
+        else:
+            @jax.jit
+            def eval_loss(params, batch):
+                return loss_fn(params, self.cfg, batch, remat=False,
+                               compute_dtype=self._compute_dtype)[0]
 
         losses = []
         with self.mesh:
