@@ -70,14 +70,17 @@ def _full_cfg():
 
 
 def init_full_depth_llm_int8(cfg, key, act="none", head_bits=8,
-                             quantize=True):
-    """28-layer Qwen2, int8-quantized (or bf16 with quantize=False), built
-    layer-by-layer on device.
+                             quantize=True, bits=8):
+    """28-layer Qwen2, int8/int4-quantized (or bf16 with quantize=False),
+    built layer-by-layer on device.
 
     One jitted (init + quantize) function compiled once and reused for all
     layers: peak transient HBM is a single bf16 layer (~0.5 GB), final
     residency the int8 tree (~6.6 GB) + bf16 embeddings (1.1 GB) — or the
-    full bf16 tree (~13.2 GB, proven to fit by the memory mode).
+    full bf16 tree (~13.2 GB, proven to fit by the memory mode). ``bits=4``
+    packs the layer projections int4 (~3.4 GB; the head stays int8 —
+    matching models/quant.py DEFAULT int4 serving behavior is not needed
+    for a bench base).
     """
     from video3d_tpu.models import qwen2
     from video3d_tpu.models.quant import quantize_tree, quantize_weight
@@ -91,7 +94,7 @@ def init_full_depth_llm_int8(cfg, key, act="none", head_bits=8,
         if not quantize:
             return p["layers"][0]
         lay = {"llm": {"layers": p["layers"]}}
-        return quantize_tree(lay, act=act)["llm"]["layers"][0]
+        return quantize_tree(lay, act=act, bits=bits)["llm"]["layers"][0]
 
     layers = [make_layer(jax.random.fold_in(key, i))
               for i in range(cfg.llm.num_hidden_layers)]

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="frozen-base quantization (4 halves base HBM "
+                         "again -> headroom for longer L / bigger B)")
     ap.add_argument("--cpu", action="store_true",
                     help="harness smoke test: CPU + V3D_BENCH_TINY config")
     a = ap.parse_args()
@@ -68,10 +71,10 @@ def main():
             cfg, llm=dataclasses.replace(cfg.llm, num_hidden_layers=a.layers))
 
     t0 = time.time()
-    qllm = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(0))
+    qllm = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(0), bits=a.bits)
     qparams = {"llm": qllm}
     check_qlora_base(qparams)
-    print(f"int8 base built in {time.time() - t0:.1f}s")
+    print(f"int{a.bits} base built in {time.time() - t0:.1f}s")
 
     lcfg = LoraConfig(r=a.rank, alpha=2 * a.rank)
     lora = init_lora(jax.random.PRNGKey(1), qparams, lcfg, dtype=jnp.float32)
@@ -132,7 +135,7 @@ def main():
     stats = jax.local_devices()[0].memory_stats() or {}
     peak_gib = stats.get("peak_bytes_in_use", 0) / 2**30
     print(json.dumps({
-        "mode": f"qlora_{a.layers}L_int8_r{a.rank}",
+        "mode": f"qlora_{a.layers}L_int{a.bits}_r{a.rank}",
         "B": B, "L": L, "steps": a.steps,
         "ms_per_step": round(ms, 1),
         "tok_per_s": round(tok_s, 1),

@@ -219,6 +219,42 @@ class TestTrainCli:
                   "--bits", "8", *data_flags(root)])
         assert os.path.isdir(out)
 
+    def test_qlora_train_then_eval_with_adapters(self, env, tmp_path,
+                                                 monkeypatch):
+        """Full adapter round trip: train --lora-enable --bits 8, then
+        eval-scanqa --lora-path <run>/model merges the exported adapters
+        + non-LoRA trainables into the base before serving."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        out = str(tmp_path / "run_qlora_rt")
+        cli.main(["train", "--model-path", ckpt, "--data-path", ann,
+                  "--output-dir", out, "--num-epochs", "1",
+                  "--gradient-accumulation-steps", "1", "--max-len", "160",
+                  "--global-batch-size", "1", "--group-by", "none",
+                  "--lora-enable", "--lora-r", "4", "--lora-alpha", "8",
+                  "--bits", "8", *data_flags(root)])
+        assert os.path.isfile(os.path.join(out, "lora.json"))
+        assert os.path.isdir(os.path.join(out, "model"))
+
+        qfile = str(tmp_path / "q_lora.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": "q0_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat is here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what",
+                             "answers": ["chair"]}}], f)
+        afile = str(tmp_path / "a_lora.jsonl")
+        cli.main(["eval-scanqa", "--model-path", ckpt,
+                  "--lora-path", os.path.join(out, "model"),
+                  "--question-file", qfile, "--answer-file", afile,
+                  "--max-new-tokens", "4", *data_flags(root)])
+        records = [json.loads(l) for l in open(afile)]
+        assert len(records) == 1
+        assert isinstance(records[0]["pred_response"], str)
+
     def test_train_bits_without_lora_rejected(self, env, tmp_path,
                                               monkeypatch):
         root, info, ckpt = env

@@ -118,6 +118,40 @@ def _load_model(args):
     return params, _model_cfg(args)
 
 
+def _maybe_merge_lora(params, args):
+    """--lora-path: merge a Trainer LoRA/QLoRA export (the orbax
+    adapters + non-LoRA-trainables tree under ``<run>/model``, with
+    ``<run>/lora.json`` carrying r/alpha) into the loaded base weights —
+    the native counterpart of the builder's HF lora-merge branch
+    (model/builder.py:54-117). Runs BEFORE any --load-in-8bit/4bit
+    quantization, so serving quantizes the merged weights."""
+    lp = getattr(args, "lora_path", None)
+    if not lp:
+        return params
+    import orbax.checkpoint as ocp
+
+    from video3d_tpu.train.lora import (LoraConfig, init_lora_trainable,
+                                        merge_lora_into_params)
+
+    run_dir = os.path.dirname(os.path.abspath(lp))
+    with open(os.path.join(run_dir, "lora.json")) as f:
+        meta = json.load(f)
+    lcfg = LoraConfig(r=meta["r"], alpha=meta["alpha"])
+    # restore against a structure target built from the base params, so
+    # the adapter tree's None positions survive the round trip
+    import jax
+
+    target = init_lora_trainable(jax.random.PRNGKey(0), params, lcfg)
+    import jax.numpy as jnp
+
+    target = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if hasattr(x, "dtype")
+                          and x.dtype == jnp.float32 else x, target)
+    lora = ocp.PyTreeCheckpointer().restore(os.path.abspath(lp),
+                                            item=jax.device_get(target))
+    return merge_lora_into_params(params, lora, lcfg)
+
+
 def cmd_train(args):
     from video3d_tpu.data.dataset import Collator, CollatorConfig, SupervisedDataset
     from video3d_tpu.data.image_processor import SigLipImageProcessor
@@ -180,6 +214,7 @@ def cmd_eval(args, task: str):
     from video3d_tpu.eval import drivers
 
     params, model_cfg = _load_model(args)
+    params = _maybe_merge_lora(params, args)
     if getattr(args, "load_in_8bit", False) or getattr(args, "load_in_4bit",
                                                        False) \
             or getattr(args, "w8a8", False):
@@ -303,6 +338,10 @@ def main(argv=None):
         # weight-only quantization (reference load_in_{8,4}bit flags)
         pe.add_argument("--load-in-8bit", action="store_true")
         pe.add_argument("--load-in-4bit", action="store_true")
+        pe.add_argument("--lora-path", default=None,
+                        help="Trainer LoRA/QLoRA export (the <run>/model "
+                             "orbax dir; <run>/lora.json must exist) to "
+                             "merge into the base weights before serving")
         # dynamic-activation int8 matmuls on top of int8 weights (an HBM
         # lever: measured 1.54x on the 7B prefill chain, BENCH_NOTES);
         # implies --load-in-8bit

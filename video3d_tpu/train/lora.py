@@ -176,6 +176,11 @@ def merge_lora_into_params(params: Any, lora: Any, cfg: LoraConfig) -> Any:
     def merge(w, ad):
         if ad is None:
             return w
+        if not (isinstance(ad, dict) and set(ad) == {"A", "B"}):
+            # full trainable override (non_lora_trainables) — replaces the
+            # base leaf outright, matching dtype
+            return (ad.astype(w.dtype) if hasattr(w, "dtype")
+                    and hasattr(ad, "astype") else ad)
         if isinstance(w, (Int4Weight, W8A8Weight)):
             raise TypeError(
                 "permanent merge into int4/w8a8 weights is unsupported; "

@@ -484,4 +484,19 @@ class Trainer:
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 export)
         ckpt.save_params_only(self.tcfg.output_dir, export)
+        if self._lora_cfg is not None and jax.process_index() == 0:
+            # the exported "model" tree holds adapters + non-LoRA
+            # trainables, not full weights (the reference's LoRA split
+            # save, llava_trainer.py:560-578). Record the merge scale so
+            # the load side (cli --lora-path) can reconstruct
+            # LoraConfig(r, alpha) — alpha/r is not recoverable from the
+            # adapter shapes alone.
+            import json as _json
+            import os as _os
+
+            with open(_os.path.join(self.tcfg.output_dir,
+                                    "lora.json"), "w") as f:
+                _json.dump({"r": self._lora_cfg.r,
+                            "alpha": self._lora_cfg.alpha,
+                            "bits": self.tcfg.lora_bits}, f)
         return self.state
