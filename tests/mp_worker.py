@@ -62,7 +62,25 @@ def main():
     sl = process_batch_slice(B)
     assert sl == slice(pid * 2, pid * 2 + 2)
     local = jax.tree.map(lambda x: np.asarray(x)[sl], gbatch)
-    batch = shard_batch(local, mesh)
+    batch = shard_batch(local, mesh, process_local=True)
+
+    # engine-style HOST-GLOBAL batch: every process passes the SAME full
+    # array (the eval drivers stripe by question, not batch row). Default
+    # shard_batch must assemble the global values identically to the
+    # striped path — the old stripe-only API would have built a
+    # (B*nproc)-row batch of duplicated rows here.
+    hg = shard_batch(jax.tree.map(np.asarray, gbatch), mesh)
+    assert hg.text_ids.shape == gbatch.text_ids.shape, hg.text_ids.shape
+
+    @jax.jit
+    def _sum(a, b):
+        return (jnp.sum(a.astype(jnp.float32)),
+                jnp.sum(b.astype(jnp.float32)))
+
+    with mesh:
+        s_hg, s_striped = _sum(hg.text_ids, batch.text_ids)
+        assert float(s_hg) == float(s_striped), (float(s_hg),
+                                                 float(s_striped))
 
     with mesh:
         state, metrics = train_step(state, batch, cfg, tx, remat=True,

@@ -373,3 +373,63 @@ class TestPrefixCache:
         answers = [eng.generate_answer(q) for q in qs]
         assert eng.prefix_cache_stats == [1, 1]
         assert all(isinstance(a, str) for a in answers)
+
+
+class TestGroundSuffixBatched:
+    def test_per_row_ground_slots_match_single_rows(self):
+        """Scene-grouped batched grounding: each row's <ground> token sits
+        at a DIFFERENT suffix position; the batched call must score each
+        row at its own slot, equal to per-row B=1 calls (regression for
+        the shared-scalar-slot bug)."""
+        import jax.numpy as jnp
+
+        from video3d_tpu.models import generate as gen
+        from video3d_tpu.models import qwen2
+
+        cfg = CFG
+        params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        lcfg = cfg.llm
+        P, Ls, B, N = 8, 8, 2, 3
+        D = lcfg.hidden_size
+
+        pref_shape = (lcfg.num_hidden_layers, 1, P,
+                      lcfg.num_key_value_heads, lcfg.head_dim)
+        prefix = qwen2.KVCache(
+            jnp.asarray(rng.normal(size=pref_shape), jnp.float32),
+            jnp.asarray(rng.normal(size=pref_shape), jnp.float32))
+
+        text_ids = rng.integers(10, lcfg.vocab_size - 2, (B, Ls))
+        pos = P + np.arange(Ls)
+        batch = lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(text_ids),
+            kind=jnp.zeros((B, Ls), jnp.int32),
+            vision_index=jnp.zeros((B, Ls), jnp.int32),
+            labels=jnp.full((B, Ls), -100, jnp.int32),
+            position_ids=jnp.asarray(np.broadcast_to(pos, (B, Ls))),
+            mrope_position_ids=jnp.asarray(
+                np.broadcast_to(pos[None, :, None], (B, Ls, 3)).copy()),
+            seq_len=jnp.full((B,), P + Ls, jnp.int32))
+
+        obj_feats = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        valid = jnp.ones((N,), bool)
+        slots = jnp.asarray([P + 2, P + 5], jnp.int32)
+
+        batched = np.asarray(gen.ground_suffix(
+            params, cfg, batch, prefix, prefix_len=P, max_cache_len=P + Ls,
+            cache_dtype=jnp.float32, obj_feats=obj_feats,
+            object_valid=valid, ground_slot=slots))
+        assert batched.shape == (B, N + 1)
+
+        for r in range(B):
+            row = jax.tree.map(lambda x: x[r:r + 1], batch)
+            single = np.asarray(gen.ground_suffix(
+                params, cfg, row, prefix, prefix_len=P,
+                max_cache_len=P + Ls, cache_dtype=jnp.float32,
+                obj_feats=obj_feats, object_valid=valid,
+                ground_slot=slots[r]))
+            np.testing.assert_allclose(batched[r], single,
+                                       rtol=1e-5, atol=1e-5)
+        # the two rows must NOT be identical (different slots + tokens)
+        assert np.abs(batched[0] - batched[1]).max() > 1e-6

@@ -121,22 +121,35 @@ def _load_model(args):
 def _maybe_merge_lora(params, args):
     """--lora-path: merge a Trainer LoRA/QLoRA export (the orbax
     adapters + non-LoRA-trainables tree under ``<run>/model``, with
-    ``<run>/lora.json`` carrying r/alpha) into the loaded base weights —
-    the native counterpart of the builder's HF lora-merge branch
-    (model/builder.py:54-117). Runs BEFORE any --load-in-8bit/4bit
-    quantization, so serving quantizes the merged weights."""
+    ``<run>/lora.json`` carrying r/alpha/bits) into the loaded base
+    weights — the native counterpart of the builder's HF lora-merge
+    branch (model/builder.py:54-117).
+
+    bits 8/4 in lora.json means the adapters were trained against the
+    QUANTIZED frozen base (they compensate its rounding), so serving
+    reproduces that forward exactly: quantize the base to the recorded
+    bits first, then keep the adapters LAZY (LoraAdapted nodes the quant
+    matmul evaluates) instead of a bf16 merge. bits 16 merges densely.
+    Runs BEFORE any --load-in-8bit/4bit flag, which then has nothing
+    left to do on already-quantized leaves."""
     lp = getattr(args, "lora_path", None)
     if not lp:
         return params
     import orbax.checkpoint as ocp
 
-    from video3d_tpu.train.lora import (LoraConfig, init_lora_trainable,
+    from video3d_tpu.train.lora import (LoraConfig, apply_lora,
+                                        init_lora_trainable,
                                         merge_lora_into_params)
 
     run_dir = os.path.dirname(os.path.abspath(lp))
     with open(os.path.join(run_dir, "lora.json")) as f:
         meta = json.load(f)
     lcfg = LoraConfig(r=meta["r"], alpha=meta["alpha"])
+    bits = int(meta.get("bits", 16))
+    if bits in (8, 4):
+        from video3d_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params, bits=bits)
     # restore against a structure target built from the base params, so
     # the adapter tree's None positions survive the round trip
     import jax
@@ -149,6 +162,8 @@ def _maybe_merge_lora(params, args):
                           and x.dtype == jnp.float32 else x, target)
     lora = ocp.PyTreeCheckpointer().restore(os.path.abspath(lp),
                                             item=jax.device_get(target))
+    if bits in (8, 4):
+        return apply_lora(params, lora, lcfg)
     return merge_lora_into_params(params, lora, lcfg)
 
 

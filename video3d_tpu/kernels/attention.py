@@ -181,7 +181,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         eff_len = jnp.minimum(q_positions[:, 0] + 1, kv_len)
         return decode_attention(q, k, v, eff_len,
                                 k_scale=k_scale, v_scale=v_scale)
-    if (on_tpu and score_bias is None and mask is None
+    if (on_tpu and causal and score_bias is None and mask is None
             and q_positions is not None and L >= 64 and kv_len is not None
             and hd % 128 == 0 and (_MANUAL_MODE or _active_mesh() is None)):
         # multi-token chunk over a KV cache (chunked prefill / suffix

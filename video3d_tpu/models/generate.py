@@ -346,12 +346,15 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
 
     Args:
       batch: suffix slice of the full plan (see start_decode_prefix).
-      ground_slot: () ABSOLUTE spliced index of the <ground> token (must
-        fall inside the suffix; the engine guarantees it).
+      ground_slot: () or (B,) ABSOLUTE spliced index of each row's
+        <ground> token (must fall inside the suffix; the engine
+        guarantees it). Scene-grouped batched queries place it at
+        per-row positions — a scalar is broadcast.
     Returns:
-      (N+1,) scores, equal to lv3d.grounding_forward up to cache precision
-      (the prefix KV was stored at cache_dtype; the cache-free grounding
-      forward attends raw-precision K/V).
+      (N+1,) scores at B=1, (B, N+1) otherwise — equal to
+      lv3d.grounding_forward up to cache precision (the prefix KV was
+      stored at cache_dtype; the cache-free grounding forward attends
+      raw-precision K/V).
     """
     B, Ls = batch.text_ids.shape
     cache = qwen2.KVCache.zeros(cfg.llm, B, max_cache_len, dtype=cache_dtype)
@@ -369,8 +372,11 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
         cache_positions=cache_positions, kv_len=batch.seq_len,
         contiguous_update=True)
     # score EVERY row (scene-grouped batched queries share the prefix and
-    # the object features); B=1 keeps the engine's (N+1,) contract
-    queries = hidden[:, ground_slot - prefix_len]          # (B, D)
+    # the object features) at ITS OWN <ground> position; B=1 keeps the
+    # engine's (N+1,) contract
+    gs = jnp.broadcast_to(jnp.asarray(ground_slot, jnp.int32), (B,))
+    queries = jnp.take_along_axis(
+        hidden, (gs - prefix_len)[:, None, None], axis=1)[:, 0]   # (B, D)
     scores = jax.vmap(
         lambda q: lv3d.ground_scores(params, q, obj_feats, object_valid,
                                      cfg))(queries)

@@ -251,7 +251,14 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         def scatter(cache, new):
             if contiguous_update:
                 # every row inserts the same [start, start+L) range: one
-                # dynamic_update_slice, no scatter
+                # dynamic_update_slice, no scatter. CONTRACT: the range
+                # must fit the cache — dynamic_update_slice CLAMPS an
+                # out-of-range start to max_len - L (overwriting the most
+                # recent valid slots), unlike the scatter path below,
+                # which silently DROPS out-of-range rows. Every current
+                # caller sizes max_cache_len >= start + L statically
+                # (chunked prefill bounds the chunk, ground_suffix /
+                # start_decode_prefix allocate prefix+suffix exactly).
                 start = cache_positions[0, 0]
                 zero = jnp.zeros((), start.dtype)
                 idx = (zero, start) + (zero,) * (cache.ndim - 2)

@@ -366,21 +366,31 @@ def process_batch_slice(n_global_rows: int) -> slice:
     return slice(pid * per, (pid + 1) * per)
 
 
-def shard_batch(batch, mesh: Mesh, global_rows: Optional[int] = None):
+def shard_batch(batch, mesh: Mesh, global_rows: Optional[int] = None,
+                process_local: bool = False):
     """Device-put a batch pytree: leading dim over (dp, fsdp).
 
     Tolerates meshes without dp/fsdp axes (e.g. a hand-built pure-tp
     serving mesh): everything is then replicated.
 
-    Multi-process: each process passes its PROCESS-LOCAL stripe (the rows
-    :func:`process_batch_slice` selected; the trainer does this) and the
-    global array is assembled with
-    ``jax.make_array_from_process_local_data`` — ``device_put`` of a
-    host-local array onto a cross-process sharding is invalid. Arrays whose
-    global leading dim does not divide the (dp, fsdp) shard count must be
-    passed HOST-GLOBAL (identical on every process) and are replicated.
-    ``global_rows`` overrides the inferred global batch (local rows x
-    process count) for rank-deficient trailing batches."""
+    Multi-process: the caller must say what its arrays ARE —
+      * ``process_local=True``: each process passes its OWN stripe of the
+        global batch (the rows :func:`process_batch_slice` selected; the
+        trainer does this) and the global array is assembled with
+        ``jax.make_array_from_process_local_data``. ``global_rows``
+        overrides the inferred global batch (local rows x process count)
+        for rank-deficient trailing batches.
+      * ``process_local=False`` (default): every process passes the SAME
+        host-global batch (the engine/eval drivers do this — they stripe
+        work by question, not by batch row) and each process materializes
+        only its addressable shards via ``jax.make_array_from_callback``.
+        Treating a host-global copy as a stripe would silently assemble a
+        (B x nproc)-row batch of duplicated rows, so the two layouts are
+        an explicit caller contract, not an inference.
+    Either way ``device_put`` of a host-local array onto a cross-process
+    sharding is invalid, hence the assembly helpers. Arrays whose global
+    leading dim does not divide the (dp, fsdp) shard count are replicated
+    (process-local stripes cannot be: such arrays must be host-global)."""
     batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape)
     total = int(np.prod([mesh.shape[a] for a in batch_axes])) \
         if batch_axes else 1
@@ -399,6 +409,17 @@ def shard_batch(batch, mesh: Mesh, global_rows: Optional[int] = None):
             return jax.device_put(
                 x, NamedSharding(mesh, P(spec, *([None] * (nd - 1)))))
         x = np.asarray(x)
+        if not process_local:
+            # host-global on every process: shard (or replicate) by
+            # materializing this process's addressable pieces of the
+            # GLOBAL array
+            if nd == 0 or total == 1 or x.shape[0] % total != 0:
+                sharding = replicated(mesh)
+            else:
+                sharding = NamedSharding(mesh,
+                                         P(spec, *([None] * (nd - 1))))
+            return jax.make_array_from_callback(x.shape, sharding,
+                                                lambda idx: x[idx])
         g_rows = (global_rows if global_rows is not None
                   else (x.shape[0] * nproc if nd else 0))
         if nd == 0 or total == 1 or g_rows % total != 0:

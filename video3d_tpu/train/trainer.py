@@ -186,7 +186,9 @@ class Trainer:
         cdt = self._compute_dtype
 
         if self._lora_cfg is not None:
-            merged_fn = self._merged
+            from video3d_tpu.train.qlora import qlora_loss_fn
+
+            lcfg = self._lora_cfg
 
             # the frozen base rides as an ARGUMENT: a closed-over device
             # tree would be baked into the program as constants (8+ GB at
@@ -194,8 +196,11 @@ class Trainer:
             @functools.partial(jax.jit, donate_argnums=(0,))
             def lora_step(state: TrainState, base, batch: lv3d.Batch):
                 def lf(tr):
-                    return loss_fn(merged_fn(tr, base), cfg, batch, remat,
-                                   False, True, None)
+                    # the ONE QLoRA loss implementation (train/qlora.py);
+                    # scan_layers=True per the fsdp memory note in loss_fn
+                    return qlora_loss_fn(tr, base, cfg, batch, lcfg,
+                                         remat=remat, scan_layers=True,
+                                         compute_dtype=cdt)
 
                 (loss, metrics), grads = jax.value_and_grad(
                     lf, has_aux=True)(state.params)
@@ -280,7 +285,9 @@ class Trainer:
                         for k, v in arrays.items()
                         if k in lv3d.Batch._fields}
         batch = lv3d.Batch(**model_fields)
-        return shard_batch(batch, self.mesh)
+        # the trainer loads process-local stripes (process_batch_slice in
+        # the train loop / evaluate), unlike the engine's host-global path
+        return shard_batch(batch, self.mesh, process_local=True)
 
     # ------------- evaluation (llava_trainer_eval.py equivalent) -------------
 
@@ -432,7 +439,8 @@ class Trainer:
                         keys = ("world_coords_full", "objects", "objects_valid",
                                 "ground_slot", "box_label_hot")
                         extras_tree = shard_batch(
-                            {k: arrays[k] for k in keys}, self.mesh)
+                            {k: arrays[k] for k in keys}, self.mesh,
+                            process_local=True)
                         extras = [extras_tree[k] for k in keys]
                         self.state, metrics = self._ground_step_fn(
                             self.state, batch, *extras)
