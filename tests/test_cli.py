@@ -146,6 +146,61 @@ class TestEvalCli:
         assert len(records) == 1
         assert isinstance(records[0]["pred_response"], str)
 
+    def test_eval_load_format_dummy(self, env, tmp_path, monkeypatch):
+        """--load-format dummy: a checkpoint dir holding ONLY config.json
+        (architecture + 3D knobs + optional vision_config, no safetensors)
+        drives the full eval on device-initialized random weights, with
+        --load-in-8bit folded into the per-layer init (builder.
+        init_dummy_params) — the vLLM load_format=dummy rehearsal path."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        dummy_dir = tmp_path / "dummy_ckpt"
+        dummy_dir.mkdir()
+        with open(os.path.join(ckpt, "config.json")) as f:
+            hf = json.load(f)
+        hf["vision_config"] = {
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 56, "patch_size": 14}
+        with open(dummy_dir / "config.json", "w") as f:
+            json.dump(hf, f)
+        qfile = str(tmp_path / "qd.json")
+        with open(qfile, "w") as f:
+            json.dump([{
+                "id": "q0_0", "video": info["sample_idx"],
+                "conversations": [
+                    {"from": "human", "value": "<image>\nwhat is here"},
+                    {"from": "gpt", "value": "chair"}],
+                "metadata": {"dataset": "scanqa", "question_type": "what",
+                             "answers": ["chair"]}}], f)
+        afile = str(tmp_path / "ad.jsonl")
+        cli.main(["eval-scanqa", "--model-path", str(dummy_dir),
+                  "--question-file", qfile, "--answer-file", afile,
+                  "--max-new-tokens", "4", "--load-format", "dummy",
+                  "--load-in-8bit", *data_flags(root)])
+        records = [json.loads(l) for l in open(afile)]
+        assert len(records) == 1
+        assert isinstance(records[0]["pred_response"], str)
+
+    def test_dummy_init_matches_quantized_load_structure(self):
+        """init_dummy_params(bits=8) produces the SAME pytree structure,
+        shapes, and dtypes as the real path (init full tree -> post-load
+        quantize_tree), so a dummy-loaded engine compiles the identical
+        program a real --load-in-8bit checkpoint would."""
+        from video3d_tpu.models.builder import init_dummy_params
+        from video3d_tpu.models.quant import quantize_tree
+
+        cfg = ModelConfig.tiny()
+        real = quantize_tree(
+            lv3d.init_model(jax.random.PRNGKey(0), cfg,
+                            dtype=jax.numpy.bfloat16), bits=8)
+        dummy = init_dummy_params(cfg, bits=8)
+        rt = jax.tree.structure(real)
+        dt = jax.tree.structure(dummy)
+        assert rt == dt
+        for a, b in zip(jax.tree.leaves(real), jax.tree.leaves(dummy)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
     def test_eval_w8a8_and_tp(self, env, tmp_path, monkeypatch):
         """--w8a8 (dynamic-activation int8, implies int8 weights) and
         --tp 2 (engine sharded over a 2-device serving mesh) drive the

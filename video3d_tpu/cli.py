@@ -228,22 +228,45 @@ def cmd_eval(args, task: str):
     from video3d_tpu.data.video_processor import VideoProcessor
     from video3d_tpu.eval import drivers
 
-    params, model_cfg = _load_model(args)
-    params = _maybe_merge_lora(params, args)
-    if getattr(args, "load_in_8bit", False) or getattr(args, "load_in_4bit",
-                                                       False) \
-            or getattr(args, "w8a8", False):
-        # reference bitsandbytes branches (model/builder.py quantization
-        # kwargs, train_3d.py load_in_{8,4}bit): weight-only quantization
-        # of the LLM projections + lm_head (models/quant.py; int4 streams
-        # through the pallas matvec kernel). --w8a8 additionally marks the
-        # int8 weights for dynamic-activation int8 matmuls.
-        from video3d_tpu.models.quant import quantize_tree
+    w8a8 = getattr(args, "w8a8", False)
+    quant_bits = (4 if getattr(args, "load_in_4bit", False)
+                  else 8 if getattr(args, "load_in_8bit", False) or w8a8
+                  else 16)
+    quant_act = "int8" if w8a8 and quant_bits != 4 else "none"
+    if getattr(args, "load_format", "auto") == "dummy":
+        # vLLM --load-format dummy equivalent: the checkpoint dir supplies
+        # config.json (architecture + persisted 3D knobs) and the tokenizer;
+        # weights are random, initialized layer-by-layer ON DEVICE with the
+        # quantization folded into the init (a full bf16 7B tree never
+        # exists, so dummy-int8 runs on one 16 GB chip). Perf rehearsal /
+        # bring-up of real-checkpoint configs without shipping weights.
+        if getattr(args, "lora_path", None):
+            raise SystemExit("--load-format dummy has no real base weights "
+                             "to merge --lora-path into")
+        from video3d_tpu.config import VisionConfig, replace as cfg_replace
+        from video3d_tpu.models.builder import (init_dummy_params,
+                                                model_config_from_hf)
 
-        params = quantize_tree(
-            params, bits=4 if args.load_in_4bit else 8,
-            act="int8" if getattr(args, "w8a8", False)
-            and not args.load_in_4bit else "none")
+        with open(os.path.join(args.model_path, "config.json")) as f:
+            hf = json.load(f)
+        hf.update(_overrides(args))
+        model_cfg = model_config_from_hf(hf)
+        if "vision_config" in hf:     # optional tower spec for dummy dirs
+            model_cfg = cfg_replace(
+                model_cfg, vision=VisionConfig(**hf["vision_config"]))
+        params = init_dummy_params(model_cfg, bits=quant_bits, act=quant_act)
+    else:
+        params, model_cfg = _load_model(args)
+        params = _maybe_merge_lora(params, args)
+        if quant_bits != 16:
+            # reference bitsandbytes branches (model/builder.py quantization
+            # kwargs, train_3d.py load_in_{8,4}bit): weight-only quantization
+            # of the LLM projections + lm_head (models/quant.py; int4 streams
+            # through the pallas matvec kernel). --w8a8 additionally marks
+            # the int8 weights for dynamic-activation int8 matmuls.
+            from video3d_tpu.models.quant import quantize_tree
+
+            params = quantize_tree(params, bits=quant_bits, act=quant_act)
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
     tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
@@ -353,6 +376,12 @@ def main(argv=None):
         # weight-only quantization (reference load_in_{8,4}bit flags)
         pe.add_argument("--load-in-8bit", action="store_true")
         pe.add_argument("--load-in-4bit", action="store_true")
+        pe.add_argument("--load-format", choices=("auto", "dummy"),
+                        default="auto",
+                        help="'dummy' initializes random weights on device "
+                        "from config.json alone (vLLM load_format=dummy): "
+                        "perf rehearsal of a checkpoint architecture "
+                        "without shipping its weights")
         pe.add_argument("--lora-path", default=None,
                         help="Trainer LoRA/QLoRA export (the <run>/model "
                              "orbax dir; <run>/lora.json must exist) to "

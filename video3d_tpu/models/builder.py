@@ -173,6 +173,63 @@ def merge_lora_into_state(state: Dict[str, Any], model_path: str) -> None:
         state[base] = np.asarray(state[base], np.float32) + delta
 
 
+def init_dummy_params(cfg: ModelConfig, bits: int = 16, act: str = "none",
+                      seed: int = 0):
+    """Random-weight model built layer-by-layer ON DEVICE — the equivalent of
+    vLLM's ``--load-format dummy``: perf/bring-up rehearsal of a checkpoint
+    architecture whose weights are unavailable or too large to ship to the
+    device over a slow link.
+
+    Two jitted builders keep peak transient HBM to one bf16 decoder layer
+    (~0.5 GB at 7B) instead of the whole bf16 tree (~15 GB, which does not
+    fit a 16 GB chip): one compiled layer-init(+quantize) reused for every
+    decoder layer, and one for the vision/glue/table params. ``bits``/``act``
+    reproduce exactly what the real load path's post-load
+    ``quantize_tree(params, bits=..., act=...)`` (cli.py --load-in-8bit/4bit/
+    --w8a8) would produce — same patterns (llm projections + lm_head), same
+    quantized-leaf structure — so a dummy-loaded engine runs the identical
+    program as a real int8/int4 checkpoint.
+    """
+    import dataclasses
+
+    import jax
+
+    from video3d_tpu.models import llava_video3d as lv3d
+    from video3d_tpu.models import qwen2
+    from video3d_tpu.models.quant import quantize_tree
+
+    key = jax.random.PRNGKey(seed)
+
+    # vision tower / projector / world-PE / ground head / llm tables: init at
+    # LLM depth 0 so the big decoder never exists in bf16 all at once.
+    slim = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, num_hidden_layers=0))
+
+    @jax.jit
+    def make_glue(k):
+        p = lv3d.init_model(k, slim, dtype=jnp.bfloat16)
+        if bits != 16:
+            p = quantize_tree(p, bits=bits, act=act)   # lm_head only here
+        return p
+
+    params = make_glue(key)
+
+    one = dataclasses.replace(cfg.llm, num_hidden_layers=1)
+
+    @jax.jit
+    def make_layer(k):
+        p = qwen2.init_qwen2(k, one, dtype=jnp.bfloat16)
+        if bits == 16:
+            return p["layers"][0]
+        wrapped = {"llm": {"layers": p["layers"]}}
+        return quantize_tree(wrapped, bits=bits, act=act)["llm"]["layers"][0]
+
+    params["llm"]["layers"] = [
+        make_layer(jax.random.fold_in(key, 1000 + i))
+        for i in range(cfg.llm.num_hidden_layers)]
+    return params
+
+
 def load_pretrained_model(model_path: str,
                           model_name: Optional[str] = None,
                           model_base: Optional[str] = None,
