@@ -602,3 +602,82 @@ class TestWorkerLauncher:
         assert out.returncode == 0
         assert "--num-slots" in out.stdout
         assert "--spec-draft-layers" in out.stdout
+        assert "--load-format" in out.stdout
+        assert "--load-in-8bit" in out.stdout
+
+    @pytest.mark.slow
+    def test_module_main_dummy_load_generates(self, tmp_path):
+        """`python -m ... --load-format dummy --load-in-8bit`: a checkpoint
+        dir holding only config.json + tokenizer files brings up a serving
+        worker on device-initialized int8 weights (the vLLM load_format=
+        dummy rehearsal path, here through the worker launch surface rather
+        than the eval CLI), answers /worker_get_status, and completes one
+        /worker_generate round trip."""
+        import subprocess
+        import sys
+
+        from test_eval_e2e import save_real_tokenizer
+        from video3d_tpu.models import llava_video3d as lv3d
+        from video3d_tpu.models.weights import export_llava_checkpoint
+
+        root = str(tmp_path / "data")
+        info = make_fake_scene(root, n_frames=2)
+        ckpt = str(tmp_path / "dummy_ckpt")
+        cfg = ModelConfig.tiny()
+        export_llava_checkpoint(
+            lv3d.init_model(jax.random.PRNGKey(0), cfg), cfg.llm, cfg, ckpt)
+        os.remove(os.path.join(ckpt, "model.safetensors"))  # config-only dir
+        with open(os.path.join(ckpt, "config.json")) as f:
+            hf = json.load(f)
+        hf["vision_config"] = {
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 56, "patch_size": 14}
+        with open(os.path.join(ckpt, "config.json"), "w") as f:
+            json.dump(hf, f)
+        save_real_tokenizer(ckpt)
+
+        shim = tmp_path / "shim"
+        shim.mkdir()
+        (shim / "sitecustomize.py").write_text(
+            "import jax\njax.config.update('jax_platforms', 'cpu')\n")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(shim) + os.pathsep + ":".join(sys.path)
+        port = free_port()
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "video3d_tpu.serve.model_worker",
+             "--model-path", ckpt, "--load-format", "dummy",
+             "--load-in-8bit", "--host", "127.0.0.1", "--port", str(port),
+             "--video-folder", root,
+             "--embodiedscan-folder", os.path.join(root, "embodiedscan"),
+             "--metadata-folder", os.path.join(root, "metadata"),
+             "--max-frame-num", "2", "--max-new-tokens", "3"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        waddr = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.time() + 300
+            status = None
+            while time.time() < deadline and proc.poll() is None:
+                try:
+                    status = _post_json(waddr + "/worker_get_status", {},
+                                        timeout=10)
+                    break
+                except OSError:
+                    time.sleep(2.0)
+            assert status is not None, (
+                "worker never came up:\n"
+                + proc.stdout.read().decode(errors="replace")
+                if proc.poll() is not None else "worker up but unreachable")
+            assert status["queue_length"] == 0
+            out = _post_json(waddr + "/worker_generate", {
+                "video": info["sample_idx"],
+                "prompt": "<image>\nwhat is in the room",
+            }, timeout=420)
+            assert out["error_code"] == 0
+            assert isinstance(out["text"], str)
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()

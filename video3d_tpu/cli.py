@@ -243,18 +243,11 @@ def cmd_eval(args, task: str):
         if getattr(args, "lora_path", None):
             raise SystemExit("--load-format dummy has no real base weights "
                              "to merge --lora-path into")
-        from video3d_tpu.config import VisionConfig, replace as cfg_replace
-        from video3d_tpu.models.builder import (init_dummy_params,
-                                                model_config_from_hf)
+        from video3d_tpu.models.builder import load_dummy_model
 
-        with open(os.path.join(args.model_path, "config.json")) as f:
-            hf = json.load(f)
-        hf.update(_overrides(args))
-        model_cfg = model_config_from_hf(hf)
-        if "vision_config" in hf:     # optional tower spec for dummy dirs
-            model_cfg = cfg_replace(
-                model_cfg, vision=VisionConfig(**hf["vision_config"]))
-        params = init_dummy_params(model_cfg, bits=quant_bits, act=quant_act)
+        _, params, model_cfg = load_dummy_model(
+            args.model_path, bits=quant_bits, act=quant_act,
+            overwrite_config=_overrides(args), load_tokenizer=False)
     else:
         params, model_cfg = _load_model(args)
         params = _maybe_merge_lora(params, args)

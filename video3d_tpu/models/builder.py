@@ -230,6 +230,33 @@ def init_dummy_params(cfg: ModelConfig, bits: int = 16, act: str = "none",
     return params
 
 
+def load_dummy_model(model_path: str,
+                     bits: int = 16, act: str = "none",
+                     overwrite_config: Optional[Dict[str, Any]] = None,
+                     load_tokenizer: bool = True):
+    """--load-format dummy front end: (tokenizer, params, ModelConfig) from a
+    checkpoint dir holding ONLY config.json (+ tokenizer files) — weights
+    are :func:`init_dummy_params` device-side randoms. An optional
+    ``vision_config`` dict in config.json overrides the default so400m
+    tower (useful for small rehearsal architectures)."""
+    from video3d_tpu.config import VisionConfig
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    if overwrite_config:
+        hf.update(overwrite_config)
+    cfg = model_config_from_hf(hf)
+    if "vision_config" in hf:
+        cfg = replace(cfg, vision=VisionConfig(**hf["vision_config"]))
+    params = init_dummy_params(cfg, bits=bits, act=act)
+    tokenizer = None
+    if load_tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+    return tokenizer, params, cfg
+
+
 def load_pretrained_model(model_path: str,
                           model_name: Optional[str] = None,
                           model_base: Optional[str] = None,

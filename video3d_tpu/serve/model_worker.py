@@ -664,6 +664,20 @@ if __name__ == "__main__":
                         help="continuous batching slots (0 = sequential)")
     parser.add_argument("--kv-cache-dtype", default="bfloat16",
                         choices=("bfloat16", "int8"))
+    parser.add_argument("--load-in-8bit", action="store_true",
+                        help="weight-only int8 quantization of the LLM "
+                             "projections + lm_head (required to serve 7B "
+                             "on one 16 GB chip; multi-chip --tp serves "
+                             "bf16)")
+    parser.add_argument("--load-in-4bit", action="store_true")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="int8 weights + dynamic-activation int8 matmuls")
+    parser.add_argument("--load-format", choices=("auto", "dummy"),
+                        default="auto",
+                        help="'dummy' initializes random weights on device "
+                             "from config.json alone (vLLM load_format="
+                             "dummy): serving-stack rehearsal without "
+                             "shipping weights")
     parser.add_argument("--spec-draft-layers", type=int, default=0)
     parser.add_argument("--scene-cache", type=int, default=8,
                         help="scene-level vision-feature LRU (0 disables)")
@@ -695,7 +709,20 @@ if __name__ == "__main__":
     from video3d_tpu.eval.drivers import EngineConfig, InferenceEngine
     from video3d_tpu.models.builder import load_pretrained_model
 
-    tokenizer, params, cfg, _ = load_pretrained_model(args.model_path)
+    bits = (4 if args.load_in_4bit
+            else 8 if args.load_in_8bit or args.w8a8 else 16)
+    act = "int8" if args.w8a8 and bits != 4 else "none"
+    if args.load_format == "dummy":
+        from video3d_tpu.models.builder import load_dummy_model
+
+        tokenizer, params, cfg = load_dummy_model(args.model_path,
+                                                  bits=bits, act=act)
+    else:
+        tokenizer, params, cfg, _ = load_pretrained_model(args.model_path)
+        if bits != 16:
+            from video3d_tpu.models.quant import quantize_tree
+
+            params = quantize_tree(params, bits=bits, act=act)
     mesh = None
     if args.tp > 1 or args.dp > 1:
         # serving mesh: pure tp x dp (fsdp pinned to 1 — ZeRO gathers per
