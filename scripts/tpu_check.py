@@ -145,6 +145,37 @@ def main():
                         q_positions=(kv_len - 1)[:, None], kv_len=kv_len)
     check("decode_attention int8", out, ref, atol=3e-2)
 
+    # int4 cache: Mosaic must load s4 refs (XLA stores them nibble-packed)
+    # and the f32 convert+rescale must match the dequantized reference
+    k4s = jnp.max(jnp.abs(kc).astype(jnp.float32), axis=-1,
+                  keepdims=True) / 7.0 + 1e-8
+    v4s = jnp.max(jnp.abs(vc).astype(jnp.float32), axis=-1,
+                  keepdims=True) / 7.0 + 1e-8
+    k4 = jnp.clip(jnp.round(kc.astype(jnp.float32) / k4s), -7, 7) \
+        .astype(jnp.int4)
+    v4 = jnp.clip(jnp.round(vc.astype(jnp.float32) / v4s), -7, 7) \
+        .astype(jnp.int4)
+    out = jax.jit(decode_attention)(qd, k4, v4, kv_len, k_scale=k4s,
+                                    v_scale=v4s)
+    ref = mha_reference(qd.astype(jnp.float32),
+                        k4.astype(jnp.float32) * k4s,
+                        v4.astype(jnp.float32) * v4s,
+                        q_positions=(kv_len - 1)[:, None], kv_len=kv_len)
+    check("decode_attention int4", out, ref, atol=3e-2)
+
+    k4g = jnp.clip(jnp.round(kg.astype(jnp.float32) * 4), -7, 7) \
+        .astype(jnp.int4)
+    v4g = jnp.clip(jnp.round(vg.astype(jnp.float32) * 4), -7, 7) \
+        .astype(jnp.int4)
+    sc4 = jnp.full((B, Sg, KVg, 1), 1 / 4, jnp.float32)
+    out = jax.jit(flash_attention_gqa_folded)(qg, k4g, v4g, lens_g, offs,
+                                              k_scale=sc4, v_scale=sc4)
+    ref = mha_reference(qg.astype(jnp.float32),
+                        k4g.astype(jnp.float32) / 4,
+                        v4g.astype(jnp.float32) / 4, causal=True,
+                        q_positions=qpos, kv_len=lens_g)
+    check("flash_attention gqa-folded int4 cache", out, ref, atol=8e-2)
+
     # --- paged decode attention (via the dispatcher, hits the kernel) ------
     P, page, maxp = 8, 128, 3
     kp = jax.random.normal(nk(), (P, KV, page, hd), jnp.bfloat16)

@@ -58,15 +58,17 @@ class TestDecodeAttention:
                                    rtol=2e-5, atol=2e-5)
 
 
-class TestInt8DecodeKernel:
-    def test_matches_dequantized_reference(self):
-        """int8-native kernel == dequantize-then-reference."""
+class TestQuantizedDecodeKernel:
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
+    def test_matches_dequantized_reference(self, dtype):
+        """int8/int4-native kernel == dequantize-then-reference (exact: both
+        sides consume the identical quantized values + scales)."""
         from video3d_tpu.models.qwen2 import _quantize_kv
 
         B, S, H, KV, hd = 2, 256, 4, 2, 128
         q, k, v = make(B, S, H, KV, hd, seed=5)
-        kq, ks = _quantize_kv(k)
-        vq, vs = _quantize_kv(v)
+        kq, ks = _quantize_kv(k, dtype)
+        vq, vs = _quantize_kv(v, dtype)
         kv_len = jnp.asarray([100, 256], jnp.int32)
 
         deq_k = kq.astype(jnp.float32) * ks
@@ -78,8 +80,10 @@ class TestInt8DecodeKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
-    def test_int8_decode_through_model(self):
-        """decoder_layer int8 cache path on CPU (mha dequantizes inline)."""
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
+    def test_quantized_decode_through_model(self, dtype):
+        """decoder_layer int8/int4 cache path on CPU (mha dequantizes
+        inline)."""
         from video3d_tpu.config import ModelConfig
         from video3d_tpu.models import qwen2
 
@@ -88,7 +92,8 @@ class TestInt8DecodeKernel:
         ids = np.random.default_rng(7).integers(10, cfg.vocab_size, (1, 8))
         embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
         pos = jnp.broadcast_to(jnp.arange(8)[None, :, None], (1, 8, 3))
-        cache = qwen2.KVCache.zeros(cfg, 1, 16, dtype=jnp.int8)
+        cache = qwen2.KVCache.zeros(cfg, 1, 16, dtype=dtype)
+        assert cache.k.dtype == dtype
         _, cache = qwen2.qwen2_forward(
             params, cfg, embeds[:, :7], pos[:, :7], kv_cache=cache,
             cache_positions=jnp.arange(7)[None], kv_len=jnp.asarray([7]),
@@ -97,3 +102,28 @@ class TestInt8DecodeKernel:
             params, cfg, embeds[:, 7:8], pos[:, 7:8], kv_cache=cache,
             cache_positions=jnp.asarray([[7]]), kv_len=jnp.asarray([8]))
         assert np.isfinite(np.asarray(h, np.float32)).all()
+
+    def test_int4_attention_error_bounded(self):
+        """int4 is a LOSSY cache: its decode output must still track the
+        full-precision attention (cos-sim bounds on i.i.d. gaussian K/V —
+        the WORST case for per-token symmetric quantization; measured
+        int8 0.99996 / int4 0.987 at seed 9)."""
+        B, S, H, KV, hd = 2, 256, 4, 2, 128
+        q, k, v = make(B, S, H, KV, hd, seed=9)
+        kv_len = jnp.asarray([200, 256], jnp.int32)
+        exact = np.asarray(mha_reference(
+            q, k, v, q_positions=(kv_len - 1)[:, None], kv_len=kv_len))
+
+        from video3d_tpu.models.qwen2 import _quantize_kv
+
+        def run(dtype):
+            kq, ks = _quantize_kv(k, dtype)
+            vq, vs = _quantize_kv(v, dtype)
+            return np.asarray(decode_attention(
+                q, kq, vq, kv_len, k_scale=ks, v_scale=vs, interpret=True))
+
+        for dtype, min_cos in ((jnp.int8, 0.9999), (jnp.int4, 0.98)):
+            got = run(dtype)
+            cos = (got * exact).sum() / (
+                np.linalg.norm(got) * np.linalg.norm(exact))
+            assert cos > min_cos, (dtype, cos)

@@ -98,17 +98,21 @@ class TestPagedKernel:
 
 
 class TestPagedDecodeStack:
-    @pytest.mark.parametrize("int8", [False, True])
-    def test_matches_dense_decode(self, int8):
+    @pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8", "int4"])
+    def test_matches_dense_decode(self, kv_dtype):
         """Full qwen2 stack: paged decode == dense-cache decode, step by
-        step, with heterogeneous prefill lengths and shuffled pages."""
+        step, with heterogeneous prefill lengths and shuffled pages.
+        Quantized pools (int8/int4) transplant the SAME quantized values +
+        scales the dense cache holds, so parity is exact per step."""
         from video3d_tpu.models import paged_kv, qwen2
 
         cfg = tiny_cfg()
         rng = np.random.default_rng(2)
         key = jax.random.PRNGKey(0)
         params = qwen2.init_qwen2(key, cfg, dtype=jnp.float32)
-        dtype = jnp.int8 if int8 else jnp.bfloat16
+        dtype = {"int8": jnp.int8, "int4": jnp.int4,
+                 "bfloat16": jnp.bfloat16}[kv_dtype]
+        int8 = kv_dtype != "bfloat16"
 
         B, page, maxp = 2, 8, 6
         prefill_lens = [11, 24]

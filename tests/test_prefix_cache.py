@@ -363,11 +363,12 @@ class TestPrefixCache:
         assert got == want
         assert eng.prefix_cache_stats[0] >= 2
 
-    def test_int8_kv_prefix_runs(self, scene):
-        """int8 KV: the prefix is reused quantized (same values decode
+    @pytest.mark.parametrize("kv_dtype", ["int8", "int4"])
+    def test_quantized_kv_prefix_runs(self, scene, kv_dtype):
+        """int8/int4 KV: the prefix is reused quantized (same values decode
         reads); the path must run and produce a plausible answer."""
         infos, data_cfg = scene
-        eng = _engine(data_cfg, 4, kv_cache_dtype="int8")
+        eng = _engine(data_cfg, 4, kv_cache_dtype=kv_dtype)
         qs = [_question(infos[0], text=t, i=i) for i, t in enumerate(
             ["what color is the chair", "how many tables are there"])]
         answers = [eng.generate_answer(q) for q in qs]

@@ -364,7 +364,8 @@ def main(argv=None):
         pe.add_argument("--world", type=int, default=1)
         pe.add_argument("--batch-size", type=int, default=1)
         pe.add_argument("--max-new-tokens", type=int, default=512)
-        pe.add_argument("--kv-cache-dtype", choices=("bfloat16", "int8"),
+        pe.add_argument("--kv-cache-dtype",
+                        choices=("bfloat16", "int8", "int4"),
                         default="bfloat16")
         # weight-only quantization (reference load_in_{8,4}bit flags)
         pe.add_argument("--load-in-8bit", action="store_true")

@@ -54,8 +54,10 @@ class EngineConfig:
     add_spatial_instruction: bool = True
     ground_token_id: Optional[int] = None
     max_objects: int = 150
-    # "bfloat16" (default) or "int8" — int8 stores a quantized KV cache
-    # (per-token scales, models/qwen2.py KVCache) halving decode HBM traffic
+    # "bfloat16" (default), "int8", or "int4" — int8/int4 store a quantized
+    # KV cache (per-token scales, models/qwen2.py KVCache) cutting decode
+    # HBM traffic 2x/4x (int4 doubles context/batch capacity again at a
+    # looser 4-bit quantization)
     kv_cache_dtype: str = "bfloat16"
     # sampling (reference generate kwargs, model_scanqa.py:176-180:
     # do_sample = temperature > 0); 0.0 -> greedy, the eval default
@@ -195,7 +197,8 @@ class InferenceEngine:
         self.draft_cfg = draft_cfg
 
     def _cache_dtype(self):
-        return jnp.int8 if self.ecfg.kv_cache_dtype == "int8" else jnp.bfloat16
+        return {"int8": jnp.int8, "int4": jnp.int4}.get(
+            self.ecfg.kv_cache_dtype, jnp.bfloat16)
 
     def _mesh_ctx(self):
         """Ambient-mesh context for jitted call sites (nullcontext when

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from video3d_tpu.config import LLMConfig
+from video3d_tpu.models.qwen2 import QUANT_KV_DTYPES
 
 
 class PagedKVCache(NamedTuple):
@@ -66,9 +67,9 @@ class PagedKVCache(NamedTuple):
                  page_size, cfg.head_dim)
         table = jnp.zeros((num_slots, max_pages), jnp.int32)
         lens = jnp.zeros((num_slots,), jnp.int32)
-        if dtype == jnp.int8:
+        if dtype in QUANT_KV_DTYPES:
             sshape = shape[:3] + (1, page_size)
-            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                        table, lens,
                        jnp.zeros(sshape, jnp.float32),
                        jnp.zeros(sshape, jnp.float32))
@@ -191,13 +192,14 @@ def scatter_shared_prefix(cache: PagedKVCache, prefix,
     return _scatter_dense_pages(cache, prefix, pages, n_pages, 0)
 
 
-def _quantize_kv(x: jax.Array):
-    """(..., hd) -> int8 values + (..., 1) f32 scales (same symmetric
+def _quantize_kv(x: jax.Array, dtype=jnp.int8):
+    """(..., hd) -> int8/int4 values + (..., 1) f32 scales (same symmetric
     per-token-per-head rule as models/qwen2.py:_quantize_kv)."""
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
     xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / qmax,
                         1e-8)
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax).astype(dtype)
     return q, scale
 
 
@@ -226,8 +228,8 @@ def write_prefill(cache: PagedKVCache, layer: int, k_seq: jax.Array,
         return pool.at[layer, pages].set(new.astype(pool.dtype))
 
     if cache.k_scale is not None:
-        kq, ks = _quantize_kv(k_seq)
-        vq, vs = _quantize_kv(v_seq)
+        kq, ks = _quantize_kv(k_seq, cache.k.dtype)
+        vq, vs = _quantize_kv(v_seq, cache.k.dtype)
         return cache._replace(
             k=scat(cache.k, to_pages(kq)),
             v=scat(cache.v, to_pages(vq)),
@@ -288,8 +290,8 @@ def append_layer_kv(pools, k_new: jax.Array, v_new: jax.Array,
     """
     k_pages, v_pages, ks_pages, vs_pages = pools
     if ks_pages is not None:
-        kq, ks = _quantize_kv(k_new)
-        vq, vs = _quantize_kv(v_new)
+        kq, ks = _quantize_kv(k_new, k_pages.dtype)
+        vq, vs = _quantize_kv(v_new, k_pages.dtype)
         return (k_pages.at[pids, :, off].set(kq),
                 v_pages.at[pids, :, off].set(vq),
                 ks_pages.at[pids, :, 0, off].set(ks[..., 0]),

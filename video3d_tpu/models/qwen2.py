@@ -32,13 +32,21 @@ from video3d_tpu.kernels.attention import mha
 Params = Dict[str, Any]
 
 
+#: KV-cache storage dtypes that carry per-token dequant scales. int8 halves
+#: decode HBM traffic vs bf16; int4 halves it again (XLA stores s4 packed,
+#: two values per byte), doubling the context/batch a chip's HBM can hold
+#: at a looser quantization (4-bit symmetric per-token-per-head).
+QUANT_KV_DTYPES = (jnp.int8, jnp.int4)
+
+
 class KVCache(NamedTuple):
     """Per-layer stacked KV cache: (num_layers, B, max_len, kv_heads, head_dim).
 
-    ``dtype=jnp.int8`` stores a quantized cache: symmetric per-token-per-head
-    int8 values plus float32 scales (num_layers, B, max_len, kv_heads, 1).
-    Halves decode HBM traffic vs bf16 — the convert+rescale fuses into the
-    attention matmuls, so only int8 bytes and tiny scales stream from HBM.
+    ``dtype=jnp.int8`` / ``jnp.int4`` stores a quantized cache: symmetric
+    per-token-per-head values plus float32 scales (num_layers, B, max_len,
+    kv_heads, 1). Cuts decode HBM traffic 2x/4x vs bf16 — the
+    convert+rescale fuses into the attention matmuls, so only the quantized
+    bytes and tiny scales stream from HBM.
     """
 
     k: jax.Array
@@ -49,21 +57,22 @@ class KVCache(NamedTuple):
     @classmethod
     def zeros(cls, cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
-        if dtype == jnp.int8:
+        if dtype in QUANT_KV_DTYPES:
             sshape = shape[:-1] + (1,)
-            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                        jnp.zeros(sshape, jnp.float32),
                        jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _quantize_kv(x: jax.Array):
-    """(B, L, KV, hd) -> int8 values + (B, L, KV, 1) f32 scales (symmetric,
-    per token per head: scale = max|x| / 127 over head_dim)."""
+def _quantize_kv(x: jax.Array, dtype=jnp.int8):
+    """(B, L, KV, hd) -> int8/int4 values + (B, L, KV, 1) f32 scales
+    (symmetric, per token per head: scale = max|x| / qmax over head_dim)."""
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
     xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / qmax,
                         1e-8)
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax).astype(dtype)
     return q, scale
 
 
@@ -269,9 +278,9 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                 return cache_b.at[pos_b].set(new_b)
             return jax.vmap(one)(cache, new, cache_positions)
 
-        if k_cache.dtype == jnp.int8:
-            kq, ks = _quantize_kv(k)
-            vq, vs = _quantize_kv(v)
+        if k_cache.dtype in QUANT_KV_DTYPES:
+            kq, ks = _quantize_kv(k, k_cache.dtype)
+            vq, vs = _quantize_kv(v, k_cache.dtype)
             k_cache = scatter(k_cache, kq)
             v_cache = scatter(v_cache, vq)
             k_scale = scatter(k_scale, ks)
@@ -289,9 +298,9 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
             attn = mha(q, k, v, causal=True, kv_len=kv_len,
                        score_bias=(score_bias[:, :k.shape[1]]
                                    if score_bias is not None else None))
-        elif k_cache.dtype == jnp.int8:
+        elif k_cache.dtype in QUANT_KV_DTYPES:
             # the quantized cache flows to attention as-is: on the TPU
-            # decode kernel HBM streams int8 + scales; other paths
+            # decode kernel HBM streams int8/int4 + scales; other paths
             # dequantize inside mha
             attn = mha(q, k_cache, v_cache,
                        q_positions=cache_positions, kv_len=kv_len,

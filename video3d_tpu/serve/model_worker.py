@@ -663,7 +663,7 @@ if __name__ == "__main__":
     parser.add_argument("--num-slots", type=int, default=0,
                         help="continuous batching slots (0 = sequential)")
     parser.add_argument("--kv-cache-dtype", default="bfloat16",
-                        choices=("bfloat16", "int8"))
+                        choices=("bfloat16", "int8", "int4"))
     parser.add_argument("--load-in-8bit", action="store_true",
                         help="weight-only int8 quantization of the LLM "
                              "projections + lm_head (required to serve 7B "
