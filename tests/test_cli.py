@@ -310,6 +310,35 @@ class TestTrainCli:
         assert len(records) == 1
         assert isinstance(records[0]["pred_response"], str)
 
+    def test_train_dummy_load_format(self, env, tmp_path, monkeypatch):
+        """train --load-format dummy: a config.json-only checkpoint dir
+        drives a QLoRA training run on a device-initialized random base
+        pre-quantized to --bits (the on-chip 7B train rehearsal path,
+        scripts/bench/train_rehearsal.py)."""
+        root, info, ckpt = env
+        monkeypatch.setattr(cli, "_load_tokenizer", lambda p: FakeTokenizer())
+        dummy_dir = tmp_path / "dummy_ckpt"
+        dummy_dir.mkdir()
+        with open(os.path.join(ckpt, "config.json")) as f:
+            hf = json.load(f)
+        hf["vision_config"] = {
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 56, "patch_size": 14}
+        with open(dummy_dir / "config.json", "w") as f:
+            json.dump(hf, f)
+        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        out = str(tmp_path / "run_dummy")
+        cli.main(["train", "--model-path", str(dummy_dir),
+                  "--load-format", "dummy", "--data-path", ann,
+                  "--output-dir", out, "--num-epochs", "1",
+                  "--gradient-accumulation-steps", "1", "--max-len", "160",
+                  "--global-batch-size", "1", "--group-by", "none",
+                  "--lora-enable", "--lora-r", "4", "--lora-alpha", "8",
+                  "--bits", "4", *data_flags(root)])
+        assert os.path.isfile(os.path.join(out, "lora.json"))
+        assert os.path.isdir(os.path.join(out, "model"))
+
     def test_train_bits_without_lora_rejected(self, env, tmp_path,
                                               monkeypatch):
         root, info, ckpt = env

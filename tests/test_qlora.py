@@ -243,6 +243,38 @@ class TestQLoraTraining:
 
 
 class TestTrainerLoraMode:
+    def test_prequantized_base_passes_through_unchanged(self):
+        """A --load-format dummy base arrives ALREADY quantized
+        (cli.cmd_train rehearsal path): the Trainer must not re-quantize
+        or re-cast it — q stays int8, scales keep quantize_weight's bf16,
+        and the values equal what the normal bf16->quantize_tree path
+        produces."""
+        from video3d_tpu.models import llava_video3d as lv3d
+        from video3d_tpu.parallel.mesh import create_mesh
+        from video3d_tpu.train.optim import OptimConfig
+        from video3d_tpu.train.trainer import Trainer, TrainingConfig
+
+        bf16_params = lv3d.init_model(jax.random.PRNGKey(0), CFG,
+                                      dtype=jnp.bfloat16)
+        pre_q = quantize_tree(bf16_params, bits=8)
+        trainer = Trainer(
+            CFG, pre_q, dataset=None, collator=None,
+            optim_cfg=OptimConfig(total_steps=1),
+            train_cfg=TrainingConfig(output_dir="/tmp/unused",
+                                     bf16=True, master_f32=True,
+                                     lora_r=4, lora_alpha=8, lora_bits=8),
+            mesh=create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1]))
+        wq = trainer.base_params["llm"]["layers"][0]["attn"]["wq"]
+        ref = quantize_tree(bf16_params, bits=8)
+        ref_wq = ref["llm"]["layers"][0]["attn"]["wq"]
+        assert wq["q"].dtype == jnp.int8
+        assert wq["scale"].dtype == ref_wq["scale"].dtype
+        np.testing.assert_array_equal(np.asarray(wq["q"]),
+                                      np.asarray(ref_wq["q"]))
+        np.testing.assert_array_equal(
+            np.asarray(wq["scale"], dtype=np.float32),
+            np.asarray(ref_wq["scale"], dtype=np.float32))
+
     def test_qlora_trainer_end_to_end(self, tmp_path_factory):
         """Trainer with lora_r>0 + lora_bits=8 (the CLI --lora-enable
         --bits 8 path): steps run, loss finite, the trainable tree holds

@@ -178,7 +178,21 @@ def cmd_train(args):
                          "makes sense with --lora-enable (QLoRA); int8 "
                          "weights cannot take optimizer updates")
 
-    params, model_cfg = _load_model(args)
+    if getattr(args, "load_format", "auto") == "dummy":
+        # vLLM --load-format dummy for TRAINING rehearsal: the checkpoint
+        # dir supplies only config.json (+ tokenizer files); the base is
+        # initialized layer-by-layer ON DEVICE, pre-quantized to --bits when
+        # QLoRA is on (quantize_tree passes already-quantized leaves
+        # through, so the Trainer runs the identical program a real
+        # checkpoint would). Adapters trained this way compensate a RANDOM
+        # base — perf/bring-up rehearsal only, never a usable model.
+        from video3d_tpu.models.builder import load_dummy_model
+
+        _, params, model_cfg = load_dummy_model(
+            args.model_path, bits=(args.bits if args.lora_enable else 16),
+            overwrite_config=_overrides(args), load_tokenizer=False)
+    else:
+        params, model_cfg = _load_model(args)
     data_cfg = _data_cfg(args)
     tokenizer = _load_tokenizer(args.tokenizer_path or args.model_path)
     tokenizer.add_tokens(["<ground>", "<coord>"], special_tokens=True)
@@ -350,6 +364,12 @@ def main(argv=None):
                          "world-PE, ground head)")
     pt.add_argument("--lora-r", type=int, default=128)
     pt.add_argument("--lora-alpha", type=int, default=256)
+    pt.add_argument("--load-format", choices=("auto", "dummy"),
+                    default="auto",
+                    help="'dummy' initializes a random base on device from "
+                    "config.json alone (vLLM load_format=dummy): training-"
+                    "path rehearsal at architectures whose weights are "
+                    "unavailable or too large to ship over a slow link")
     pt.add_argument("--bits", type=int, default=16, choices=(16, 8, 4),
                     help="freeze the base in bf16 (16) or quantize it to "
                          "int8/int4 (QLoRA; requires --lora-enable)")
