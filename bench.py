@@ -252,9 +252,11 @@ def main():
                    "engine's scene-PREFIX KV cache goes further (not used "
                    "in this chain so the ratio keeps the baseline's "
                    "per-question geometry work): suffix-only prefill "
-                   "measured 6.13 ms/question = 1306 f/s at this scale, "
-                   "13.97 ms at full 7B int8 depth "
-                   "(scripts/bench/prefix_cache.py, full_depth.py prefix)"),
+                   "measured 6.13 ms/question = 1306 f/s at this scale; "
+                   "at the FLAGSHIP config (V=32, full 7B int8 depth, "
+                   "GQA-folded cached-chunk flash kernel): 15.3 ms B=1 / "
+                   "10.1 ms scene-grouped B=8 "
+                   "(scripts/bench/flagship32.py prefix, BENCH_NOTES r3)"),
         "value": round(warm_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(warm_fps / ref_fps, 2),

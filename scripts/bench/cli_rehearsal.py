@@ -19,6 +19,10 @@ Usage:
   python scripts/bench/cli_rehearsal.py --setup-only     # build assets only
   python scripts/bench/cli_rehearsal.py [--questions-per-scene N]
       [--batch-size B] [--max-new-tokens M] [--max-frames V] [--bf16-kv]
+  python scripts/bench/cli_rehearsal.py --task scanrefer  # DISCRIMINATIVE
+      # path: eval-scanrefer over a 128-object scene (the grounding hot
+      # path of model_scanrefer.py:163-179 — prefill + object masked-mean
+      # + predict_box scoring, no decode loop)
 
 Assets land in .rehearsal/ at the repo root (7B config.json + WordLevel
 tokenizer, 2 scenes x 32 frames of 480x640, ScanQA-style questions).
@@ -111,30 +115,74 @@ def build_assets(n_scenes: int = 2, n_frames: int = 32,
           f"of 480x640, {len(qs)} questions)")
 
 
+def build_ground_assets(n_objects: int = 128, n_frames: int = 32,
+                        questions: int = 4) -> None:
+    """Separate 1-scene tree for the DISCRIMINATIVE (eval-scanrefer) path:
+    the grounding bench's 128 candidate objects (scripts/bench/grounding.py)
+    over a full 480x640 x 32-frame scene. Lives in its own data dir so it
+    never perturbs the generative rehearsal's scenes."""
+    from fixtures import make_fake_scene
+
+    data = os.path.join(ASSETS, "data_ground")
+    info = make_fake_scene(data, scene_id="scene0100_00",
+                           n_frames=n_frames, H=480, W=640,
+                           n_objects=n_objects, seed=100)
+    qs = []
+    for j in range(questions):
+        oid = (j * 31) % n_objects
+        qs.append({
+            "id": f"g{j}", "video": info["sample_idx"],
+            "box": info["boxes"][oid].tolist(),
+            "conversations": [
+                {"from": "human",
+                 "value": "<image>\nIdentify the object described: "
+                          f"{QUESTION_WORDS[j % len(QUESTION_WORDS)]}"},
+                {"from": "gpt", "value": "<ground>"}],
+            "metadata": {"dataset": "scanrefer", "question_type": "unique",
+                         "object_id": oid,
+                         "gt_box": info["boxes"][oid].tolist()}})
+    with open(os.path.join(ASSETS, "questions_ground.json"), "w") as f:
+        json.dump(qs, f)
+    print(f"ground assets ready: {data} (1 scene x {n_frames} frames, "
+          f"{n_objects} objects, {len(qs)} questions)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--setup-only", action="store_true")
+    ap.add_argument("--task", choices=("scanqa", "scanrefer"),
+                    default="scanqa")
     ap.add_argument("--questions-per-scene", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--max-new-tokens", type=int, default=16)
     ap.add_argument("--max-frames", type=int, default=32)
+    ap.add_argument("--n-objects", type=int, default=128)
     ap.add_argument("--bf16-kv", action="store_true")
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(ASSETS, "questions.json")) or \
-            args.questions_per_scene != 4:
-        build_assets(questions_per_scene=args.questions_per_scene)
+    if args.task == "scanrefer":
+        if not os.path.exists(os.path.join(ASSETS, "questions_ground.json")):
+            build_ground_assets(n_objects=args.n_objects,
+                                questions=args.questions_per_scene)
+        data = os.path.join(ASSETS, "data_ground")
+        question_file = os.path.join(ASSETS, "questions_ground.json")
+    else:
+        if not os.path.exists(os.path.join(ASSETS, "questions.json")) or \
+                args.questions_per_scene != 4:
+            build_assets(questions_per_scene=args.questions_per_scene)
+        data = os.path.join(ASSETS, "data")
+        question_file = os.path.join(ASSETS, "questions.json")
     if args.setup_only:
         return
 
-    data = os.path.join(ASSETS, "data")
-    answer_file = os.path.join(ASSETS, f"answers_{int(time.time())}.jsonl")
+    answer_file = os.path.join(
+        ASSETS, f"answers_{args.task}_{int(time.time())}.jsonl")
     cmd = [
-        sys.executable, "-m", "video3d_tpu.cli", "eval-scanqa",
+        sys.executable, "-m", "video3d_tpu.cli", f"eval-{args.task}",
         "--model-path", os.path.join(ASSETS, "ckpt-7b-dummy"),
         "--load-format", "dummy", "--load-in-8bit",
         "--kv-cache-dtype", "bfloat16" if args.bf16_kv else "int8",
-        "--question-file", os.path.join(ASSETS, "questions.json"),
+        "--question-file", question_file,
         "--answer-file", answer_file,
         "--video-folder", data,
         "--embodiedscan-folder", os.path.join(data, "embodiedscan"),

@@ -327,17 +327,27 @@ class TestTrainCli:
             "image_size": 56, "patch_size": 14}
         with open(dummy_dir / "config.json", "w") as f:
             json.dump(hf, f)
-        ann = make_fake_annotations(root, info["sample_idx"], n=2)
+        # the conftest's 8 virtual devices make the effective batch
+        # per_device_bs x mesh size = 8; fewer samples than that would
+        # drop-last to ZERO steps (reference parity) and leave the
+        # metrics assertion below vacuous
+        ann = make_fake_annotations(root, info["sample_idx"], n=8)
         out = str(tmp_path / "run_dummy")
         cli.main(["train", "--model-path", str(dummy_dir),
                   "--load-format", "dummy", "--data-path", ann,
                   "--output-dir", out, "--num-epochs", "1",
                   "--gradient-accumulation-steps", "1", "--max-len", "160",
-                  "--global-batch-size", "1", "--group-by", "none",
+                  "--global-batch-size", "8", "--group-by", "none",
+                  # metrics path inside the NOT-YET-CREATED output dir:
+                  # the trainer must mkdir it (regression: FileNotFoundError
+                  # on the flagship train rehearsal)
+                  "--metrics-file", os.path.join(out, "metrics.jsonl"),
                   "--lora-enable", "--lora-r", "4", "--lora-alpha", "8",
                   "--bits", "4", *data_flags(root)])
         assert os.path.isfile(os.path.join(out, "lora.json"))
         assert os.path.isdir(os.path.join(out, "model"))
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            assert json.loads(f.readline())["step"] == 1
 
     def test_train_bits_without_lora_rejected(self, env, tmp_path,
                                               monkeypatch):

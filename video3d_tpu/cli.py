@@ -135,33 +135,19 @@ def _maybe_merge_lora(params, args):
     lp = getattr(args, "lora_path", None)
     if not lp:
         return params
-    import orbax.checkpoint as ocp
-
-    from video3d_tpu.train.lora import (LoraConfig, apply_lora,
-                                        init_lora_trainable,
+    from video3d_tpu.train.lora import (apply_lora, load_lora_export,
                                         merge_lora_into_params)
 
+    # peek at lora.json first: bits 8/4 adapters need the base quantized
+    # BEFORE the restore target is built from it
     run_dir = os.path.dirname(os.path.abspath(lp))
     with open(os.path.join(run_dir, "lora.json")) as f:
-        meta = json.load(f)
-    lcfg = LoraConfig(r=meta["r"], alpha=meta["alpha"])
-    bits = int(meta.get("bits", 16))
+        bits = int(json.load(f).get("bits", 16))
     if bits in (8, 4):
         from video3d_tpu.models.quant import quantize_tree
 
         params = quantize_tree(params, bits=bits)
-    # restore against a structure target built from the base params, so
-    # the adapter tree's None positions survive the round trip
-    import jax
-
-    target = init_lora_trainable(jax.random.PRNGKey(0), params, lcfg)
-    import jax.numpy as jnp
-
-    target = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                          if hasattr(x, "dtype")
-                          and x.dtype == jnp.float32 else x, target)
-    lora = ocp.PyTreeCheckpointer().restore(os.path.abspath(lp),
-                                            item=jax.device_get(target))
+    lora, lcfg, _ = load_lora_export(lp, params)
     if bits in (8, 4):
         return apply_lora(params, lora, lcfg)
     return merge_lora_into_params(params, lora, lcfg)

@@ -298,12 +298,7 @@ def stacked_layer_constraint(stacked, prefix: str = "llm/layers/0"):
     if mesh is None:
         return stacked
 
-    def build(tree, pfx):
-        if isinstance(tree, dict):
-            return {k: build(v, f"{pfx}/{k}") for k, v in tree.items()}
-        if isinstance(tree, (list, tuple)):
-            out = [build(v, f"{pfx}/{i}") for i, v in enumerate(tree)]
-            return type(tree)(out) if isinstance(tree, tuple) else out
+    def leaf(tree, pfx):
         spec = param_spec(pfx, tree.ndim - 1)
         fixed = [None]                       # layer-stack dim replicated
         for i, ax in enumerate(spec):
@@ -314,6 +309,44 @@ def stacked_layer_constraint(stacked, prefix: str = "llm/layers/0"):
                              else None)
         return jax.lax.with_sharding_constraint(
             tree, NamedSharding(mesh, P(*fixed)))
+
+    def build(tree, pfx):
+        if tree is None:
+            return None
+        if isinstance(tree, dict):
+            if set(tree) == {"q", "scale"}:
+                # int8 weight: q follows the path's weight rule; the
+                # (stack, 1, out) scale row rides the same output axis.
+                # Recursing as a plain dict would end the path at ".../q"
+                # where no $-anchored rule matches -> the whole stacked
+                # int8 tree would be CONSTRAINED replicated (8.5 GiB for
+                # 7B), silently defeating fsdp for sharded QLoRA.
+                wspec = param_spec(pfx, tree["q"].ndim - 1)
+                out_ax = wspec[-1] if len(wspec) >= 2 else None
+                s = tree["scale"]
+                if out_ax is not None and \
+                        s.shape[-1] % mesh.shape[out_ax] != 0:
+                    out_ax = None
+                sspec = P(*([None] * (s.ndim - 1)), out_ax)
+                return {"q": leaf(tree["q"], pfx),
+                        "scale": jax.lax.with_sharding_constraint(
+                            s, NamedSharding(mesh, sspec))}
+            return {k: build(v, f"{pfx}/{k}") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [build(v, f"{pfx}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        from video3d_tpu.models.quant import LoraAdapted
+
+        if isinstance(tree, LoraAdapted):
+            # QLoRA under a mesh: the frozen base follows its weight rule;
+            # the low-rank A/B factors are small — leave them to GSPMD
+            return LoraAdapted(build(tree.base, pfx), tree.A, tree.B,
+                               tree.scale)
+        if not hasattr(tree, "ndim"):
+            # other registered pytree node (Int4Weight packed layout,
+            # W8A8Weight, ...): no constraint — GSPMD places it
+            return tree
+        return leaf(tree, pfx)
 
     return build(stacked, prefix)
 

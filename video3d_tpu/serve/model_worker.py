@@ -31,10 +31,19 @@ class ModelWorker:
                  controller_addr: Optional[str] = None,
                  worker_addr: Optional[str] = None,
                  heartbeat: bool = True,
-                 batcher=None):
+                 batcher=None,
+                 adapters: Optional[dict] = None):
         self.engine = engine
         self.batcher = batcher     # ContinuousBatcher: concurrent requests
         self.model_name = model_name
+        # multi-LoRA serving (beyond-reference; vLLM --lora-modules):
+        # name -> InferenceEngine whose params share the SAME frozen base
+        # arrays as `engine` (apply_lora keeps quantized bases lazy), each
+        # with its own scene/prefix caches (cached features/KV depend on
+        # the adapter). Requests select via the wire "model" field; the
+        # controller routes by the advertised model_names, so adapters are
+        # cluster-addressable for free.
+        self.adapters = dict(adapters or {})
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:8]
@@ -58,8 +67,23 @@ class ModelWorker:
                 t.start()
 
     def status(self) -> dict:
-        return {"model_names": [self.model_name], "speed": 1,
-                "queue_length": self.queue_length}
+        return {"model_names": [self.model_name, *sorted(self.adapters)],
+                "speed": 1, "queue_length": self.queue_length}
+
+    def _engine_for(self, request: dict):
+        """Resolve the engine serving this request's ``model`` field.
+
+        Returns ``(engine, is_adapter)``. Absent/base name -> the base
+        engine. Unknown names raise (the request was misrouted or the
+        client typo'd) listing what this worker serves."""
+        name = request.get("model")
+        if name is None or name == self.model_name:
+            return self.engine, False
+        if name in self.adapters:
+            return self.adapters[name], True
+        raise ValueError(
+            f"unknown model {name!r}; this worker serves "
+            f"{[self.model_name, *sorted(self.adapters)]}")
 
     def metrics(self) -> dict:
         """Flat scrape of the serving stack's observable state: worker
@@ -73,6 +97,7 @@ class ModelWorker:
             "requests_total": self.n_requests,
             "errors_total": self.n_errors,
             "inference_seconds_total": round(self.inference_seconds, 3),
+            "adapters_served": len(self.adapters),
             "scene_cache_hits_total": eng.scene_cache_stats[0],
             "scene_cache_misses_total": eng.scene_cache_stats[1],
             "prefix_cache_hits_total": eng.prefix_cache_stats[0],
@@ -197,7 +222,10 @@ class ModelWorker:
             self.queue_length += 1
         try:
             record = self._record(request)
-            ecfg = self.engine.ecfg
+            # the batcher's slot loop runs the BASE engine's params;
+            # adapter requests take the sequential/bypass paths below
+            eng, is_adapter = self._engine_for(request)
+            ecfg = eng.ecfg
             mnt = request.get("max_new_tokens")
             # clamp to the engine budget (the batcher clamps only to its
             # cache-row room, which can exceed the configured budget)
@@ -207,7 +235,7 @@ class ModelWorker:
             stop = request.get("stop")
             t0 = time.time()
             kw = {} if mnt is None else {"max_new_tokens": mnt}
-            if self.batcher is not None and not differs:
+            if self.batcher is not None and not differs and not is_adapter:
                 if stop:
                     # early-stop through the stream instead of decoding
                     # the whole budget past the stop sequence; cancel
@@ -224,8 +252,8 @@ class ModelWorker:
                         handle.cancel()
                 else:
                     text = self.batcher.generate(record, **kw)
-            elif differs or stop or (mnt is not None
-                                     and mnt < ecfg.max_new_tokens):
+            elif is_adapter or differs or stop or (
+                    mnt is not None and mnt < ecfg.max_new_tokens):
                 # per-request cap / sampling / stop without recompiling
                 # the static decode loop: drive the host-chunked stream
                 # (a batched pool decodes every slot with ONE sampling
@@ -237,13 +265,13 @@ class ModelWorker:
                        else contextlib.nullcontext())
                 with ctx:
                     text = ""
-                    for t in self.engine.generate_answer_stream(
+                    for t in eng.generate_answer_stream(
                             record, max_new_tokens=mnt, **sampling):
                         text = self._apply_stop(t, stop)
                         if text != t:
                             break
             else:
-                text = self.engine.generate_answer(record)
+                text = eng.generate_answer(record)
             text = self._apply_stop(text, stop)
             dt = time.time() - t0
             with self.lock:
@@ -269,7 +297,8 @@ class ModelWorker:
         with self.lock:
             self.queue_length += 1
         try:
-            if self.engine.ecfg.ground_token_id is None:
+            eng, _ = self._engine_for(request)
+            if eng.ecfg.ground_token_id is None:
                 return {"error": "engine has no ground token (set "
                         "EngineConfig.ground_token_id)", "error_code": 1}
             record = {
@@ -280,7 +309,7 @@ class ModelWorker:
                 ],
             }
             t0 = time.time()
-            scores, objects = self.engine.ground(record)
+            scores, objects = eng.ground(record)
             dt = time.time() - t0
             with self.lock:
                 self.inference_seconds += dt
@@ -343,6 +372,15 @@ class ModelWorker:
         if video and all("<image>" not in c["value"] for c in convs):
             convs[0]["value"] = f"<image>\n{convs[0]['value']}"
         wire = {"video": video, "conversations": convs}
+        name = request.get("model")
+        if name is not None:
+            if name != self.model_name and name not in self.adapters:
+                return None, ({"error": {
+                    "message": f"model {name!r} not found; serving "
+                               f"{[self.model_name, *sorted(self.adapters)]}",
+                    "type": "invalid_request_error", "param": "model",
+                    "code": "model_not_found"}}, 404)
+            wire["model"] = name
         mnt = request.get("max_tokens",
                           request.get("max_completion_tokens"))
         if mnt is not None:
@@ -457,27 +495,30 @@ class ModelWorker:
         t0 = time.time()
         try:
             record = self._record(request)
+            eng, is_adapter = self._engine_for(request)
             chunk = int(request.get("stream_chunk", 16))
             mnt = request.get("max_new_tokens")
             mnt = None if mnt is None else min(
-                int(mnt), self.engine.ecfg.max_new_tokens)
+                int(mnt), eng.ecfg.max_new_tokens)
             sampling, differs = self._sampling(request)
             stop = request.get("stop")
             handle = None
             bypass = False
-            if self.batcher is not None and not differs:
+            if self.batcher is not None and not differs and not is_adapter:
                 handle = self.batcher.submit(
                     record, **({} if mnt is None
                                else {"max_new_tokens": mnt}))
                 stream = handle.text_stream(self.engine._decode_text)
             else:
-                # sampling overrides bypass the batcher; serialize them
-                # (see _bypass_sem) so they can't multiply prefill/decode
-                # caches on the chip unboundedly
+                # sampling overrides and adapter requests bypass the
+                # batcher (its slot loop decodes the BASE params with one
+                # sampling config); serialize them (see _bypass_sem) so
+                # they can't multiply prefill/decode caches on the chip
+                # unboundedly
                 bypass = self.batcher is not None
                 if bypass:
                     self._bypass_sem.acquire()
-                stream = self.engine.generate_answer_stream(
+                stream = eng.generate_answer_stream(
                     record, chunk=chunk, max_new_tokens=mnt, **sampling)
             try:
                 for text in stream:
@@ -541,6 +582,15 @@ class _WorkerHandler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/v1/models":
+            # OpenAI model discovery: the base model + every served
+            # LoRA adapter (vLLM --lora-modules listing behavior)
+            created = int(time.time())
+            self._reply({"object": "list", "data": [
+                {"id": name, "object": "model", "created": created,
+                 "owned_by": "video3d_tpu"}
+                for name in (self.worker.model_name,
+                             *sorted(self.worker.adapters))]})
         else:
             self._reply({"error": f"unknown path {self.path}"}, 404)
 
@@ -615,7 +665,7 @@ def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
                  background: bool = False, heartbeat: bool = True,
                  num_slots: int = 0, paged: bool = False,
                  page_size: int = 128, total_pages: Optional[int] = None,
-                 chunked_prefill: int = 0):
+                 chunked_prefill: int = 0, adapters: Optional[dict] = None):
     """``num_slots > 0`` enables continuous batching: concurrent requests
     share one S-slot decode loop (serve/batcher.py) instead of serializing
     through the engine. ``paged`` switches the shared cache to the page
@@ -633,7 +683,8 @@ def serve_worker(engine, model_name: str, host: str = "127.0.0.1",
                                     chunked_prefill=chunked_prefill)
     worker_addr = f"http://{host}:{port}"
     worker = ModelWorker(engine, model_name, controller_addr, worker_addr,
-                         heartbeat=heartbeat, batcher=batcher)
+                         heartbeat=heartbeat, batcher=batcher,
+                         adapters=adapters)
     handler = type("Handler", (_WorkerHandler,), {"worker": worker})
     server = ThreadingHTTPServer((host, port), handler)
     if background:
@@ -678,6 +729,16 @@ if __name__ == "__main__":
                              "from config.json alone (vLLM load_format="
                              "dummy): serving-stack rehearsal without "
                              "shipping weights")
+    parser.add_argument("--lora-modules", nargs="+", default=None,
+                        metavar="NAME=RUN_DIR/model",
+                        help="serve LoRA/QLoRA adapters alongside the base "
+                             "(vLLM --lora-modules): each NAME=PATH points "
+                             "at a Trainer export (the <run>/model orbax "
+                             "dir; <run>/lora.json must exist). Requests "
+                             "pick an adapter via the 'model' field; "
+                             "QLoRA adapters require the matching "
+                             "--load-in-8bit/4bit so all adapters share "
+                             "ONE quantized base in HBM")
     parser.add_argument("--spec-draft-layers", type=int, default=0)
     parser.add_argument("--scene-cache", type=int, default=8,
                         help="scene-level vision-feature LRU (0 disables)")
@@ -732,25 +793,53 @@ if __name__ == "__main__":
         from video3d_tpu.parallel.mesh import create_mesh
         mesh = create_mesh(dp=args.dp, fsdp=1, tp=args.tp,
                            devices=jax.devices()[: args.dp * args.tp])
-    engine = InferenceEngine(
-        params, cfg, tokenizer,
-        VideoProcessor(DataConfig(video_folder=args.video_folder,
-                                  annotation_dir=args.embodiedscan_folder,
-                                  metadata_dir=args.metadata_folder,
-                                  frames_upbound=args.max_frame_num)),
-        engine_cfg=EngineConfig(
-            max_new_tokens=args.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            max_frames=args.max_frame_num,
-            kv_cache_dtype=args.kv_cache_dtype,
-            speculative_draft_layers=args.spec_draft_layers,
-            scene_cache_scenes=args.scene_cache,
-            prefix_cache_scenes=args.prefix_cache),
-        mesh=mesh)
+    vp = VideoProcessor(DataConfig(video_folder=args.video_folder,
+                                   annotation_dir=args.embodiedscan_folder,
+                                   metadata_dir=args.metadata_folder,
+                                   frames_upbound=args.max_frame_num))
+    ecfg = EngineConfig(
+        max_new_tokens=args.max_new_tokens,
+        eos_token_id=tokenizer.eos_token_id,
+        max_frames=args.max_frame_num,
+        kv_cache_dtype=args.kv_cache_dtype,
+        speculative_draft_layers=args.spec_draft_layers,
+        scene_cache_scenes=args.scene_cache,
+        prefix_cache_scenes=args.prefix_cache)
+    engine = InferenceEngine(params, cfg, tokenizer, vp,
+                             engine_cfg=ecfg, mesh=mesh)
+    adapters = {}
+    for spec in args.lora_modules or ():
+        # NAME=<run>/model: adapters stay LAZY over the shared quantized
+        # base (LoraAdapted — apply_lora), so N adapters cost base +
+        # N x (A,B) in HBM; a bf16 base would materialize per-adapter
+        # copies of every adapted weight, hence the bits check.
+        aname, _, apath = spec.partition("=")
+        if not (aname and apath):
+            parser.error(f"--lora-modules entry {spec!r}: expected "
+                         "NAME=PATH")
+        from video3d_tpu.train.lora import apply_lora, load_lora_export
+
+        lora, lcfg, lbits = load_lora_export(apath, params)
+        if lbits != bits:
+            parser.error(
+                f"adapter {aname!r} was trained against a {lbits}-bit "
+                f"base (lora.json) but the worker loads {bits}-bit "
+                "weights; pass the matching --load-in-8bit/4bit")
+        if bits == 16:
+            from video3d_tpu.train.lora import merge_lora_into_params
+
+            print(f"[worker] WARNING: adapter {aname!r} over a bf16 base "
+                  "materializes a full copy of every adapted weight; "
+                  "quantize the base (--load-in-8bit) to share it")
+            aparams = merge_lora_into_params(params, lora, lcfg)
+        else:
+            aparams = apply_lora(params, lora, lcfg)
+        adapters[aname] = InferenceEngine(aparams, cfg, tokenizer, vp,
+                                          engine_cfg=ecfg, mesh=mesh)
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
     serve_worker(engine, name, host=args.host, port=args.port,
                  controller_addr=args.controller_address,
                  num_slots=args.num_slots, paged=args.paged_kv,
                  page_size=args.page_size,
                  total_pages=args.total_pages or None,
-                 chunked_prefill=args.chunked_prefill)
+                 chunked_prefill=args.chunked_prefill, adapters=adapters)

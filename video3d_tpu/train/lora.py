@@ -199,3 +199,38 @@ def merge_lora_into_params(params: Any, lora: Any, cfg: LoraConfig) -> Any:
 def lora_size(lora: Any) -> int:
     leaves = [x for x in jax.tree_util.tree_leaves(lora) if hasattr(x, "size")]
     return sum(int(x.size) for x in leaves)
+
+
+def load_lora_export(model_dir: str, base_params: Any
+                     ) -> Tuple[Any, LoraConfig, int]:
+    """Restore a Trainer LoRA/QLoRA export against ``base_params``.
+
+    ``model_dir`` is the ``<run>/model`` orbax tree the Trainer writes
+    (adapters + non-LoRA trainables); ``<run>/lora.json`` alongside it
+    carries r/alpha/bits (the merge scale is not recoverable from the
+    adapter shapes alone). Returns ``(trainable_tree, LoraConfig, bits)``
+    — bits 8/4 means the adapters were trained compensating a base
+    QUANTIZED to those bits, so the caller must quantize ``base_params``
+    to the same bits BEFORE calling (the restore target's adapter shapes
+    come from the base tree) and keep the adapters lazy via
+    :func:`apply_lora`. Counterpart of the reference's LoRA load branch
+    (model/builder.py:54-117: non_lora_trainables.bin + peft merge)."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    run_dir = os.path.dirname(os.path.abspath(model_dir))
+    with open(os.path.join(run_dir, "lora.json")) as f:
+        meta = json.load(f)
+    cfg = LoraConfig(r=meta["r"], alpha=meta["alpha"])
+    bits = int(meta.get("bits", 16))
+    # restore against a structure target built from the base params, so
+    # the adapter tree's None positions survive the round trip
+    target = init_lora_trainable(jax.random.PRNGKey(0), base_params, cfg)
+    target = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, target)
+    lora = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(model_dir), item=jax.device_get(target))
+    return lora, cfg, bits

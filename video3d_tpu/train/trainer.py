@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, Iterator, Optional
 
@@ -357,9 +358,11 @@ class Trainer:
         consumed = 0        # batches drawn from the data order since epoch 0
         # metrics jsonl from process 0 only (every process computes the same
         # replicated metrics; N writers would duplicate every line)
-        metrics_f = (open(self.tcfg.metrics_file, "a")
-                     if self.tcfg.metrics_file and jax.process_index() == 0
-                     else None)
+        metrics_f = None
+        if self.tcfg.metrics_file and jax.process_index() == 0:
+            parent = os.path.dirname(os.path.abspath(self.tcfg.metrics_file))
+            os.makedirs(parent, exist_ok=True)   # commonly the output_dir,
+            metrics_f = open(self.tcfg.metrics_file, "a")  # not yet created
         from video3d_tpu.train.prefetch import BatchPrefetcher
 
         # Preemption safety (beyond reference — the reference relies on a
