@@ -1085,6 +1085,51 @@ class InferenceEngine:
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         return self._decode_text(toks)
 
+    def generate_answer_images(self, prompt: str, images) -> str:
+        """Multi-image 2D chat: N images, each spliced at its own
+        ``<image>`` sentinel (reference gradio_multi_image.py:1-448 wire
+        contract + llava_arch.py's image-list branch with
+        image_aspect_ratio='pad' semantics — every image encoded
+        independently by the tower, its pooled grid features inserted at
+        the matching sentinel, no 3D world PE).
+
+        Missing sentinels are prepended as ``'<image>\\n' * k`` exactly as
+        the reference's multi-image gradio server injects them.
+
+        Args:
+          prompt: user text with up to N '<image>' placeholders.
+          images: sequence of PIL images (or arrays PIL accepts).
+        """
+        from dataclasses import replace as dc_replace
+
+        from video3d_tpu.config import PosEmbedType
+
+        N = len(images)
+        assert N >= 1, "generate_answer_images needs at least one image"
+        have = prompt.count(DEFAULT_IMAGE_TOKEN)
+        assert have <= N, (f"{have} <image> placeholders but only "
+                           f"{N} images")
+        if have < N:
+            prompt = (DEFAULT_IMAGE_TOKEN + "\n") * (N - have) + prompt
+        ids = preprocess_qwen_eval(
+            [{"from": "human", "value": prompt},
+             {"from": "gpt", "value": None}], self.tokenizer)
+
+        mc = self.cfg
+        S = mc.vision.image_size
+        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
+        frames = [np.asarray(im) for im in images]
+        arr = np.zeros((1, N, 3, S, S), np.float32)
+        arr[0] = self.ip.preprocess(frames)
+        patch = np.zeros((1, N, g, g, 3), np.float32)
+        plain_cfg = dc_replace(
+            mc, world_3d=dc_replace(mc.world_3d,
+                                    pos_embed=PosEmbedType.NONE))
+        batch, _ = self._build_batch(ids, None, N, arr, patch)
+        res = self._generate(batch, cfg=plain_cfg)
+        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+        return self._decode_text(toks)
+
     def generate_answers_batch(self, records: Sequence[dict],
                                box_inputs: Optional[Sequence] = None,
                                coord_token_id=None) -> List[str]:

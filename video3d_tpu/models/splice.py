@@ -68,7 +68,9 @@ def build_splice_plan(
 
     Args:
       input_ids_list: per-sample token ids containing IMAGE_TOKEN_INDEX
-        sentinels (at most one per sample for the video path).
+        sentinels — one per sample for the video path (V frames in one
+        block), or exactly V sentinels for the multi-image chat path
+        (each consumes one image's tokens_per_frame features).
       labels_list: per-sample labels aligned with input_ids (IGNORE_INDEX
         masked), or None for inference.
       num_frames: per-sample number of real frames V_b.
@@ -100,7 +102,17 @@ def build_splice_plan(
         n_vis = V * tokens_per_frame
 
         img_positions = [i for i, t in enumerate(ids) if t == IMAGE_TOKEN_INDEX]
-        assert len(img_positions) <= 1, "video path expects at most one <image> sentinel"
+        # One sentinel = the video path (V frames in one block). N>1
+        # sentinels = the multi-image chat contract (reference
+        # gradio_multi_image / llava_arch.py image-list branch): each
+        # sentinel consumes ONE image's tokens_per_frame features, in
+        # order, from the same flat frame-major feature buffer.
+        if len(img_positions) > 1:
+            assert len(img_positions) == V, (
+                f"multi-image splice: {len(img_positions)} <image> "
+                f"sentinels but num_frames={V} images")
+            assert mrope_coords is None, (
+                "multi-image splice carries no 3D voxel coords")
 
         out_ids: List[int] = []
         out_kind: List[int] = []
@@ -118,12 +130,12 @@ def build_splice_plan(
             out_mrope.append((pos_counter, pos_counter, pos_counter))
             pos_counter += 1
 
-        def push_vision():
+        def push_vision(start: int, count: int):
             nonlocal pos_counter
             # frame-major, row-major: grid_side patches then one newline/row
             if mrope_coords is not None:
                 coords = np.asarray(mrope_coords[b]).astype(np.int64)
-            for t in range(n_vis):
+            for t in range(start, start + count):
                 out_ids.append(0)
                 out_kind.append(KIND_VISION)
                 out_vidx.append(t)
@@ -137,15 +149,24 @@ def build_splice_plan(
                     else:  # newline token -> (0,0,0), llava_arch.py:725-727
                         out_mrope.append((0, 0, 0))
                 else:
-                    out_mrope.append((pos_counter + t, pos_counter + t, pos_counter + t))
-            pos_counter += n_vis
+                    out_mrope.append((pos_counter + t - start,) * 3)
+            pos_counter += count
 
-        if img_positions:
+        if len(img_positions) == 1:
             split = img_positions[0]
             for i in range(split):
                 push_text(ids[i], labs[i])
-            push_vision()
+            push_vision(0, n_vis)
             for i in range(split + 1, len(ids)):
+                push_text(ids[i], labs[i])
+        elif img_positions:
+            prev = 0
+            for j, split in enumerate(img_positions):
+                for i in range(prev, split):
+                    push_text(ids[i], labs[i])
+                push_vision(j * tokens_per_frame, tokens_per_frame)
+                prev = split + 1
+            for i in range(prev, len(ids)):
                 push_text(ids[i], labs[i])
         else:
             for i, t in enumerate(ids):

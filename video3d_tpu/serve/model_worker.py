@@ -10,6 +10,10 @@ pipeline.
 Request schema (POST /worker_generate):
   {"video": "scannet/scene0000_00", "prompt": "<image>\\nwhere is ...",
    "max_new_tokens": 512}
+or, for plain 2D multi-image chat (the reference gradio_multi_image /
+worker ``params["images"]`` contract — base64-encoded images, one per
+'<image>' placeholder, missing placeholders prepended):
+  {"prompt": "<image>\\n<image>\\nwhat changed?", "images": [b64png, ...]}
 Response: {"text": ..., "inference_time": seconds}
 """
 
@@ -235,7 +239,26 @@ class ModelWorker:
             stop = request.get("stop")
             t0 = time.time()
             kw = {} if mnt is None else {"max_new_tokens": mnt}
-            if self.batcher is not None and not differs and not is_adapter:
+            if request.get("images"):
+                # plain 2D multi-image chat (no scene id): decode base64
+                # payloads and splice each at its own <image> sentinel.
+                # Bypasses the batcher (its slots decode the 3D video
+                # graph); serialized like the other bypass paths.
+                import base64
+                import contextlib
+                import io
+
+                from PIL import Image as PILImage
+
+                pil = [PILImage.open(io.BytesIO(base64.b64decode(s)))
+                       .convert("RGB") for s in request["images"]]
+                prompt = request.get("prompt") or \
+                    record["conversations"][-2]["value"]
+                ctx = (self._bypass_sem if self.batcher is not None
+                       else contextlib.nullcontext())
+                with ctx:
+                    text = eng.generate_answer_images(prompt, pil)
+            elif self.batcher is not None and not differs and not is_adapter:
                 if stop:
                     # early-stop through the stream instead of decoding
                     # the whole budget past the stop sequence; cancel
@@ -338,8 +361,12 @@ class ModelWorker:
         list with arbitrary non-dict junk — parse liberally. A
         ``{"type": "video_id"}`` part (or top-level ``"video"``) selects
         the scene; the <image> splice token is injected in turn 0 when no
-        turn carries one."""
+        turn carries one. Standard ``{"type": "image_url"}`` parts with
+        ``data:`` base64 URLs route to the 2D multi-image path instead
+        (wire ``images``; the engine splices each at its own sentinel —
+        the last user turn is the prompt)."""
         video = request.get("video", "")
+        images = []
         convs = []
         for msg in request.get("messages", []):
             if not isinstance(msg, dict):
@@ -357,6 +384,13 @@ class ModelWorker:
                         texts.append(str(part.get("text", "")))
                     elif part.get("type") == "video_id":
                         video = part.get("video_id", video)
+                    elif part.get("type") == "image_url":
+                        url = part.get("image_url")
+                        if isinstance(url, dict):
+                            url = url.get("url", "")
+                        url = url or ""
+                        if url.startswith("data:") and "," in url:
+                            images.append(url.split(",", 1)[1])
                 content = "\n".join(texts)
             if role == "assistant" and not content:
                 continue        # tool-call / empty turns carry no text
@@ -372,6 +406,20 @@ class ModelWorker:
         if video and all("<image>" not in c["value"] for c in convs):
             convs[0]["value"] = f"<image>\n{convs[0]['value']}"
         wire = {"video": video, "conversations": convs}
+        if images:
+            if video:
+                return None, ({"error": {
+                    "message": "a request carries either a 3D scene "
+                               "(video_id) or 2D images, not both",
+                    "type": "invalid_request_error", "param": "messages",
+                    "code": None}}, 400)
+            if request.get("stream"):
+                return None, ({"error": {
+                    "message": "streaming is not supported for 2D "
+                               "multi-image requests",
+                    "type": "invalid_request_error", "param": "stream",
+                    "code": None}}, 400)
+            wire["images"] = images
         name = request.get("model")
         if name is not None:
             if name != self.model_name and name not in self.adapters:
