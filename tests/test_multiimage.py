@@ -139,6 +139,46 @@ class TestWorkerImages:
         finally:
             server.shutdown()
 
+    def test_cli_one_shot_with_images(self, engine, tmp_path, capsys):
+        from video3d_tpu.serve import cli
+        from video3d_tpu.serve.controller import serve_controller
+
+        paths = []
+        for i in range(2):
+            p = tmp_path / f"im{i}.png"
+            _pil(i).save(p)
+            paths.append(str(p))
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        cport = s.getsockname()[1]
+        s.close()
+        _, cserver = serve_controller(port=cport, background=True)
+        caddr = f"http://127.0.0.1:{cport}"
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        wport = s.getsockname()[1]
+        s.close()
+        _, wserver = serve_worker(engine, "video3d-tiny", port=wport,
+                                  controller_addr=caddr, background=True,
+                                  heartbeat=False)
+        try:
+            rc = cli.main(["--controller", caddr, "--model", "video3d-tiny",
+                           "--image", paths[0], "--image", paths[1],
+                           "--message", "what changed?",
+                           "--max-new-tokens", "3"])
+            assert rc == 0
+            assert "worker_addr" in capsys.readouterr().out
+        finally:
+            cserver.shutdown()
+            wserver.shutdown()
+
+    def test_cli_requires_exactly_one_modality(self):
+        from video3d_tpu.serve import cli
+        with pytest.raises(SystemExit):
+            cli.main(["--message", "hi"])          # neither
+        with pytest.raises(SystemExit):
+            cli.main(["--video", "v", "--image", "x", "--message", "hi"])
+
     def test_openai_image_url_parts(self, engine):
         from video3d_tpu.serve.model_worker import ModelWorker
         w = ModelWorker(engine, "video3d-tiny", heartbeat=False)

@@ -17,12 +17,27 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--controller", default="http://127.0.0.1:21001")
     parser.add_argument("--model", default="video3d-qwen2-7b")
-    parser.add_argument("--video", required=True, help="e.g. scannet/scene0000_00")
+    parser.add_argument("--video", default=None, help="e.g. scannet/scene0000_00")
+    parser.add_argument("--image", action="append", default=[],
+                        help="2D multi-image chat instead of a 3D scene: "
+                             "a local image file, repeatable — each is "
+                             "base64-encoded into the worker's 'images' "
+                             "wire field (one '<image>' sentinel per "
+                             "file; mutually exclusive with --video)")
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--message", default=None,
                         help="one-shot: send this message, print the reply, "
                              "exit (test_message.py equivalent)")
     args = parser.parse_args(argv)
+    if bool(args.video) == bool(args.image):
+        parser.error("exactly one of --video (3D scene) or --image "
+                     "(2D chat) is required")
+    images = None
+    if args.image:
+        import base64
+
+        images = [base64.b64encode(open(p, "rb").read()).decode()
+                  for p in args.image]
 
     print(f"models: {_post_json(args.controller + '/list_models', {})['models']}")
     if args.message is not None:
@@ -34,14 +49,22 @@ def main(argv=None):
         # queue_length until the next heartbeat.
         addr = _post_json(args.controller + "/get_worker_address",
                           {"model": args.model,
-                           "video": args.video})["address"]
+                           "video": args.video or ""})["address"]
         print(f"worker_addr: {addr}")
-        out = _post_json(addr + "/worker_generate", {
-            "model": args.model, "video": args.video,
-            "conversations": [
-                {"from": "human", "value": f"<image>\n{args.message}"},
-                {"from": "gpt", "value": None}],
-            "max_new_tokens": args.max_new_tokens}, timeout=600)
+        # 2D mode sends the bare message: the engine prepends one
+        # '<image>' sentinel per attached image itself
+        value = (args.message if images
+                 else f"<image>\n{args.message}")
+        wire = {"model": args.model,
+                "conversations": [
+                    {"from": "human", "value": value},
+                    {"from": "gpt", "value": None}],
+                "max_new_tokens": args.max_new_tokens}
+        if images:
+            wire["images"] = images
+        else:
+            wire["video"] = args.video
+        out = _post_json(addr + "/worker_generate", wire, timeout=600)
         print(out.get("text", out))
         return 0 if out.get("error_code", 0) == 0 else 1
     # multi-turn: accumulate the conversation client-side and re-prompt
@@ -59,15 +82,20 @@ def main(argv=None):
             history = []
             print("(history cleared)")
             continue
-        turn = prompt if history else f"<image>\n{prompt}"
+        turn = prompt if (history or images) else f"<image>\n{prompt}"
         history.append({"from": "human", "value": turn})
-        try:
-            out = _post_json(args.controller + "/worker_generate", {
-                "model": args.model,
-                "video": args.video,
+        wire = {"model": args.model,
                 "conversations": history + [{"from": "gpt", "value": None}],
-                "max_new_tokens": args.max_new_tokens,
-            }, timeout=600)
+                "max_new_tokens": args.max_new_tokens}
+        if images:
+            # the worker's 2D path prompts with the LAST human turn only
+            # (the engine has no multi-turn 2D template)
+            wire["images"] = images
+        else:
+            wire["video"] = args.video
+        try:
+            out = _post_json(args.controller + "/worker_generate", wire,
+                             timeout=600)
         except Exception as e:  # noqa: BLE001 — worker/controller down
             out = {"text": "", "error": str(e), "error_code": 1}
         text = out.get("text", "")
