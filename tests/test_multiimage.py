@@ -208,3 +208,122 @@ class TestWorkerImages:
         _, err = w._openai_record({"messages": msg,
                                    "video": "scannet/scene0000_00"})
         assert err is not None and err[1] == 400
+
+
+class TestRound4Semantics:
+    """Round-4 sharpening: pad preprocessing, unpooled features,
+    multi-turn conversations, and per-request overrides on the images
+    path (ADVICE r3 findings 1-5)."""
+
+    def test_pad_preprocessing_squares_via_expand2square(self, engine,
+                                                         monkeypatch):
+        """The engine must expand2square(non-square image, mean bg) BEFORE
+        ip.preprocess (mm_utils.py:329-333), not plain-resize."""
+        seen = []
+        orig = engine.ip.preprocess
+
+        def spy(images):
+            seen.extend(images if isinstance(images, (list, tuple))
+                        else [images])
+            return orig(images)
+
+        monkeypatch.setattr(engine.ip, "preprocess", spy)
+        engine.generate_answer_images("<image>\nq", [_pil(0)])
+        assert len(seen) == 1
+        im = seen[0]
+        assert isinstance(im, Image.Image)
+        assert im.size[0] == im.size[1]          # squared by expand2square
+        # _pil is 56x40: the pad rows carry the mean background color
+        bg = tuple(int(x * 255) for x in engine.ip.image_mean)
+        assert im.getpixel((0, 0)) == bg
+
+    def test_unpooled_token_count(self, engine, monkeypatch):
+        """Each image contributes side*side UNPOOLED tokens
+        (llava_arch.py:466-470: only video goes through get_2dPool)."""
+        captured = {}
+        orig = engine._generate
+
+        def spy(batch, vision_features=None, cfg=None):
+            captured["vf"] = vision_features
+            return orig(batch, vision_features=vision_features, cfg=cfg)
+
+        monkeypatch.setattr(engine, "_generate", spy)
+        engine.generate_answer_images("<image>\n<image>\nq",
+                                      [_pil(0), _pil(1)])
+        side = CFG.vision.num_patches_per_side
+        assert captured["vf"].shape[1] == 2 * side * side
+
+    def test_conversations_multi_turn(self, engine):
+        convs = [
+            {"from": "human", "value": "<image>\nwhat is this?"},
+            {"from": "gpt", "value": "a test pattern"},
+            {"from": "human", "value": "and compared to <image>?"},
+        ]
+        out = engine.generate_answer_images(None, [_pil(0), _pil(1)],
+                                            conversations=convs)
+        assert isinstance(out, str)
+
+    def test_max_new_tokens_cap_is_greedy_prefix(self, engine):
+        """The override path (host-chunked decode) must emit a prefix of
+        the static greedy path's tokens."""
+        full = engine.generate_answer_images("<image>\nq", [_pil(4)])
+        capped = engine.generate_answer_images("<image>\nq", [_pil(4)],
+                                               max_new_tokens=1)
+        assert full.startswith(capped)
+
+    def test_worker_threads_overrides(self, engine, monkeypatch):
+        from video3d_tpu.serve.model_worker import ModelWorker
+        w = ModelWorker(engine, "video3d-tiny", heartbeat=False)
+        got = {}
+
+        def spy(prompt, pil, conversations=None, max_new_tokens=None,
+                **sampling):
+            got.update(prompt=prompt, conversations=conversations,
+                       max_new_tokens=max_new_tokens, sampling=sampling)
+            return "ok"
+
+        monkeypatch.setattr(engine, "generate_answer_images", spy)
+        out = w.generate({
+            "conversations": [
+                {"from": "human", "value": "<image>\nfirst"},
+                {"from": "gpt", "value": "answer"},
+                {"from": "human", "value": "second?"},
+            ],
+            "images": [_b64(_pil(0))],
+            "max_new_tokens": 2, "temperature": 0.7})
+        assert out["error_code"] == 0, out
+        assert got["max_new_tokens"] == 2
+        assert got["sampling"].get("temperature") == 0.7
+        # no explicit prompt -> the FULL conversation goes to the engine
+        # (the worker record appends the generation-header gpt turn)
+        assert got["prompt"] is None
+        assert [c["value"] for c in got["conversations"][:3]] == [
+            "<image>\nfirst", "answer", "second?"]
+
+    def test_openai_rejects_http_image_url(self, engine):
+        from video3d_tpu.serve.model_worker import ModelWorker
+        w = ModelWorker(engine, "video3d-tiny", heartbeat=False)
+        msg = [{"role": "user", "content": [
+            {"type": "text", "text": "q"},
+            {"type": "image_url",
+             "image_url": {"url": "https://example.com/cat.png"}}]}]
+        _, err = w._openai_record({"messages": msg})
+        assert err is not None and err[1] == 400
+        assert "data:" in err[0]["error"]["message"]
+
+    def test_openai_ignores_assistant_turn_images(self, engine):
+        from video3d_tpu.serve.model_worker import ModelWorker
+        w = ModelWorker(engine, "video3d-tiny", heartbeat=False)
+        data_url = "data:image/png;base64," + _b64(_pil(0))
+        msg = [
+            {"role": "user", "content": [
+                {"type": "text", "text": "q"},
+                {"type": "image_url", "image_url": {"url": data_url}}]},
+            {"role": "assistant", "content": [
+                {"type": "text", "text": "a"},
+                {"type": "image_url", "image_url": {"url": data_url}}]},
+            {"role": "user", "content": [{"type": "text", "text": "q2"}]},
+        ]
+        record, err = w._openai_record({"messages": msg})
+        assert err is None
+        assert len(record["images"]) == 1       # assistant image dropped

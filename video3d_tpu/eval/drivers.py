@@ -1056,16 +1056,31 @@ class InferenceEngine:
             [{"from": "human", "value": prompt},
              {"from": "gpt", "value": None}], self.tokenizer)
 
-        if aspect == "highres":
-            tiles = process_highres_image(image, self.ip, pin)
-        elif aspect == "crop_split":
-            tiles = process_highres_image_crop_split(
-                image, self.ip, crop_resolution, split_resolution)
+        if aspect == "pad":
+            # pad = ONE expand2square tile, full unpooled feature grid
+            # (mm_utils.py:329-333 + llava_arch.py image branch, no tiling)
+            from video3d_tpu.data.anyres import expand2square
+            from video3d_tpu.models import siglip
+            from video3d_tpu.models.llava_video3d import project_features
+
+            bg = tuple(int(x * 255) for x in self.ip.image_mean)
+            px = self.ip.preprocess([expand2square(image.convert("RGB"),
+                                                   bg)])
+            f = siglip.vision_tower_forward(
+                self.params["vision"], jnp.asarray(px), self.cfg.vision,
+                pad_seq_to=self.cfg.vision.tower_pad_seq)
+            feat = project_features(self.params["projector"], f)[0]  # (P, D)
         else:
-            tiles = process_anyres_image(image, self.ip, pin)
-        feat = encode_image_2d(self.params, self.cfg, jnp.asarray(tiles),
-                               image.size, pin, image_aspect_ratio=aspect,
-                               patch_merge_type=merge)      # (T, D)
+            if aspect == "highres":
+                tiles = process_highres_image(image, self.ip, pin)
+            elif aspect == "crop_split":
+                tiles = process_highres_image_crop_split(
+                    image, self.ip, crop_resolution, split_resolution)
+            else:
+                tiles = process_anyres_image(image, self.ip, pin)
+            feat = encode_image_2d(self.params, self.cfg, jnp.asarray(tiles),
+                                   image.size, pin, image_aspect_ratio=aspect,
+                                   patch_merge_type=merge)      # (T, D)
         T = int(feat.shape[0])
         L = pick_bucket(len(ids) + T + self.ecfg.max_new_tokens,
                         self.ecfg.buckets)
@@ -1085,50 +1100,135 @@ class InferenceEngine:
         toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
         return self._decode_text(toks)
 
-    def generate_answer_images(self, prompt: str, images) -> str:
+    def generate_answer_images(self, prompt: Optional[str], images,
+                               conversations: Optional[Sequence[dict]] = None,
+                               max_new_tokens: Optional[int] = None,
+                               temperature: Optional[float] = None,
+                               top_p: Optional[float] = None,
+                               top_k: Optional[int] = None) -> str:
         """Multi-image 2D chat: N images, each spliced at its own
         ``<image>`` sentinel (reference gradio_multi_image.py:1-448 wire
-        contract + llava_arch.py's image-list branch with
-        image_aspect_ratio='pad' semantics — every image encoded
-        independently by the tower, its pooled grid features inserted at
-        the matching sentinel, no 3D world PE).
+        contract + llava_arch.py:441-470's image-list branch: every image
+        is encoded independently by the tower and keeps its FULL unpooled
+        feature grid — only video modalities go through get_2dPool — with
+        image_aspect_ratio='pad' preprocessing (expand2square onto the
+        mean color, mm_utils.py:329-333) and no 3D world PE).
 
         Missing sentinels are prepended as ``'<image>\\n' * k`` exactly as
-        the reference's multi-image gradio server injects them.
+        the reference's multi-image gradio server injects them (anchored in
+        turn 0 when ``conversations`` is given).
 
         Args:
-          prompt: user text with up to N '<image>' placeholders.
+          prompt: single-turn user text with up to N '<image>' placeholders
+            (ignored when ``conversations`` is given).
           images: sequence of PIL images (or arrays PIL accepts).
+          conversations: optional full multi-turn history as
+            [{'from': 'human'|'gpt', 'value': str}, ...]; the model sees
+            every turn, matching the reference gradio server's re-templated
+            conversation each round.
+          max_new_tokens: optional per-call cap (<= the engine budget),
+            honored with no recompile via the host-chunked decode loop.
+          temperature/top_p/top_k: per-call sampling overrides (each novel
+            combination compiles the decode chunk once, then cached).
         """
-        from dataclasses import replace as dc_replace
-
-        from video3d_tpu.config import PosEmbedType
+        from video3d_tpu.data.anyres import expand2square
+        from video3d_tpu.models import siglip
+        from video3d_tpu.models.llava_video3d import project_features
 
         N = len(images)
         assert N >= 1, "generate_answer_images needs at least one image"
-        have = prompt.count(DEFAULT_IMAGE_TOKEN)
-        assert have <= N, (f"{have} <image> placeholders but only "
-                           f"{N} images")
-        if have < N:
-            prompt = (DEFAULT_IMAGE_TOKEN + "\n") * (N - have) + prompt
-        ids = preprocess_qwen_eval(
-            [{"from": "human", "value": prompt},
-             {"from": "gpt", "value": None}], self.tokenizer)
+        if conversations is not None:
+            convs = [dict(c) for c in conversations]
+            have = sum((c.get("value") or "").count(DEFAULT_IMAGE_TOKEN)
+                       for c in convs)
+            assert have <= N, (f"{have} <image> placeholders but only "
+                               f"{N} images")
+            if have < N:
+                convs[0]["value"] = ((DEFAULT_IMAGE_TOKEN + "\n")
+                                     * (N - have)) + (convs[0].get("value")
+                                                      or "")
+            if convs[-1].get("value"):       # append the generation header
+                convs.append({"from": "gpt", "value": None})
+            ids = preprocess_qwen_eval(convs, self.tokenizer)
+        else:
+            have = prompt.count(DEFAULT_IMAGE_TOKEN)
+            assert have <= N, (f"{have} <image> placeholders but only "
+                               f"{N} images")
+            if have < N:
+                prompt = (DEFAULT_IMAGE_TOKEN + "\n") * (N - have) + prompt
+            ids = preprocess_qwen_eval(
+                [{"from": "human", "value": prompt},
+                 {"from": "gpt", "value": None}], self.tokenizer)
 
         mc = self.cfg
-        S = mc.vision.image_size
-        g = -(-mc.vision.num_patches_per_side // mc.spatial_pool_stride)
-        frames = [np.asarray(im) for im in images]
-        arr = np.zeros((1, N, 3, S, S), np.float32)
-        arr[0] = self.ip.preprocess(frames)
-        patch = np.zeros((1, N, g, g, 3), np.float32)
-        plain_cfg = dc_replace(
-            mc, world_3d=dc_replace(mc.world_3d,
-                                    pos_embed=PosEmbedType.NONE))
-        batch, _ = self._build_batch(ids, None, N, arr, patch)
-        res = self._generate(batch, cfg=plain_cfg)
-        toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
-        return self._decode_text(toks)
+        side = mc.vision.num_patches_per_side
+        bg = tuple(int(x * 255) for x in self.ip.image_mean)
+        pil = [im if isinstance(im, Image.Image)
+               else Image.fromarray(np.asarray(im).astype(np.uint8))
+               for im in images]
+        px = self.ip.preprocess(
+            [expand2square(im.convert("RGB"), bg) for im in pil])
+        feats = siglip.vision_tower_forward(
+            self.params["vision"], jnp.asarray(px), mc.vision,
+            pad_seq_to=mc.vision.tower_pad_seq)          # (N, P, Dv)
+        feats = project_features(self.params["projector"], feats)
+        T = side * side
+        feat = feats.reshape(N * T, -1)                  # frame-major flat
+
+        L = pick_bucket(len(ids) + N * T + self.ecfg.max_new_tokens,
+                        self.ecfg.buckets)
+        plan = build_splice_plan([ids], None, [N], tokens_per_frame=T,
+                                 max_len=L, grid_side=1,
+                                 truncate_to=mc.tokenizer_model_max_length)
+        batch = lv3d.Batch(
+            images=None, patch_coords=None,
+            text_ids=jnp.asarray(plan.text_ids), kind=jnp.asarray(plan.kind),
+            vision_index=jnp.asarray(plan.vision_index),
+            labels=jnp.asarray(plan.labels),
+            position_ids=jnp.asarray(plan.position_ids),
+            mrope_position_ids=jnp.asarray(plan.mrope_position_ids),
+            seq_len=jnp.asarray(plan.seq_len),
+            coord_mask=jnp.asarray(plan.coord_mask))
+
+        if (max_new_tokens is None and temperature is None
+                and top_p is None and top_k is None):
+            res = self._generate(batch, vision_features=feat[None])
+            toks = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+            return self._decode_text(toks)
+
+        # per-call cap / sampling without recompiling the static greedy
+        # while_loop: host-chunked decode (same contract as
+        # generate_answer_stream)
+        from video3d_tpu.models.generate import decode_chunk, start_decode
+
+        temp = (self.ecfg.temperature if temperature is None
+                else float(temperature))
+        tp = self.ecfg.top_p if top_p is None else float(top_p)
+        tk = self.ecfg.top_k if top_k is None else int(top_k)
+        batch, vf = self._shard_inputs(batch, feat[None])
+        with self._mesh_ctx():
+            state = start_decode(
+                self.params, self.cfg, batch,
+                max_cache_len=L + self.ecfg.max_new_tokens,
+                cache_dtype=self._cache_dtype(), vision_features=vf)
+            emitted: list = []
+            remaining = self.ecfg.max_new_tokens
+            if max_new_tokens is not None:
+                remaining = max(0, min(remaining, int(max_new_tokens)))
+            while remaining > 0:
+                state, toks = decode_chunk(
+                    self.params, self.cfg, state, chunk=16,
+                    eos_token_id=self.ecfg.eos_token_id,
+                    temperature=temp, top_p=tp, top_k=tk)
+                for t in np.asarray(toks)[0].tolist():
+                    if t == self.ecfg.eos_token_id or remaining <= 0:
+                        remaining = 0
+                        break
+                    emitted.append(t)
+                    remaining -= 1
+                if bool(np.asarray(state.done).all()):
+                    break
+        return self._decode_text(emitted)
 
     def generate_answers_batch(self, records: Sequence[dict],
                                box_inputs: Optional[Sequence] = None,

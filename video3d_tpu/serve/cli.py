@@ -88,8 +88,9 @@ def main(argv=None):
                 "conversations": history + [{"from": "gpt", "value": None}],
                 "max_new_tokens": args.max_new_tokens}
         if images:
-            # the worker's 2D path prompts with the LAST human turn only
-            # (the engine has no multi-turn 2D template)
+            # the worker re-templates the FULL conversation each round
+            # (generate_answer_images(conversations=...)), so history
+            # accumulates exactly like the 3D path
             wire["images"] = images
         else:
             wire["video"] = args.video

@@ -243,7 +243,11 @@ class ModelWorker:
                 # plain 2D multi-image chat (no scene id): decode base64
                 # payloads and splice each at its own <image> sentinel.
                 # Bypasses the batcher (its slots decode the 3D video
-                # graph); serialized like the other bypass paths.
+                # graph); serialized like the other bypass paths. The FULL
+                # multi-turn conversation is re-templated each round
+                # (reference gradio_multi_image server behavior) and the
+                # request's max_new_tokens / sampling overrides are honored
+                # through the host-chunked decode loop.
                 import base64
                 import contextlib
                 import io
@@ -252,12 +256,14 @@ class ModelWorker:
 
                 pil = [PILImage.open(io.BytesIO(base64.b64decode(s)))
                        .convert("RGB") for s in request["images"]]
-                prompt = request.get("prompt") or \
-                    record["conversations"][-2]["value"]
+                prompt = request.get("prompt")
+                convs = None if prompt else record["conversations"]
                 ctx = (self._bypass_sem if self.batcher is not None
                        else contextlib.nullcontext())
                 with ctx:
-                    text = eng.generate_answer_images(prompt, pil)
+                    text = eng.generate_answer_images(
+                        prompt, pil, conversations=convs,
+                        max_new_tokens=mnt, **sampling)
             elif self.batcher is not None and not differs and not is_adapter:
                 if stop:
                     # early-stop through the stream instead of decoding
@@ -389,8 +395,16 @@ class ModelWorker:
                         if isinstance(url, dict):
                             url = url.get("url", "")
                         url = url or ""
-                        if url.startswith("data:") and "," in url:
-                            images.append(url.split(",", 1)[1])
+                        if role != "user":
+                            continue    # images ride only on user turns
+                        if not (url.startswith("data:") and "," in url):
+                            return None, ({"error": {
+                                "message": "image_url must be a data: URI "
+                                           "(base64 inline); remote http(s) "
+                                           "fetch is not supported",
+                                "type": "invalid_request_error",
+                                "param": "messages", "code": None}}, 400)
+                        images.append(url.split(",", 1)[1])
                 content = "\n".join(texts)
             if role == "assistant" and not content:
                 continue        # tool-call / empty turns carry no text
