@@ -136,3 +136,67 @@ class TestWebUI:
                  urllib.request.urlopen(req, timeout=60).read().splitlines()
                  if l.strip()]
         assert lines[-1]["error_code"] == 1
+
+
+class TestWebUIImages:
+    """Round 4 (VERDICT r3 #4): 2D multi-image chat through the browser
+    UI — file input in the page, base64 images on the /chat wire, one
+    NDJSON answer line from the worker's non-streaming images path."""
+
+    def test_page_has_image_input(self, stack):
+        info, engine, uaddr = stack
+        page = urllib.request.urlopen(uaddr + "/", timeout=30).read()
+        assert b'type="file"' in page and b"accept=\"image/*\"" in page
+        assert b"body.images" in page        # base64 payload wiring
+
+    def test_image_chat_end_to_end(self, stack):
+        import base64
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        info, engine, uaddr = stack
+
+        def b64(seed):
+            rng = np.random.default_rng(seed)
+            im = Image.fromarray(
+                rng.integers(0, 255, (32, 48, 3), np.uint8))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        req = urllib.request.Request(
+            uaddr + "/chat",
+            data=json.dumps({
+                "model": "video3d-tiny",
+                "conversations": [
+                    {"from": "human",
+                     "value": "<image>\n<image>\nwhat changed?"},
+                    {"from": "gpt", "value": None}],
+                "images": [b64(0), b64(1)]}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = [json.loads(ln) for ln in
+                 urllib.request.urlopen(req, timeout=600).read()
+                 .decode().strip().split("\n")]
+        assert len(lines) == 1                 # images path: one answer line
+        assert lines[0]["error_code"] == 0, lines[0]
+        assert isinstance(lines[0]["text"], str)
+
+    def test_scene_takes_precedence_over_images(self, stack):
+        """A request with BOTH a scene and images must behave as 3D chat
+        (the UI only sends one, but the backend guards too)."""
+        info, engine, uaddr = stack
+        req = urllib.request.Request(
+            uaddr + "/chat",
+            data=json.dumps({
+                "model": "video3d-tiny",
+                "video": info["sample_idx"],
+                "images": ["zzz-not-used"],
+                "prompt": "<image>\nwhat is in the room",
+                "stream_chunk": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = [json.loads(ln) for ln in
+                 urllib.request.urlopen(req, timeout=600).read()
+                 .decode().strip().split("\n")]
+        assert lines[-1]["error_code"] == 0, lines[-1]

@@ -42,8 +42,13 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <h1>video3d_tpu &mdash; 3D scene chat</h1>
 <div class="row"><label>model</label><select id="model"></select></div>
-<div class="row"><label>scene (video id, e.g. scannet/scene0000_00)</label>
+<div class="row"><label>scene (video id, e.g. scannet/scene0000_00) &mdash;
+ leave empty for 2D image chat</label>
  <input id="video" placeholder="scannet/scene0000_00"></div>
+<div class="row"><label>images (2D multi-image chat; ignored when a scene
+ is set)</label>
+ <input type="file" id="imgfiles" multiple accept="image/*">
+ <div id="previews"></div></div>
 <div class="row"><label>question</label>
  <textarea id="prompt" placeholder="Where is the brown chair?"></textarea></div>
 <div class="row"><button id="ask">Ask</button>
@@ -55,10 +60,30 @@ const log = document.getElementById('log');
 // (the worker re-prompts the engine with it); scene change resets it.
 // Resets are ignored while a request streams — the completion handler
 // would otherwise push the old answer into the freshly reset history.
-let history = [], busy = false;
+let history = [], busy = false, images = [];
 function resetChat(){ if (busy) return; history = []; log.innerHTML = ''; }
 document.getElementById('reset').onclick = resetChat;
 document.getElementById('video').onchange = resetChat;
+// image selection: read files as data URLs (previews + the base64
+// payload the worker's {"images": [b64...]} wire field expects);
+// changing the selection starts a fresh chat
+document.getElementById('imgfiles').onchange = async (ev) => {
+  resetChat();
+  images = [];
+  const pv = document.getElementById('previews');
+  pv.innerHTML = '';
+  for (const f of ev.target.files){
+    const url = await new Promise((res, rej) => {
+      const r = new FileReader();
+      r.onload = () => res(r.result); r.onerror = rej;
+      r.readAsDataURL(f);
+    });
+    images.push(url);
+    const im = document.createElement('img');
+    im.src = url; im.style.maxHeight = '72px'; im.style.margin = '2px';
+    pv.appendChild(im);
+  }
+};
 async function loadModels(){
   const r = await fetch('models'); const d = await r.json();
   const sel = document.getElementById('model');
@@ -80,12 +105,17 @@ document.getElementById('ask').onclick = async () => {
   history.push({from: 'human', value: q});
   let answer = '', failed = false;
   try {
+    const scene = document.getElementById('video').value;
+    const body = {
+      model: document.getElementById('model').value,
+      conversations: history.concat([{from: 'gpt', value: null}])};
+    if (scene) body.video = scene;
+    else if (images.length)
+      // strip the data-URL header: the wire field carries raw base64
+      body.images = images.map(u => u.split(',', 2)[1]);
     const resp = await fetch('chat', {method: 'POST',
       headers: {'Content-Type': 'application/json'},
-      body: JSON.stringify({
-        model: document.getElementById('model').value,
-        video: document.getElementById('video').value,
-        conversations: history.concat([{from: 'gpt', value: null}])})});
+      body: JSON.stringify(body)});
     const reader = resp.body.getReader();
     const dec = new TextDecoder(); let buf = '';
     while (true){
@@ -163,6 +193,18 @@ class WebUI:
             payload["conversations"] = request["conversations"]
         else:
             payload["prompt"] = request.get("prompt", "")
+        if request.get("images") and not request.get("video"):
+            # 2D multi-image chat: the worker's images path does not
+            # stream — one /worker_generate round trip, one NDJSON line
+            payload.pop("stream_chunk", None)
+            payload.pop("video", None)
+            payload["images"] = request["images"]
+            try:
+                yield _post_json(addr + "/worker_generate", payload,
+                                 timeout=600)
+            except Exception as e:  # noqa: BLE001 — worker down/4xx
+                yield {"text": "", "error": str(e), "error_code": 1}
+            return
         req = urllib.request.Request(
             addr + "/worker_generate_stream",
             data=json.dumps(payload).encode(),
