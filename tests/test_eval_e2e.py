@@ -55,14 +55,18 @@ def save_real_tokenizer(path):
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
-    """cwd layout eval_all.sh expects: data/ (scenes), data/processed/
-    (question files), ckpt/ (HF export + tokenizer), results/."""
+    return build_e2e_workdir(tmp_path_factory.mktemp("e2e"))
+
+
+def build_e2e_workdir(wd):
+    """cwd layout eval_all.sh / parity_kit.sh expect: data/ (scenes),
+    data/processed/ (question files), ckpt/ (HF export + tokenizer),
+    results/. Shared with tests/test_parity_kit.py."""
     from fixtures import make_fake_scene
     from video3d_tpu.config import ModelConfig
     from video3d_tpu.models import llava_video3d as lv3d
     from video3d_tpu.models.weights import export_llava_checkpoint
 
-    wd = tmp_path_factory.mktemp("e2e")
     data = wd / "data"
     scenes = []
     for i in range(2):
