@@ -162,14 +162,16 @@ def run_chain(w8a8: bool, iters: int = 3):
     dt = (time.perf_counter() - t0) / iters
     assert total == total
     fl = chain_flops(cfg, V_FRAMES, L)
-    print(json.dumps({
+    res = {
         "mode": f"chain32_{'w8a8' if w8a8 else 'int8'}",
         "frames_per_s": round(V_FRAMES / dt, 2),
         "chain_ms": round(1e3 * dt, 1),
         "prefill_len": L,
         "tflop_per_chain": round(fl / 1e12, 2),
         "mfu_pct_bf16peak": round(100 * fl / dt / 1e12 / BF16_PEAK_TFLOPS,
-                                  1)}))
+                                  1)}
+    print(json.dumps(res))
+    return res
 
 
 def run_stages(w8a8: bool, iters: int = 5):
@@ -253,15 +255,17 @@ def run_stages(w8a8: bool, iters: int = 5):
     print(json.dumps(results))
 
 
-def run_mc_chain(pool: int = 64, iters: int = 2):
+def run_mc_chain(pool: int = 64, iters: int = 2, occ_impl: str = "mm"):
     """On-device exact greedy max-coverage selection of 32 from a 64-frame
     pool, inside the chain (full-res voxel ids, reference
     max_coverage_sampling.py semantics; ops/mc_select.py)."""
     from video3d_tpu.models import llava_video3d as lv3d
     from video3d_tpu.models import qwen2
     from video3d_tpu.ops import geometry
+    from video3d_tpu.ops import mc_select
     from video3d_tpu.ops.mc_select import greedy_select_frames
 
+    mc_select.OCC_IMPL = occ_impl     # A/B: r4 MXU histogram vs r3 sorts
     cfg = _full_cfg()
     params = init_vision_and_glue(cfg, jax.random.PRNGKey(0))
     params["llm"] = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1))
@@ -322,16 +326,24 @@ def run_mc_chain(pool: int = 64, iters: int = 2):
     total = float(repeat(*args))
     dt = (time.perf_counter() - t0) / iters
     assert total == total
-    print(json.dumps({"mode": "mcchain32_int8",
+    print(json.dumps({"mode": f"mcchain32_int8_occ-{occ_impl}",
                       "frames_per_s": round(V_FRAMES / dt, 2),
                       "chain_ms": round(1e3 * dt, 1),
                       "pool": pool, "selected": V_FRAMES,
                       "prefill_len": L}))
 
 
-def run_prefix(B: int = 1, iters: int = 20):
+def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
     """Scene-prefix KV steady state at V=32 / full depth (mirrors
-    full_depth.run_prefix at the flagship scale)."""
+    full_depth.run_prefix at the flagship scale).
+
+    ``shared=False`` disables the round-4 shared-prefix attention path
+    (generate.SHARED_PREFIX_ATTN) for the A/B: the prefix KV then
+    re-streams per (row, q-block) through the gqa-folded kernel as in
+    round 3."""
+    from video3d_tpu.models import generate as _gen
+
+    _gen.SHARED_PREFIX_ATTN = shared
     from video3d_tpu.constants import IMAGE_TOKEN_INDEX
     from video3d_tpu.models import generate as gen
     from video3d_tpu.models import llava_video3d as lv3d
@@ -396,10 +408,13 @@ def run_prefix(B: int = 1, iters: int = 20):
     total = float(repeat(*args))
     dt = (time.perf_counter() - t0) / iters
     assert total == total
-    print(json.dumps({"mode": f"prefix32_int8_b{B}",
-                      "chunk_ms": round(1e3 * dt, 2),
-                      "question_ms": round(1e3 * dt / B, 3),
-                      "prefix_len": P, "suffix_bucket": SUF, "B": B}))
+    res = {"mode": f"prefix32_int8_b{B}"
+                   + ("" if shared else "_noshared"),
+           "chunk_ms": round(1e3 * dt, 2),
+           "question_ms": round(1e3 * dt / B, 3),
+           "prefix_len": P, "suffix_bucket": SUF, "B": B}
+    print(json.dumps(res))
+    return res
 
 
 def run_ctx32k(L: int = 32768, iters: int = 1, chunk: int = 4096):
@@ -477,7 +492,12 @@ if __name__ == "__main__":
                                      "ctx32k"])
     ap.add_argument("--w8a8", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--no-shared-prefix", action="store_true",
+                    help="A/B: force the round-3 per-row prefix streaming")
     ap.add_argument("--pool", type=int, default=64)
+    ap.add_argument("--occ-impl", choices=("mm", "sort"), default="mm",
+                    help="mc-chain A/B: r4 sort-free MXU occupancy vs the "
+                         "r3 per-frame sort formulation")
     ap.add_argument("--len", type=int, default=32768)
     a = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
@@ -486,8 +506,8 @@ if __name__ == "__main__":
     elif a.mode == "stages":
         run_stages(a.w8a8)
     elif a.mode == "mc-chain":
-        run_mc_chain(pool=a.pool)
+        run_mc_chain(pool=a.pool, occ_impl=a.occ_impl)
     elif a.mode == "prefix":
-        run_prefix(B=a.batch)
+        run_prefix(B=a.batch, shared=not a.no_shared_prefix)
     else:
         run_ctx32k(L=a.len)

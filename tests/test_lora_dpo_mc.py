@@ -279,3 +279,96 @@ class TestDPODataPath:
                                       DPOConfig(), remat=False)
         # identical policies -> logits 0 -> loss = log 2
         np.testing.assert_allclose(float(loss), np.log(2.0), rtol=1e-4)
+
+
+class TestOccupancyImpls:
+    """Round-4 sort-free MXU occupancy (frame_occupancy_mm) must be
+    BIT-IDENTICAL to the round-3 sort+searchsorted membership bitmaps —
+    including duplicate scene slots (first-occurrence dedup), padded
+    scene entries, out-of-grid voxels, and all-miss frames."""
+
+    def _both(self, frame_vox, scene_vox, scene_valid=None):
+        from video3d_tpu.ops import mc_select as m
+
+        sorted_ids, lo, sizes = m.scene_universe(
+            jnp.asarray(scene_vox),
+            None if scene_valid is None else jnp.asarray(scene_valid))
+        ref = jax.vmap(lambda fv: m.membership_bitmap(
+            fv, sorted_ids, lo, sizes))(jnp.asarray(frame_vox))
+        got = m.frame_occupancy_mm(jnp.asarray(frame_vox), sorted_ids,
+                                   lo, sizes)
+        return np.asarray(got), np.asarray(ref)
+
+    def test_random_bitmaps_identical(self):
+        rng = np.random.default_rng(5)
+        V, N, M = 6, 500, 300
+        frame_vox = rng.integers(-3, 15, size=(V, N, 3)).astype(np.int32)
+        scene_vox = rng.integers(0, 14, size=(M, 3)).astype(np.int32)
+        got, ref = self._both(frame_vox, scene_vox)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_duplicate_scene_slots_and_padding(self):
+        rng = np.random.default_rng(6)
+        scene = rng.integers(0, 6, size=(40, 3)).astype(np.int32)
+        scene = np.concatenate([scene, scene[:10]])      # duplicates
+        valid = np.ones((50,), bool)
+        valid[45:] = False                               # padded tail
+        frames = rng.integers(0, 6, size=(3, 64, 3)).astype(np.int32)
+        got, ref = self._both(frames, scene, valid)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_all_miss_frame(self):
+        scene = np.asarray([[1, 1, 1], [2, 2, 2]], np.int32)
+        frames = np.stack([
+            np.broadcast_to(np.asarray([9, 9, 9], np.int32), (8, 3)),
+            np.broadcast_to(np.asarray([1, 1, 1], np.int32), (8, 3)),
+        ])
+        got, ref = self._both(frames, scene)
+        np.testing.assert_array_equal(got, ref)
+        assert not got[0].any() and got[1].sum() == 1
+
+    def test_greedy_same_result_under_both_impls(self):
+        from video3d_tpu.ops import mc_select as m
+
+        rng = np.random.default_rng(7)
+        frame_vox = rng.integers(0, 12, size=(5, 200, 3)).astype(np.int32)
+        scene_vox = np.unique(frame_vox.reshape(-1, 3), axis=0)
+        out = {}
+        for impl in ("mm", "sort"):
+            m.OCC_IMPL = impl
+            try:
+                jax.clear_caches()       # greedy_select_frames is jitted
+                out[impl] = [np.asarray(x) for x in m.greedy_select_frames(
+                    jnp.asarray(frame_vox), jnp.asarray(scene_vox),
+                    max_frames=5)]
+            finally:
+                m.OCC_IMPL = "mm"
+        for a, b in zip(out["mm"], out["sort"]):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestGreedyEarlyExit:
+    def test_ratio_early_exit_matches_host_prefix(self):
+        """ratio=0.95 on device == full ordering + host prefix cut
+        (video_utils.py:142-151): same picks, tail slots -1."""
+        from video3d_tpu.ops.mc_select import (greedy_select_frames,
+                                               select_prefix_by_ratio)
+
+        rng = np.random.default_rng(11)
+        frame_vox = rng.integers(0, 10, size=(6, 300, 3)).astype(np.int32)
+        scene_vox = np.unique(frame_vox.reshape(-1, 3), axis=0)
+        full_o, full_g, num_all = greedy_select_frames(
+            jnp.asarray(frame_vox), jnp.asarray(scene_vox), max_frames=6)
+        want = select_prefix_by_ratio(full_o, full_g, int(num_all), 0.95)
+
+        o95, g95, na95 = greedy_select_frames(
+            jnp.asarray(frame_vox), jnp.asarray(scene_vox), max_frames=6,
+            ratio=0.95)
+        got = sorted(int(x) for x in np.asarray(o95) if int(x) >= 0)
+        assert got == want
+        assert int(na95) == int(num_all)
+        # early exit: slots past the cut are untouched
+        k = len(want)
+        assert all(int(x) == -1 for x in np.asarray(o95)[k:])
+        np.testing.assert_array_equal(np.asarray(g95)[:k],
+                                      np.asarray(full_g)[:k])

@@ -91,10 +91,68 @@ def membership_bitmap(vox: jax.Array, sorted_ids: jax.Array,
     return hit & first
 
 
-@functools.partial(jax.jit, static_argnames=("max_frames",))
+def frame_occupancy_mm(frame_vox: jax.Array, sorted_ids: jax.Array,
+                       lo: jax.Array, sizes: jax.Array) -> jax.Array:
+    """(V, N, 3) voxels -> (V, M) bool occupancy — sort-free, MXU-based.
+
+    :func:`membership_bitmap` sorts each frame's N ~ 3e5 pixel ids (the
+    dominant cost of the in-chain mc selection: 64 XLA sorts of 307k,
+    BENCH_NOTES r4). Here the pixels are never sorted:
+
+      1. each pixel binary-searches the ONE sorted scene table
+         (M ~ 1e4-5e5 ints — KBs, VMEM-resident) for its slot, or the
+         overflow bin on a miss;
+      2. per frame, slot presence is an exact 2D histogram over
+         (slot // 128, slot % 128) computed as ONE bf16 matmul on the
+         MXU: P[h, l] = sum_p [hi_p == h][lo_p == l]. Products are
+         exactly 0/1 in bf16 and the f32 accumulation of <= N <= 2^24
+         of them is exact, so P > 0 is exact presence.
+
+    ``searchsorted(side='left')`` resolves duplicate scene slots to the
+    FIRST occurrence, so the bitmap is already deduplicated — identical
+    semantics to ``membership_bitmap``'s hit & first masking (asserted
+    bit-for-bit in tests/test_lora_dpo_mc.py::TestOccupancyImpls).
+    Frames are processed sequentially (lax.map) to bound the (Hp, N)
+    one-hot temp to one frame.
+    """
+    V, N = frame_vox.shape[0], frame_vox.reshape(frame_vox.shape[0], -1,
+                                                 3).shape[1]
+    M = sorted_ids.shape[0]
+    Mp = -(-M // 128) * 128
+    Hp = Mp // 128 + 1                     # +1 row: the overflow/miss bin
+
+    pids = _linear_ids(frame_vox.reshape(V, N, 3), lo, sizes)     # (V, N)
+    idx = jnp.searchsorted(sorted_ids, pids.reshape(-1))
+    idxc = jnp.minimum(idx, M - 1)
+    hit = (sorted_ids[idxc] == pids.reshape(-1)) & (pids.reshape(-1) >= 0)
+    slot = jnp.where(hit, idxc, Mp).reshape(V, N)   # miss -> bin Mp
+
+    rows = jnp.arange(Hp, dtype=jnp.int32)
+    lanes = jnp.arange(128, dtype=jnp.int32)
+
+    def one(slots_f):
+        hi = slots_f // 128
+        lo_ = slots_f % 128
+        a = (hi[None, :] == rows[:, None]).astype(jnp.bfloat16)   # (Hp, N)
+        b = (lo_[:, None] == lanes[None, :]).astype(jnp.bfloat16)  # (N, 128)
+        p = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (p > 0.5).reshape(-1)[:M]           # drop pad + miss bins
+
+    return jax.lax.map(one, slot)
+
+
+# A/B escape hatch (scripts/bench/flagship32.py mc-chain --occ-impl):
+# read at TRACE time. "mm" = sort-free MXU histogram (default),
+# "sort" = the round-3 per-frame sort + searchsorted formulation.
+OCC_IMPL = "mm"
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames", "ratio"))
 def greedy_select_frames(frame_vox: jax.Array, scene_vox: jax.Array,
                          max_frames: int = 32,
-                         scene_valid: jax.Array = None
+                         scene_valid: jax.Array = None,
+                         ratio: float = 1.0
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy max-coverage ordering on device (exact membership).
 
@@ -103,20 +161,36 @@ def greedy_select_frames(frame_vox: jax.Array, scene_vox: jax.Array,
         are fine — the membership bitmap dedups).
       scene_vox: (M, 3) scene point-cloud voxel ids (the cover universe).
       scene_valid: optional (M,) mask for padded scene voxels.
+      ratio: early-exit threshold — stop picking once the cumulative gain
+        reaches ``ratio * num_all`` (the reference stops there,
+        video_utils.py:142-151 / max_coverage_sampling.py's ratio cut);
+        the remaining ``order`` slots stay -1. ``ratio=1.0`` keeps the
+        full max_frames ordering (prefix cuts then happen on the host in
+        :func:`select_prefix_by_ratio` — identical picks either way, the
+        early exit just skips the dead iterations).
     Returns:
-      (order (max_frames,) int32 frame indices,
+      (order (max_frames,) int32 frame indices (-1 past the stop),
        gains (max_frames,) int32 newly covered voxels per pick,
        num_all int32 total coverable voxels = |union(frames) ∩ scene|).
     """
     V = frame_vox.shape[0]
     sorted_ids, lo, sizes = scene_universe(scene_vox, scene_valid)
-    frame_occ = jax.vmap(
-        lambda fv: membership_bitmap(fv, sorted_ids, lo, sizes))(frame_vox)
+    if OCC_IMPL == "mm":
+        frame_occ = frame_occupancy_mm(frame_vox, sorted_ids, lo, sizes)
+    else:
+        frame_occ = jax.vmap(
+            lambda fv: membership_bitmap(fv, sorted_ids, lo, sizes))(frame_vox)
 
     num_all = jnp.any(frame_occ, axis=0).sum().astype(jnp.int32)
+    target = jnp.ceil(ratio * num_all.astype(jnp.float32)).astype(jnp.int32)
 
-    def body(i, state):
-        used, taken, order, gains = state
+    def cond(state):
+        i, covered, *_ = state
+        stop = covered >= target if ratio < 1.0 else jnp.zeros((), bool)
+        return (i < min(max_frames, V)) & ~stop
+
+    def body(state):
+        i, covered, used, taken, order, gains = state
         new = frame_occ & ~used[None]                # (V, M)
         counts = new.sum(axis=1).astype(jnp.int32)   # (V,)
         counts = jnp.where(taken, -1, counts)
@@ -125,13 +199,14 @@ def greedy_select_frames(frame_vox: jax.Array, scene_vox: jax.Array,
         taken = taken.at[pick].set(True)
         order = order.at[i].set(pick)
         gains = gains.at[i].set(counts[pick])
-        return used, taken, order, gains
+        return (i + 1, covered + counts[pick], used, taken, order, gains)
 
-    init = (jnp.zeros(frame_occ.shape[1:], bool),
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros(frame_occ.shape[1:], bool),
             jnp.zeros((V,), bool),
             jnp.full((max_frames,), -1, jnp.int32),
             jnp.zeros((max_frames,), jnp.int32))
-    _, _, order, gains = jax.lax.fori_loop(0, min(max_frames, V), body, init)
+    _, _, _, _, order, gains = jax.lax.while_loop(cond, body, init)
     return order, gains, num_all
 
 
