@@ -344,6 +344,12 @@ def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
     from video3d_tpu.models import generate as _gen
 
     _gen.SHARED_PREFIX_ATTN = shared
+    import os
+
+    from video3d_tpu.kernels import flash_attention as _fa
+
+    _fa.SP_BLOCK_Q = int(os.environ.get("V3D_SP_BLOCK_Q", _fa.SP_BLOCK_Q))
+    print(f"SP_BLOCK_Q={_fa.SP_BLOCK_Q} shared={shared}", flush=True)
     from video3d_tpu.constants import IMAGE_TOKEN_INDEX
     from video3d_tpu.models import generate as gen
     from video3d_tpu.models import llava_video3d as lv3d

@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--w-int8", action="store_true",
                     help="int8-quantize the decoder weights (required to "
                          "fit 28 layers + cache on one v5e chip)")
+    ap.add_argument("--long-slots", type=int, default=1,
+                    help="slots at ~cache-len live length (the rest sit at "
+                         "512): 1 = the classic one-long mix, --slots = "
+                         "every slot long (the 32k-cache regime where KV "
+                         "streaming, not weights, dominates decode — "
+                         "VERDICT r3 #3)")
     a = ap.parse_args()
 
     from video3d_tpu.models import generate, qwen2
@@ -71,7 +77,7 @@ def main():
     # heterogeneous live lengths: one long context, the rest short — the
     # serving mix paging exists for
     lens = np.full((S,), 512, np.int32)
-    lens[0] = a.cache_len - a.chunk - 8
+    lens[:max(1, a.long_slots)] = a.cache_len - a.chunk - 8
     print(f"devices: {jax.devices()}  lens={lens.tolist()}", flush=True)
 
     if a.mode == "dense":
@@ -121,7 +127,8 @@ def main():
     tok_s = S * a.chunk / dt
     print(json.dumps({
         "mode": f"{a.mode}{'_int8' if a.int8 else ''}"
-                f"{'_w8' if a.w_int8 else ''}_{a.layers}L",
+                f"{'_w8' if a.w_int8 else ''}_{a.layers}L"
+                f"_c{a.cache_len}_long{a.long_slots}",
         "slots": S, "chunk": a.chunk,
         "ms_per_step": round(1e3 * dt / a.chunk, 3),
         "tok_per_s_total": round(tok_s, 1),

@@ -119,6 +119,40 @@ def main():
                         q_positions=qpos, kv_len=lens_g)
     check("flash_attention gqa-folded int8 cache", out, ref, atol=4e-2)
 
+    # --- shared-prefix split-softmax attention (scene-grouped batch) ------
+    from video3d_tpu.kernels.attention import mha_shared_prefix_reference
+    from video3d_tpu.kernels.flash_attention import (
+        flash_attention_shared_prefix)
+
+    Pg = 640
+    pk = jax.random.normal(nk(), (Pg, KVg, hd), jnp.bfloat16)
+    pv = jax.random.normal(nk(), (Pg, KVg, hd), jnp.bfloat16)
+    skg = jax.random.normal(nk(), (B, Lg, KVg, hd), jnp.bfloat16)
+    svg = jax.random.normal(nk(), (B, Lg, KVg, hd), jnp.bfloat16)
+    slens = jnp.asarray([Lg, 37], jnp.int32)
+    out = jax.jit(flash_attention_shared_prefix)(qg, pk, pv, skg, svg, slens)
+    ref = mha_shared_prefix_reference(
+        qg.astype(jnp.float32), pk.astype(jnp.float32),
+        pv.astype(jnp.float32), skg.astype(jnp.float32),
+        svg.astype(jnp.float32), slens)
+    valid_sp = (jnp.arange(Lg)[None] < slens[:, None])[..., None, None]
+    check("flash_attention shared-prefix", out * valid_sp, ref * valid_sp,
+          atol=2e-2)
+
+    pk8 = jnp.clip(jnp.round(pk.astype(jnp.float32) * 32), -127, 127) \
+        .astype(jnp.int8)
+    pv8 = jnp.clip(jnp.round(pv.astype(jnp.float32) * 32), -127, 127) \
+        .astype(jnp.int8)
+    psc = jnp.full((Pg, KVg, 1), 1 / 32, jnp.float32)
+    out = jax.jit(flash_attention_shared_prefix)(
+        qg, pk8, pv8, skg, svg, slens, pk_scale=psc, pv_scale=psc)
+    ref = mha_shared_prefix_reference(
+        qg.astype(jnp.float32), pk8.astype(jnp.float32) / 32,
+        pv8.astype(jnp.float32) / 32, skg.astype(jnp.float32),
+        svg.astype(jnp.float32), slens)
+    check("flash_attention shared-prefix int8", out * valid_sp,
+          ref * valid_sp, atol=4e-2)
+
     # --- decode attention (bf16 cache, then int8 cache + scales) -----------
     S = 256
     qd = jax.random.normal(nk(), (B, 1, H, hd), jnp.bfloat16)

@@ -517,3 +517,92 @@ class TestMeshChunkedDispatch:
                             q_positions=qpos, kv_len=kv_len)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestSharedPrefix:
+    """Shared-prefix split-softmax attention
+    (flash_attention_shared_prefix): prefix pass (non-causal, all rows
+    folded per kv head) + per-row causal suffix pass + exact lse merge.
+    Must equal one softmax over [broadcast prefix ++ suffix] per row
+    (mha_shared_prefix_reference)."""
+
+    @pytest.mark.parametrize("H,KV,L,P,Ls", [
+        (4, 2, 64, 512, 64),        # flagship-shaped (group 2)
+        (7, 1, 64, 300, 64),        # group 7 (Qwen2-7B), ragged P
+        (8, 8, 32, 256, 32),        # MHA (group 1)
+        (6, 2, 80, 640, 96),        # L != Ls, rows cross q blocks
+    ])
+    def test_matches_reference(self, H, KV, L, P, Ls):
+        from video3d_tpu.kernels.attention import mha_shared_prefix_reference
+        from video3d_tpu.kernels.flash_attention import (
+            flash_attention_shared_prefix)
+
+        rng = np.random.default_rng(31)
+        B, hd = 3, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        pk = jnp.asarray(rng.normal(size=(P, KV, hd)).astype(np.float32))
+        pv = jnp.asarray(rng.normal(size=(P, KV, hd)).astype(np.float32))
+        sk = jnp.asarray(rng.normal(size=(B, Ls, KV, hd)).astype(np.float32))
+        sv = jnp.asarray(rng.normal(size=(B, Ls, KV, hd)).astype(np.float32))
+        # per-row ragged suffix lengths (one full, one short, one mid)
+        slens = jnp.asarray([Ls, max(1, Ls // 3), max(1, Ls - 7)][:B],
+                            jnp.int32)
+        got = np.asarray(flash_attention_shared_prefix(
+            q, pk, pv, sk, sv, slens, block_q_prefix=128, block_k=128,
+            interpret=True))
+        ref = np.asarray(mha_shared_prefix_reference(q, pk, pv, sk, sv,
+                                                     slens))
+        # compare only real rows (r < suffix_len): pad-query outputs are
+        # garbage by contract
+        for b in range(3):
+            n = int(slens[b])
+            np.testing.assert_allclose(got[b, :n], ref[b, :n],
+                                       rtol=2e-4, atol=2e-4)
+        assert np.isfinite(got[:, :1]).all()
+
+    def test_int8_prefix_scales(self):
+        from video3d_tpu.kernels.attention import mha_shared_prefix_reference
+        from video3d_tpu.kernels.flash_attention import (
+            flash_attention_shared_prefix)
+
+        rng = np.random.default_rng(32)
+        B, L, H, KV, P, Ls, hd = 2, 64, 4, 2, 384, 64, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        pk8 = jnp.asarray(rng.integers(-127, 128, size=(P, KV, hd)),
+                          jnp.int8)
+        pv8 = jnp.asarray(rng.integers(-127, 128, size=(P, KV, hd)),
+                          jnp.int8)
+        pks = jnp.asarray(rng.uniform(0.005, 0.02, size=(P, KV, 1))
+                          .astype(np.float32))
+        pvs = jnp.asarray(rng.uniform(0.005, 0.02, size=(P, KV, 1))
+                          .astype(np.float32))
+        sk = jnp.asarray(rng.normal(size=(B, Ls, KV, hd)).astype(np.float32))
+        sv = jnp.asarray(rng.normal(size=(B, Ls, KV, hd)).astype(np.float32))
+        slens = jnp.asarray([Ls, 17], jnp.int32)
+        got = np.asarray(flash_attention_shared_prefix(
+            q, pk8, pv8, sk, sv, slens, pk_scale=pks, pv_scale=pvs,
+            block_q_prefix=128, block_k=128, interpret=True))
+        ref = np.asarray(mha_shared_prefix_reference(
+            q, pk8, pv8, sk, sv, slens, pk_scale=pks, pv_scale=pvs))
+        for b in range(2):
+            n = int(slens[b])
+            np.testing.assert_allclose(got[b, :n], ref[b, :n],
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_dispatch_cpu_uses_reference(self):
+        """mha_shared_prefix on the CPU backend must route to the oracle
+        (and therefore agree with it bitwise)."""
+        from video3d_tpu.kernels.attention import (mha_shared_prefix,
+                                                   mha_shared_prefix_reference)
+
+        rng = np.random.default_rng(33)
+        B, L, H, KV, P, Ls, hd = 2, 16, 4, 2, 64, 16, 32
+        q = jnp.asarray(rng.normal(size=(B, L, H, hd)).astype(np.float32))
+        pk = jnp.asarray(rng.normal(size=(P, KV, hd)).astype(np.float32))
+        pv = jnp.asarray(rng.normal(size=(P, KV, hd)).astype(np.float32))
+        sk = jnp.asarray(rng.normal(size=(B, Ls, KV, hd)).astype(np.float32))
+        sv = jnp.asarray(rng.normal(size=(B, Ls, KV, hd)).astype(np.float32))
+        slens = jnp.asarray([Ls, Ls], jnp.int32)
+        got = mha_shared_prefix(q, pk, pv, sk, sv, slens)
+        ref = mha_shared_prefix_reference(q, pk, pv, sk, sv, slens)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

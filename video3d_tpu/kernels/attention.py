@@ -252,6 +252,61 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
                          score_bias=score_bias)
 
 
+def mha_shared_prefix(q: jax.Array, pk: jax.Array, pv: jax.Array,
+                      sk: jax.Array, sv: jax.Array,
+                      suffix_lens: jax.Array,
+                      pk_scale: Optional[jax.Array] = None,
+                      pv_scale: Optional[jax.Array] = None) -> jax.Array:
+    """Suffix-over-SHARED-prefix attention dispatch (scene-grouped batched
+    suffix prefill: every batch row attends the same immutable scene
+    prefix). TPU: the split-softmax kernel pair streams the prefix KV once
+    for all rows (kernels/flash_attention.flash_attention_shared_prefix).
+    CPU/meshes: the jnp oracle below (also the parity ground truth).
+
+    Args:
+      q: (B, L, H, hd) — query r of row b at absolute position P + r.
+      pk, pv: (P, KV, hd) shared prefix K/V (int8 with scales (P, KV, 1)).
+      sk, sv: (B, Ls, KV, hd) per-row suffix K/V, full precision.
+      suffix_lens: (B,) valid suffix key counts.
+    """
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        on_tpu = False
+    hd = q.shape[-1]
+    if on_tpu and (_MANUAL_MODE or _active_mesh() is None):
+        from video3d_tpu.kernels import flash_attention as fa
+
+        return fa.flash_attention_shared_prefix(
+            q, pk, pv, sk, sv, suffix_lens,
+            pk_scale=pk_scale, pv_scale=pv_scale,
+            block_q_prefix=fa.SP_BLOCK_Q)
+    return mha_shared_prefix_reference(q, pk, pv, sk, sv, suffix_lens,
+                                       pk_scale=pk_scale,
+                                       pv_scale=pv_scale)
+
+
+def mha_shared_prefix_reference(q, pk, pv, sk, sv, suffix_lens,
+                                pk_scale=None, pv_scale=None):
+    """jnp oracle for :func:`mha_shared_prefix`: broadcast the prefix to
+    every row, concatenate with the suffix K/V, and run the plain cached
+    path (q_positions = P + r, kv_len = P + suffix_lens)."""
+    B, L = q.shape[0], q.shape[1]
+    P = pk.shape[0]
+    pkb = jnp.broadcast_to(pk[None], (B,) + pk.shape)
+    pvb = jnp.broadcast_to(pv[None], (B,) + pv.shape)
+    if pk_scale is not None:
+        pkb = pkb.astype(q.dtype) * jnp.broadcast_to(
+            pk_scale[None], (B,) + pk_scale.shape).astype(q.dtype)
+        pvb = pvb.astype(q.dtype) * jnp.broadcast_to(
+            pv_scale[None], (B,) + pv_scale.shape).astype(q.dtype)
+    k = jnp.concatenate([pkb.astype(q.dtype), sk.astype(q.dtype)], axis=1)
+    v = jnp.concatenate([pvb.astype(q.dtype), sv.astype(q.dtype)], axis=1)
+    q_positions = P + jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    kv_len = P + suffix_lens
+    return mha_reference(q, k, v, q_positions=q_positions, kv_len=kv_len)
+
+
 def paged_mha(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
               page_table: jax.Array, kv_len: jax.Array,
               k_scale: Optional[jax.Array] = None,

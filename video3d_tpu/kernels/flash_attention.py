@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# shared-prefix kernel q-superblock rows (tuning knob, read at trace time
+# by kernels/attention.mha_shared_prefix; V3D_SP_BLOCK_Q env sweeps it in
+# scripts/bench/flagship32.py prefix). Larger = fewer prefix KV re-streams
+# per kv head, more VMEM per program (block_q*block_k f32 scores).
+SP_BLOCK_Q = 896
+
 
 # ---------------------------------------------------------------------------
 # Forward kernel
@@ -473,6 +479,151 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if hd_p != hd:
         out = out[..., :hd]
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q_prefix", "block_k",
+                                             "interpret", "sm_scale"))
+def flash_attention_shared_prefix(q: jax.Array,
+                                  pk: jax.Array, pv: jax.Array,
+                                  sk: jax.Array, sv: jax.Array,
+                                  suffix_lens: jax.Array,
+                                  pk_scale: jax.Array = None,
+                                  pv_scale: jax.Array = None,
+                                  block_q_prefix: int = 896,
+                                  block_k: int = 512,
+                                  sm_scale: float = None,
+                                  interpret: bool = False) -> jax.Array:
+    """Suffix-over-SHARED-prefix attention: the scene prefix KV streams
+    from HBM once for ALL batch rows (VERDICT r3 #1).
+
+    In the scene-grouped serving contract every row of the batch attends
+    the SAME immutable scene-prefix KV (eval/drivers.py scene-grouped
+    suffix prefill; the reference re-prefills the full sequence per
+    question, model_scanqa.py:171-186). :func:`flash_attention_gqa_folded`
+    still runs one grid row per (batch, kv head), so the prefix KV blocks
+    re-stream B * ceil(L*group/block_q) times per kv head. Here the
+    attention splits exactly (flash-decoding / split-softmax):
+
+      1. PREFIX pass — non-causal (every suffix query position >= every
+         prefix position): queries of ALL rows fold into ONE grid row per
+         kv head, (KV, B*L*group, hd), so each prefix block is read once
+         per kv head per q superblock (``block_q_prefix`` rows — 896 rows
+         cover 2 flagship questions' queries per fetch, and the whole B=8
+         flagship batch in 4 fetches vs 16 before).
+      2. SUFFIX pass — per-row causal over the chunk's own K/V
+         ((B*KV, L*group, hd) folded, positions row // group), masked by
+         per-row ``suffix_lens``.
+      3. Exact merge via the two logsumexps:
+         out = (o_p * e^(lse_p - m) + o_s * e^(lse_s - m)) / (same weights)
+         with m = max(lse_p, lse_s) — identical to one online softmax over
+         the concatenated keys (f32 reduction both sides).
+
+    Inference-only (no VJP), like the folded kernel.
+
+    Args:
+      q: (B, L, H, hd) suffix queries; query r of row b sits at absolute
+        position P + r.
+      pk, pv: (P, KV, hd) shared prefix K/V — NO batch dim (int8 with
+        ``pk_scale``/``pv_scale`` (P, KV, 1) f32, streamed raw).
+      sk, sv: (B, Ls, KV, hd) per-row suffix K/V (the chunk's own keys,
+        full precision — no cache round-trip).
+      suffix_lens: (B,) int32 valid suffix key counts (suffix cols
+        c >= suffix_lens[b] are masked; causal within the suffix).
+    Returns:
+      (B, L, H, hd) in q.dtype.
+    """
+    B, L, H, hd = q.shape
+    P, KV = pk.shape[0], pk.shape[1]
+    Ls = sk.shape[1]
+    assert H % KV == 0, (q.shape, pk.shape)
+    group = H // KV
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+    sm_scale = float(sm_scale)
+
+    R = B * L * group
+    # ---- fold queries: (B, L, H, hd) -> (KV, B*L*group, hd) ----
+    # row = b*(L*group) + r*group + g within each kv head's superrow
+    q5 = q.reshape(B, L, KV, group, hd)
+    qp = q5.transpose(2, 0, 1, 3, 4).reshape(KV, R, hd)
+
+    # ---- 1. prefix pass (non-causal, shared KV) ----
+    kf = pk.transpose(1, 0, 2)                       # (KV, P, hd)
+    vf = pv.transpose(1, 0, 2)
+    ksf = vsf = None
+    if pk_scale is not None:
+        ksf = pk_scale.transpose(1, 2, 0)            # (KV, 1, P)
+        vsf = pv_scale.transpose(1, 2, 0)
+
+    bq = min(block_q_prefix, -(-R // 128) * 128)
+    bk = min(block_k, -(-P // 128) * 128)
+    Rp = -(-R // bq) * bq
+    Pp = -(-P // bk) * bk
+    if Rp != R:
+        qp = jnp.pad(qp, ((0, 0), (0, Rp - R), (0, 0)))
+    if Pp != P:
+        kf = jnp.pad(kf, ((0, 0), (0, Pp - P), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Pp - P), (0, 0)))
+        if ksf is not None:
+            ksf = jnp.pad(ksf, ((0, 0), (0, 0), (0, Pp - P)))
+            vsf = jnp.pad(vsf, ((0, 0), (0, 0), (0, Pp - P)))
+    hd_p = -(-hd // 128) * 128
+    if hd_p != hd:
+        qp = jnp.pad(qp, ((0, 0), (0, 0), (0, hd_p - hd)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, hd_p - hd)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, hd_p - hd)))
+    len_p = jnp.stack([jnp.full((KV,), P, jnp.int32),
+                       jnp.zeros((KV,), jnp.int32)], axis=1)
+    out_p, lse_p = _fwd_call(qp, kf, vf, len_p, KV, KV, False, bq, bk,
+                             sm_scale, True, interpret, ksf=ksf, vsf=vsf)
+    if Rp != R:
+        out_p, lse_p = out_p[:, :R], lse_p[:, :, :R]
+    if hd_p != hd:
+        out_p = out_p[..., :hd]
+    # (KV, B*L*group, hd) -> (B, L, H, hd); lse -> (B, L, H)
+    out_p = (out_p.reshape(KV, B, L, group, hd)
+                  .transpose(1, 2, 0, 3, 4).reshape(B, L, H, hd))
+    lse_p = (lse_p.reshape(KV, B, L, group)
+                  .transpose(1, 2, 0, 3).reshape(B, L, H))
+
+    # ---- 2. suffix pass (per-row causal, gqa-folded) ----
+    LG = L * group
+    qs = q5.transpose(0, 2, 1, 3, 4).reshape(B * KV, LG, hd)
+    skf = sk.transpose(0, 2, 1, 3).reshape(B * KV, Ls, hd)
+    svf = sv.transpose(0, 2, 1, 3).reshape(B * KV, Ls, hd)
+    bqs = min(512, -(-LG // 128) * 128)
+    bks = min(block_k, -(-Ls // 128) * 128)
+    LGp = -(-LG // bqs) * bqs
+    Lsp = -(-Ls // bks) * bks
+    if LGp != LG:
+        qs = jnp.pad(qs, ((0, 0), (0, LGp - LG), (0, 0)))
+    if Lsp != Ls:
+        skf = jnp.pad(skf, ((0, 0), (0, Lsp - Ls), (0, 0)))
+        svf = jnp.pad(svf, ((0, 0), (0, Lsp - Ls), (0, 0)))
+    if hd_p != hd:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, hd_p - hd)))
+        skf = jnp.pad(skf, ((0, 0), (0, 0), (0, hd_p - hd)))
+        svf = jnp.pad(svf, ((0, 0), (0, 0), (0, hd_p - hd)))
+    len_s = jnp.stack([jnp.repeat(suffix_lens.astype(jnp.int32), KV),
+                       jnp.zeros((B * KV,), jnp.int32)], axis=1)
+    out_s, lse_s = _fwd_call(qs, skf, svf, len_s, KV, KV, True, bqs, bks,
+                             sm_scale, True, interpret, pos_div=group)
+    if LGp != LG:
+        out_s, lse_s = out_s[:, :LG], lse_s[:, :, :LG]
+    if hd_p != hd:
+        out_s = out_s[..., :hd]
+    out_s = (out_s.reshape(B, KV, L, group, hd)
+                  .transpose(0, 2, 1, 3, 4).reshape(B, L, H, hd))
+    lse_s = (lse_s.reshape(B, KV, L, group)
+                  .transpose(0, 2, 1, 3).reshape(B, L, H))
+
+    # ---- 3. exact split-softmax merge ----
+    m = jnp.maximum(lse_p, lse_s)
+    w_p = jnp.exp(lse_p - m)[..., None]
+    w_s = jnp.exp(lse_s - m)[..., None]
+    out = (out_p.astype(jnp.float32) * w_p
+           + out_s.astype(jnp.float32) * w_s) / (w_p + w_s)
+    return out.astype(q.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",

@@ -20,6 +20,11 @@ from video3d_tpu.config import ModelConfig, PosEmbedType
 from video3d_tpu.models import llava_video3d as lv3d
 from video3d_tpu.models import qwen2
 
+# A/B escape hatch (scripts/bench/flagship32.py prefix --no-shared-prefix):
+# read at TRACE time — flip it before the first start_decode_prefix /
+# ground_suffix call of a process, not between calls (jit caches the trace).
+SHARED_PREFIX_ATTN = True
+
 
 class GenerateResult(NamedTuple):
     tokens: jax.Array      # (B, max_new_tokens) emitted ids (padded with eos)
@@ -319,11 +324,26 @@ def start_decode_prefix(params, cfg: ModelConfig, batch: lv3d.Batch,
         jnp.arange(Ls)[None], (B, Ls))
     # prefill=False routes attention through the cached-KV path
     # (q_positions causal masking — the speculative-verify machinery), so
-    # suffix queries see prefix keys + their own causal block.
+    # suffix queries see prefix keys + their own causal block. A batch-free
+    # (B == 1) prefix additionally takes the SHARED-prefix attention path:
+    # the prefix KV streams from HBM once for ALL rows instead of once per
+    # (row, q-block) — the scene-grouped batched suffix prefill win
+    # (kernels/attention.mha_shared_prefix; VERDICT r3 #1).
+    shared = None
+    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1:
+        # slice to prefix_len: the shared path attends every prefix slot
+        # UNMASKED (they all precede the suffix positions), so pad slots
+        # beyond the true prefix must not reach the kernel
+        shared = qwen2.KVCache(
+            prefix.k[:, 0, :prefix_len], prefix.v[:, 0, :prefix_len],
+            None if prefix.k_scale is None
+            else prefix.k_scale[:, 0, :prefix_len],
+            None if prefix.v_scale is None
+            else prefix.v_scale[:, 0, :prefix_len])
     hidden, cache = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
         cache_positions=cache_positions, kv_len=batch.seq_len,
-        contiguous_update=True)
+        contiguous_update=True, shared_prefix=shared)
     last = jnp.take_along_axis(
         hidden, (batch.seq_len - 1 - prefix_len)[:, None, None], axis=1)
     next_logits = qwen2.lm_head(params["llm"], last)[:, 0]
@@ -367,10 +387,18 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
     pos3 = lv3d._position_ids_3d(batch, cfg)
     cache_positions = prefix_len + jnp.broadcast_to(
         jnp.arange(Ls)[None], (B, Ls))
+    shared = None
+    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1:      # shared-prefix attention (see above)
+        shared = qwen2.KVCache(
+            prefix.k[:, 0, :prefix_len], prefix.v[:, 0, :prefix_len],
+            None if prefix.k_scale is None
+            else prefix.k_scale[:, 0, :prefix_len],
+            None if prefix.v_scale is None
+            else prefix.v_scale[:, 0, :prefix_len])
     hidden, _ = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
         cache_positions=cache_positions, kv_len=batch.seq_len,
-        contiguous_update=True)
+        contiguous_update=True, shared_prefix=shared)
     # score EVERY row (scene-grouped batched queries share the prefix and
     # the object features) at ITS OWN <ground> position; B=1 keeps the
     # engine's (N+1,) contract

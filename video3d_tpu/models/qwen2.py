@@ -178,7 +178,8 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                   attn_mask: Optional[jax.Array] = None,
                   prefill: bool = False,
                   paged: Optional[tuple] = None,
-                  contiguous_update: bool = False):
+                  contiguous_update: bool = False,
+                  shared_prefix: Optional[tuple] = None):
     """One decoder block.
 
     Args:
@@ -199,6 +200,15 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         ``kv``): (layer_pools 4-tuple, page_table, pids, off, lens_after)
         — see models/paged_kv.py. New K/V append into the layer's pages at
         (pids, off) and attention streams the slot's pages.
+      shared_prefix: optional (pk, pv[, pk_scale, pv_scale]) with pk/pv
+        (P, KV, hd) — the SHARED scene-prefix KV of this layer (no batch
+        dim). Requires ``kv`` + ``contiguous_update`` with every row's
+        ``cache_positions`` == [P, P+L): the cache write proceeds
+        unchanged (decode reads it later), but attention runs
+        :func:`~video3d_tpu.kernels.attention.mha_shared_prefix` over
+        (shared prefix) + (this chunk's raw K/V) instead of re-streaming
+        the per-row cache — the prefix KV is read once for ALL rows
+        (VERDICT r3 #1; scene-grouped suffix prefill).
     Returns:
       (out, new layer cache — dense kv tuple, paged pools 4-tuple, or None)
     """
@@ -290,7 +300,20 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
             k_cache = scatter(k_cache, k.astype(k_cache.dtype))
             v_cache = scatter(v_cache, v.astype(v_cache.dtype))
             new_kv = (k_cache, v_cache)
-        if prefill:
+        if shared_prefix is not None and not prefill:
+            # scene-grouped suffix chunk over a SHARED prefix: stream the
+            # prefix KV once for all rows; the chunk's own K/V attend raw
+            # (no cache round-trip — same values full prefill attends)
+            from video3d_tpu.kernels.attention import mha_shared_prefix
+
+            assert contiguous_update and score_bias is None
+            P = shared_prefix[0].shape[0]
+            pks = shared_prefix[2] if len(shared_prefix) > 2 else None
+            pvs = shared_prefix[3] if len(shared_prefix) > 3 else None
+            attn = mha_shared_prefix(q, shared_prefix[0], shared_prefix[1],
+                                     k, v, kv_len - P,
+                                     pk_scale=pks, pv_scale=pvs)
+        elif prefill:
             # Prefill fills slots 0..L-1, so attention over the raw K/V with
             # plain causal + length masking is identical to reading the cache
             # back — and flash-eligible. (int8 caches still prefill at full
@@ -346,7 +369,8 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
                   paged_cache=None,
                   paged_active: Optional[jax.Array] = None,
                   scan_layers: bool = False,
-                  contiguous_update: bool = False):
+                  contiguous_update: bool = False,
+                  shared_prefix: Optional[KVCache] = None):
     """Run the decoder stack.
 
     Args:
@@ -368,6 +392,11 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
         ``cache_positions`` are the same contiguous range (chunked prefill,
         suffix-over-prefix); cache writes use one dynamic_update_slice
         instead of a per-row scatter (see decoder_layer).
+      shared_prefix: optional KVCache with arrays (layers, P, KV, hd) —
+        the batch-free SHARED scene prefix. Requires ``kv_cache`` +
+        ``contiguous_update`` with cache_positions == [P, P+L) on every
+        row; attention streams the prefix once for all rows
+        (decoder_layer ``shared_prefix``).
       scan_layers: run the stack as ONE ``lax.scan`` over stacked layer
         params (cache-free paths only). Numerically identical to the
         unrolled loop; structurally bounds the fsdp all-gather liveness to
@@ -455,8 +484,13 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
             kv = (kv_cache.k[i], kv_cache.v[i])
             if kv_cache.k_scale is not None:
                 kv += (kv_cache.k_scale[i], kv_cache.v_scale[i])
+        sp = None
+        if shared_prefix is not None:
+            sp = (shared_prefix.k[i], shared_prefix.v[i])
+            if shared_prefix.k_scale is not None:
+                sp += (shared_prefix.k_scale[i], shared_prefix.v_scale[i])
         x, nkv = layer(lp, x, cos, sin, cfg, kv, cache_positions, kv_len,
-                       attn_mask, paged=paged)
+                       attn_mask, paged=paged, shared_prefix=sp)
         if nkv is not None:
             for col, part in zip(new_cols, nkv):
                 if part is not None:
