@@ -333,6 +333,83 @@ def run_mc_chain(pool: int = 64, iters: int = 2, occ_impl: str = "mm"):
                       "prefill_len": L}))
 
 
+def run_mc_profile(pool: int = 64, iters: int = 3,
+                   occ_impl: str = "sort"):
+    """Stage breakdown of the ON-DEVICE mc-selection overhead (VERDICT r3
+    #6: the +564 ms): (a) full-res 64-frame unproject+voxelize, (b)
+    frame-occupancy build, (c) the greedy while_loop, each separately
+    jitted and fori_loop-timed with perturbed inputs."""
+    import time as _time
+
+    from video3d_tpu.ops import geometry, mc_select
+    from video3d_tpu.ops.mc_select import (frame_occupancy_mm,
+                                           greedy_select_frames,
+                                           membership_bitmap,
+                                           scene_universe)
+
+    mc_select.OCC_IMPL = occ_impl
+    cfg = _full_cfg()
+    vox_cfg = cfg.world_3d.voxel
+    depths, intr, poses, _ = make_scan(pool)
+    rng = np.random.default_rng(7)
+    scene_vox = rng.integers(120, 180, size=(40000, 3)).astype(np.int32)
+    dj, ij, pj = (jnp.asarray(depths), jnp.asarray(intr),
+                  jnp.asarray(poses))
+    sj = jnp.asarray(scene_vox)
+
+    def geo(d, i_, p):
+        wc = geometry.unproject(i_, p, d)
+        return geometry.discrete_coords(
+            wc, vox_cfg.min_xyz_range, vox_cfg.max_xyz_range,
+            vox_cfg.voxel_size).reshape(pool, -1, 3)
+
+    results = {"mode": f"mcprofile_{occ_impl}", "pool": pool}
+
+    def timed(name, fn, *args, perturb):
+        @jax.jit
+        def rep(*a):
+            def body(i, acc):
+                return acc + fn(*perturb(i, *a))
+            return jax.lax.fori_loop(0, iters, body,
+                                     jnp.zeros((), jnp.float32))
+
+        print(f"compiling {name}...", flush=True)
+        for _ in range(2):
+            total = float(rep(*args))
+        t0 = _time.perf_counter()
+        total = float(rep(*args))
+        assert total == total
+        results[name] = round(1e3 * (_time.perf_counter() - t0) / iters, 1)
+
+    timed("geometry_ms",
+          lambda d, i_, p: jnp.sum(geo(d, i_, p).astype(jnp.float32))
+          * 1e-9, dj, ij, pj, perturb=lambda i, d, i_, p: (d + i, i_, p))
+    fv = jax.jit(geo)(dj, ij, pj)
+    sorted_ids, lo, sizes = jax.jit(scene_universe)(sj)
+
+    def occ_sort(f):
+        return jax.vmap(lambda x: membership_bitmap(
+            x, sorted_ids, lo, sizes))(f)
+
+    occ = {"sort": occ_sort,
+           "mm": lambda f: frame_occupancy_mm(f, sorted_ids, lo, sizes)}
+    timed("occupancy_ms",
+          lambda f: jnp.sum(occ[occ_impl](f).astype(jnp.float32)) * 1e-6,
+          fv, perturb=lambda i, f: (f + (i % 2),))
+    # split: the 64 per-frame sorts vs the searchsorted membership
+    timed("sort_only_ms",
+          lambda f: jnp.sum(jax.vmap(
+              lambda x: jax.lax.sort(x, is_stable=False))(
+              f.reshape(pool, -1, 3).sum(-1)).astype(jnp.float32)) * 1e-9,
+          fv, perturb=lambda i, f: (f + (i % 2),))
+    timed("greedy_full_ms",
+          lambda f, s: greedy_select_frames(f, s, max_frames=V_FRAMES)[1]
+          .sum().astype(jnp.float32) * 1e-6,
+          fv, sj, perturb=lambda i, f, s: (f + (i % 2), s))
+    print(json.dumps(results))
+    return results
+
+
 def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
     """Scene-prefix KV steady state at V=32 / full depth (mirrors
     full_depth.run_prefix at the flagship scale).
@@ -349,7 +426,9 @@ def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
     from video3d_tpu.kernels import flash_attention as _fa
 
     _fa.SP_BLOCK_Q = int(os.environ.get("V3D_SP_BLOCK_Q", _fa.SP_BLOCK_Q))
-    print(f"SP_BLOCK_Q={_fa.SP_BLOCK_Q} shared={shared}", flush=True)
+    _fa.SP_BLOCK_K = int(os.environ.get("V3D_SP_BLOCK_K", _fa.SP_BLOCK_K))
+    print(f"SP_BLOCK_Q={_fa.SP_BLOCK_Q} SP_BLOCK_K={_fa.SP_BLOCK_K} "
+          f"shared={shared}", flush=True)
     from video3d_tpu.constants import IMAGE_TOKEN_INDEX
     from video3d_tpu.models import generate as gen
     from video3d_tpu.models import llava_video3d as lv3d
@@ -494,8 +573,8 @@ def run_ctx32k(L: int = 32768, iters: int = 1, chunk: int = 4096):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["chain", "stages", "mc-chain", "prefix",
-                                     "ctx32k"])
+    ap.add_argument("mode", choices=["chain", "stages", "mc-chain",
+                                     "mc-profile", "prefix", "ctx32k"])
     ap.add_argument("--w8a8", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-shared-prefix", action="store_true",
@@ -513,6 +592,8 @@ if __name__ == "__main__":
         run_stages(a.w8a8)
     elif a.mode == "mc-chain":
         run_mc_chain(pool=a.pool, occ_impl=a.occ_impl)
+    elif a.mode == "mc-profile":
+        run_mc_profile(pool=a.pool, occ_impl=a.occ_impl)
     elif a.mode == "prefix":
         run_prefix(B=a.batch, shared=not a.no_shared_prefix)
     else:

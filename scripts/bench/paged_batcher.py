@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--w-int8", action="store_true",
                     help="int8-quantize the decoder weights (required to "
                          "fit 28 layers + cache on one v5e chip)")
+    ap.add_argument("--full-grid", action="store_true",
+                    help="A/B: force the r3 (B*KV, maxp) grid instead of "
+                         "the r4 ragged live-page worklist")
     ap.add_argument("--long-slots", type=int, default=1,
                     help="slots at ~cache-len live length (the rest sit at "
                          "512): 1 = the classic one-long mix, --slots = "
@@ -60,7 +63,10 @@ def main():
                          "VERDICT r3 #3)")
     a = ap.parse_args()
 
+    from video3d_tpu.kernels import paged_attention as _pa
     from video3d_tpu.models import generate, qwen2
+
+    _pa.RAGGED_GRID = not a.full_grid
 
     cfg = make_cfg(a.layers)
     if a.w_int8:
@@ -128,7 +134,8 @@ def main():
     print(json.dumps({
         "mode": f"{a.mode}{'_int8' if a.int8 else ''}"
                 f"{'_w8' if a.w_int8 else ''}_{a.layers}L"
-                f"_c{a.cache_len}_long{a.long_slots}",
+                f"_c{a.cache_len}_long{a.long_slots}"
+                f"{'_fullgrid' if a.full_grid else ''}",
         "slots": S, "chunk": a.chunk,
         "ms_per_step": round(1e3 * dt / a.chunk, 3),
         "tok_per_s_total": round(tok_s, 1),

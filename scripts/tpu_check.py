@@ -185,30 +185,50 @@ def main():
                   keepdims=True) / 7.0 + 1e-8
     v4s = jnp.max(jnp.abs(vc).astype(jnp.float32), axis=-1,
                   keepdims=True) / 7.0 + 1e-8
-    k4 = jnp.clip(jnp.round(kc.astype(jnp.float32) / k4s), -7, 7) \
-        .astype(jnp.int4)
-    v4 = jnp.clip(jnp.round(vc.astype(jnp.float32) / v4s), -7, 7) \
-        .astype(jnp.int4)
-    out = jax.jit(decode_attention)(qd, k4, v4, kv_len, k_scale=k4s,
-                                    v_scale=v4s)
+    # int4 arrays never cross the jit boundary: passing an int4 device
+    # array as a jit ARG trips a device_put "Recursively calling jit"
+    # RecursionError on the axon tunnel platform (r4) — quantize INSIDE
+    # the jit from int8 carriers instead (bit-identical values)
+    k4i = jnp.clip(jnp.round(kc.astype(jnp.float32) / k4s), -7, 7) \
+        .astype(jnp.int8)
+    v4i = jnp.clip(jnp.round(vc.astype(jnp.float32) / v4s), -7, 7) \
+        .astype(jnp.int8)
+    out = jax.jit(lambda q_, k_, v_, l_, ks_, vs_: decode_attention(
+        q_, k_.astype(jnp.int4), v_.astype(jnp.int4), l_, k_scale=ks_,
+        v_scale=vs_))(qd, k4i, v4i, kv_len, k4s, v4s)
     ref = mha_reference(qd.astype(jnp.float32),
-                        k4.astype(jnp.float32) * k4s,
-                        v4.astype(jnp.float32) * v4s,
+                        k4i.astype(jnp.float32) * k4s,
+                        v4i.astype(jnp.float32) * v4s,
                         q_positions=(kv_len - 1)[:, None], kv_len=kv_len)
     check("decode_attention int4", out, ref, atol=3e-2)
 
-    k4g = jnp.clip(jnp.round(kg.astype(jnp.float32) * 4), -7, 7) \
-        .astype(jnp.int4)
-    v4g = jnp.clip(jnp.round(vg.astype(jnp.float32) * 4), -7, 7) \
-        .astype(jnp.int4)
+    k4gi = jnp.clip(jnp.round(kg.astype(jnp.float32) * 4), -7, 7) \
+        .astype(jnp.int8)
+    v4gi = jnp.clip(jnp.round(vg.astype(jnp.float32) * 4), -7, 7) \
+        .astype(jnp.int8)
     sc4 = jnp.full((B, Sg, KVg, 1), 1 / 4, jnp.float32)
-    out = jax.jit(flash_attention_gqa_folded)(qg, k4g, v4g, lens_g, offs,
-                                              k_scale=sc4, v_scale=sc4)
+    out = jax.jit(lambda q_, k_, v_, l_, o_, ks_, vs_:
+                  flash_attention_gqa_folded(
+                      q_, k_.astype(jnp.int4), v_.astype(jnp.int4), l_, o_,
+                      k_scale=ks_, v_scale=vs_))(
+        qg, k4gi, v4gi, lens_g, offs, sc4, sc4)
     ref = mha_reference(qg.astype(jnp.float32),
-                        k4g.astype(jnp.float32) / 4,
-                        v4g.astype(jnp.float32) / 4, causal=True,
+                        k4gi.astype(jnp.float32) / 4,
+                        v4gi.astype(jnp.float32) / 4, causal=True,
                         q_positions=qpos, kv_len=lens_g)
     check("flash_attention gqa-folded int4 cache", out, ref, atol=8e-2)
+
+    # --- blocked long-cache decode (S > single-pass VMEM budget, r4) ------
+    Sl = 12288
+    kl = jax.random.normal(nk(), (1, Sl, KV, hd), jnp.bfloat16)
+    vl = jax.random.normal(nk(), (1, Sl, KV, hd), jnp.bfloat16)
+    lenl = jnp.asarray([Sl - 100], jnp.int32)
+    qdl = jax.random.normal(nk(), (1, 1, H, hd), jnp.bfloat16)
+    out = jax.jit(decode_attention)(qdl, kl, vl, lenl)
+    ref = mha_reference(qdl.astype(jnp.float32), kl.astype(jnp.float32),
+                        vl.astype(jnp.float32),
+                        q_positions=(lenl - 1)[:, None], kv_len=lenl)
+    check("decode_attention blocked 12k cache", out, ref, atol=2e-2)
 
     # --- paged decode attention (via the dispatcher, hits the kernel) ------
     P, page, maxp = 8, 128, 3

@@ -127,3 +127,50 @@ class TestQuantizedDecodeKernel:
             cos = (got * exact).sum() / (
                 np.linalg.norm(got) * np.linalg.norm(exact))
             assert cos > min_cos, (dtype, cos)
+
+
+class TestBlockedLongCache:
+    """S above _BLOCKED_THRESHOLD routes through the S-blocked online-
+    softmax kernel (r4: the single-pass slab compile-OOMs VMEM at 32k) —
+    results must match the reference exactly like the single-pass path."""
+
+    def test_blocked_matches_reference(self):
+        B, S, H, KV, hd = 2, 12288, 4, 2, 128
+        q, k, v = make(B, S, H, KV, hd)
+        kv_len = jnp.asarray([S, 5000], jnp.int32)
+        ref = mha_reference(q, k, v, q_positions=(kv_len - 1)[:, None],
+                            kv_len=kv_len)
+        got = decode_attention(q, k, v, kv_len, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_blocked_int8_matches_dequantized(self):
+        B, S, H, KV, hd = 1, 9000, 4, 2, 128
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(rng.normal(size=(B, 1, H, hd)).astype(np.float32))
+        k8 = jnp.asarray(rng.integers(-127, 128, (B, S, KV, hd)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, (B, S, KV, hd)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, S, KV, 1))
+                         .astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, S, KV, 1))
+                         .astype(np.float32))
+        kv_len = jnp.asarray([7321], jnp.int32)
+        ref = mha_reference(q, k8.astype(jnp.float32) * ks,
+                            v8.astype(jnp.float32) * vs,
+                            q_positions=(kv_len - 1)[:, None], kv_len=kv_len)
+        got = decode_attention(q, k8, v8, kv_len, k_scale=ks, v_scale=vs,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_ragged_tail_block(self):
+        """S not a multiple of the block size: the tail block's
+        out-of-range columns are masked by kv_len."""
+        B, S, H, KV, hd = 1, 8192 + 700, 4, 2, 128
+        q, k, v = make(B, S, H, KV, hd, seed=5)
+        kv_len = jnp.asarray([S], jnp.int32)
+        ref = mha_reference(q, k, v, q_positions=(kv_len - 1)[:, None],
+                            kv_len=kv_len)
+        got = decode_attention(q, k, v, kv_len, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

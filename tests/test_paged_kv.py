@@ -266,3 +266,47 @@ class TestPoolManagement:
             kv_len=jnp.asarray([L - 3]))
         np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
                                    atol=1e-2, rtol=1e-2)
+
+
+class TestRaggedGrid:
+    """r4 ragged-worklist paged decode kernel: the grid covers LIVE pages
+    only (bounded by the pool size). Must equal the full-grid kernel and
+    the oracle across heterogeneous mixes, pool-tight worklists, and
+    padding-heavy tails."""
+
+    @pytest.mark.parametrize("int8", [False, True])
+    @pytest.mark.parametrize("lens_case", ["hetero", "all_short",
+                                           "all_full", "tight"])
+    def test_ragged_vs_full_grid_and_oracle(self, int8, lens_case):
+        from video3d_tpu.kernels import paged_attention as pa
+
+        rng = np.random.default_rng(13)
+        B, H, KV, hd, page, maxp = 4, 4, 2, 128, 128, 4
+        P = 1 + B * maxp if lens_case != "tight" else 1 + B  # tight pool
+        q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.bfloat16)
+        k_p, v_p, ks_p, vs_p = random_pool(rng, P, KV, page, hd, int8=int8)
+        table = np.stack([rng.permutation(P - 1)[:maxp] + 1
+                          for _ in range(B)]).astype(np.int32)
+        lens = {
+            "hetero": [1, page + 7, 3 * page, maxp * page],
+            "all_short": [5, 9, 2, page],
+            "all_full": [maxp * page] * B,
+            "tight": [page, page - 3, 1, page],
+        }[lens_case]
+        lens = jnp.asarray(lens, jnp.int32)
+
+        outs = {}
+        for ragged in (True, False):
+            pa.RAGGED_GRID = ragged
+            try:
+                outs[ragged] = np.asarray(pa.paged_decode_attention(
+                    q, k_p, v_p, jnp.asarray(table), lens,
+                    k_scale=ks_p, v_scale=vs_p, interpret=True), np.float32)
+            finally:
+                pa.RAGGED_GRID = True
+        ref = np.asarray(pa.paged_attention_reference(
+            q, k_p, v_p, jnp.asarray(table), lens, k_scale=ks_p,
+            v_scale=vs_p), np.float32)
+        np.testing.assert_allclose(outs[True], ref, atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   atol=2e-2, rtol=2e-2)

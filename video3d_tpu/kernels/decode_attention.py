@@ -87,6 +87,76 @@ def _decode_kernel_int8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
 
 
+def _decode_kernel_blocked(len_ref, q_ref, k_ref, v_ref, *rest,
+                           kv_heads: int, block_s: int,
+                           quantized: bool):
+    """S-blocked online-softmax variant for LONG caches: the single-pass
+    kernel's whole-(S, hd) slab overflows the ~16 MB VMEM scope at
+    S = 32k (int8 k+v alone are 8 MB; the f32 score temps push past the
+    limit — measured compile OOM, BENCH_NOTES r4 32k-decode section), so
+    blocks of ``block_s`` positions stream through the same online
+    softmax as kernels/flash_attention.py; blocks past the sample's
+    kv_len are skipped entirely."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    b = i // kv_heads
+    kv_len = len_ref[b, 0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    base = j * block_s
+
+    @pl.when(base < kv_len)
+    def _step():
+        q = q_ref[0].astype(jnp.float32)                  # (G, hd)
+        k = k_ref[0].astype(jnp.float32)                  # (block_s, hd)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (G, block_s)
+        if quantized:
+            s = s * ks_ref[0]
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[0]
+        # the tail block can read past the array edge (S % block_s != 0):
+        # those p entries are exactly 0, but 0 * NaN(v garbage) would still
+        # poison the dot — zero both sides explicitly
+        p = jnp.where(pos < kv_len, p, 0.0)
+        vpos = base + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(vpos < kv_len, v, 0.0)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+# single-pass VMEM budget: above this S the blocked kernel takes over
+_BLOCKED_THRESHOLD = 8192
+_BLOCK_S = 4096
+
+
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      kv_len: jax.Array, sm_scale: float | None = None,
                      k_scale: jax.Array | None = None,
@@ -117,6 +187,43 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     kt = k_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
     vt = v_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
     lens = kv_len.astype(jnp.int32).reshape(B, 1)
+
+    if S > _BLOCKED_THRESHOLD:
+        from jax.experimental.pallas import tpu as pltpu
+
+        bs = _BLOCK_S
+        nj = -(-S // bs)
+        scratch = [
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, hd), jnp.float32),
+        ]
+        qkv = [
+            pl.BlockSpec((1, G, hd), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bs, hd), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bs, hd), lambda i, j: (i, j, 0)),
+        ]
+        quantized = k_scale is not None
+        extra_in, extra_specs = [], []
+        if quantized:
+            ks = k_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
+            vs = v_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
+            extra_in = [ks.astype(jnp.float32), vs.astype(jnp.float32)]
+            extra_specs = [pl.BlockSpec((1, 1, bs), lambda i, j: (i, 0, j)),
+                           pl.BlockSpec((1, 1, bs), lambda i, j: (i, 0, j))]
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_blocked, kv_heads=KV,
+                              block_s=bs, quantized=quantized),
+            grid=(B * KV, nj),
+            in_specs=[_smem_spec(interpret),
+                      qkv[0], qkv[1], qkv[2]] + extra_specs,
+            out_specs=pl.BlockSpec((1, G, hd), lambda i, j: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+            scratch_shapes=scratch,
+            compiler_params=_arbitrary_k(),
+            interpret=interpret,
+        )(lens, qg, kt, vt, *extra_in)
+        return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
     qkv_specs = [
         pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
@@ -153,3 +260,10 @@ def _smem_spec(interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _arbitrary_k():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))

@@ -134,6 +134,77 @@ def _paged_kernel_int8(table_ref, len_ref, q_ref, k_ref, v_ref, ks_ref,
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _ragged_kernel(slot_ref, pid_ref, jj_ref, npages_ref, len_ref,
+                   q_ref, k_ref, v_ref, *rest, kv_heads: int, page: int,
+                   quantized: bool):
+    """Ragged-worklist variant: the grid walks LIVE pages only.
+
+    The full grid (B*KV, maxp) burns a grid step per DEAD page too — at
+    32k budgets (maxp = 256) with mostly-short slots that is ~7x more
+    steps than live pages, and the step overhead dominated the measured
+    51 ms/step (BENCH_NOTES r4 32k-decode section). Here the wrapper
+    compacts (slot, page-within-slot) pairs of live pages into a
+    worklist bounded by the POOL size (every live page is an allocated
+    pool page, so sum(live) <= P by construction); the kernel streams
+    exactly those. Slot runs are contiguous, so the online-softmax
+    scratch carries across a slot's pages and finalizes on its last
+    page; padding steps (jj < 0) keep the previous indices (fetches
+    elide) and touch nothing.
+    """
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+    w = pl.program_id(1)
+    j = jj_ref[w]
+    b = slot_ref[w]
+    valid = j >= 0
+    kv_len = len_ref[b]
+    last = valid & (j == npages_ref[b] - 1)
+
+    @pl.when(valid & (j == 0))
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(valid)
+    def _step():
+        q = q_ref[0].astype(jnp.float32)              # (G, hd)
+        k = k_ref[0, 0].astype(jnp.float32)           # (page, hd)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (G, page)
+        if quantized:
+            s = s * ks_ref[0, 0]
+        pos = j * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[0, 0]
+        p = jnp.where(pos < kv_len, p, 0.0)   # kill 0*stale products exactly
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(last)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)) \
+            .astype(o_ref.dtype)
+
+
+# escape hatch for A/B (scripts/bench/paged_batcher.py --full-grid)
+RAGGED_GRID = True
+
+
 def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, page_table: jax.Array,
                            kv_len: jax.Array,
@@ -165,6 +236,69 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     qg = qg.transpose(0, 1, 2, 3).reshape(B * KV, G, hd)
     lens = kv_len.astype(jnp.int32)
     table = page_table.astype(jnp.int32)
+
+    if RAGGED_GRID:
+        # ---- compacted live-page worklist (bounded by the pool size) ----
+        W = P
+        npages = (lens + page - 1) // page                  # (B,)
+        csum = jnp.cumsum(npages)
+        total = csum[-1]
+        w = jnp.arange(W, dtype=jnp.int32)
+        b_of = jnp.searchsorted(csum, w, side="right").astype(jnp.int32)
+        bc = jnp.minimum(b_of, B - 1)
+        starts = csum - npages                              # exclusive
+        j_of = w - starts[bc]
+        valid = w < total
+        # padding steps repeat the LAST valid work item's indices so their
+        # block fetches elide and no state is touched (jj = -1 skips)
+        lb = jnp.searchsorted(csum, total - 1, side="right") \
+            .astype(jnp.int32)
+        lb = jnp.minimum(lb, B - 1)
+        lj = (total - 1) - starts[lb]
+        wl_slot = jnp.where(valid, bc, lb)
+        wl_j = jnp.where(valid, j_of, -1)
+        jt = jnp.clip(jnp.where(valid, j_of, lj), 0, maxp - 1)
+        wl_pid = table[wl_slot, jt]
+
+        def rq_index(kv, w_, sl, pid, jj, np_, ln):
+            return (sl[w_] * KV + kv, 0, 0)
+
+        def rkv_index(kv, w_, sl, pid, jj, np_, ln):
+            return (pid[w_], kv, 0, 0)
+
+        scratch = [
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, hd), jnp.float32),
+        ]
+        quantized = k_scale is not None
+        in_specs = [
+            pl.BlockSpec((1, G, hd), rq_index),
+            pl.BlockSpec((1, 1, page, hd), rkv_index),
+            pl.BlockSpec((1, 1, page, hd), rkv_index),
+        ]
+        extra = []
+        if quantized:
+            in_specs += [pl.BlockSpec((1, 1, 1, page), rkv_index),
+                         pl.BlockSpec((1, 1, 1, page), rkv_index)]
+            extra = [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(KV, W),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, G, hd), rq_index),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            functools.partial(_ragged_kernel, kv_heads=KV, page=page,
+                              quantized=quantized),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+            interpret=interpret,
+        )(wl_slot, wl_pid, wl_j, npages.astype(jnp.int32), lens,
+          qg, k_pages, v_pages, *extra)
+        return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
     def q_index(i, j, tbl, ln):
         return (i, 0, 0)

@@ -64,7 +64,10 @@ def scene_universe(scene_vox: jax.Array, scene_valid: jax.Array = None
     hi = jnp.where(valid[:, None], flat, -big).max(axis=0)
     sizes = jnp.maximum(hi - lo + 1, 1)
     ids = jnp.where(valid, _linear_ids(flat, lo, sizes), _SENTINEL)
-    return jnp.sort(ids), lo, sizes
+    # lax.sort(is_stable=False): pure key sort — stability is
+    # meaningless for equal int keys and the stable network is ~2x
+    # the comparators on TPU
+    return jax.lax.sort(ids, is_stable=False), lo, sizes
 
 
 def membership_bitmap(vox: jax.Array, sorted_ids: jax.Array,
@@ -81,7 +84,7 @@ def membership_bitmap(vox: jax.Array, sorted_ids: jax.Array,
     """
     pids = _linear_ids(vox.reshape(-1, 3), lo, sizes)
     n = pids.shape[0]
-    sp = jnp.sort(pids)                          # -1 (non-members) sort first
+    sp = jax.lax.sort(pids, is_stable=False)    # -1 (non-members) sort first
     idx = jnp.searchsorted(sp, sorted_ids)
     hit = ((sorted_ids != _SENTINEL) & (idx < n)
            & (sp[jnp.minimum(idx, n - 1)] == sorted_ids))
@@ -143,9 +146,12 @@ def frame_occupancy_mm(frame_vox: jax.Array, sorted_ids: jax.Array,
 
 
 # A/B escape hatch (scripts/bench/flagship32.py mc-chain --occ-impl):
-# read at TRACE time. "mm" = sort-free MXU histogram (default),
-# "sort" = the round-3 per-frame sort + searchsorted formulation.
-OCC_IMPL = "mm"
+# read at TRACE time. "sort" = the per-frame sort + searchsorted
+# formulation (default), "mm" = the sort-free MXU histogram. Measured
+# on chip r4: "mm" is 2.6x SLOWER in the 64-frame chain (3848 vs
+# 1472 ms — the 20M-query searchsorted gathers dominate), so it stays a
+# documented negative result; the bit-exactness tests keep both honest.
+OCC_IMPL = "sort"
 
 
 @functools.partial(jax.jit, static_argnames=("max_frames", "ratio"))
