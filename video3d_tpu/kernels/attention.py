@@ -280,7 +280,7 @@ def mha_shared_prefix(q: jax.Array, pk: jax.Array, pv: jax.Array,
         return fa.flash_attention_shared_prefix(
             q, pk, pv, sk, sv, suffix_lens,
             pk_scale=pk_scale, pv_scale=pv_scale,
-            block_q_prefix=fa.SP_BLOCK_Q)
+            block_q_prefix=fa.SP_BLOCK_Q, block_k=fa.SP_BLOCK_K)
     return mha_shared_prefix_reference(q, pk, pv, sk, sv, suffix_lens,
                                        pk_scale=pk_scale,
                                        pv_scale=pv_scale)

@@ -35,7 +35,12 @@ NEG_INF = -1e30
 # by kernels/attention.mha_shared_prefix; V3D_SP_BLOCK_Q env sweeps it in
 # scripts/bench/flagship32.py prefix). Larger = fewer prefix KV re-streams
 # per kv head, more VMEM per program (block_q*block_k f32 scores).
-SP_BLOCK_Q = 896
+# production default 1792/1024: best of the r4 on-chip sweep
+# (q896/k512 8.17 -> q1792/k1024 7.06 ms/question at flagship B=8 —
+# BENCH_NOTES r4 shared-prefix table)
+SP_BLOCK_Q = 1792
+# prefix-pass K-block size companion knob (V3D_SP_BLOCK_K env)
+SP_BLOCK_K = 1024
 
 
 # ---------------------------------------------------------------------------

@@ -155,12 +155,13 @@ def _ragged_kernel(slot_ref, pid_ref, jj_ref, npages_ref, len_ref,
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
-    w = pl.program_id(1)
+    w = pl.program_id(0)
     j = jj_ref[w]
     b = slot_ref[w]
     valid = j >= 0
     kv_len = len_ref[b]
     last = valid & (j == npages_ref[b] - 1)
+    G = q_ref.shape[2]
 
     @pl.when(valid & (j == 0))
     def _init():
@@ -170,35 +171,46 @@ def _ragged_kernel(slot_ref, pid_ref, jj_ref, npages_ref, len_ref,
 
     @pl.when(valid)
     def _step():
-        q = q_ref[0].astype(jnp.float32)              # (G, hd)
-        k = k_ref[0, 0].astype(jnp.float32)           # (page, hd)
-        v = v_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # (G, page)
-        if quantized:
-            s = s * ks_ref[0, 0]
-        pos = j * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < kv_len, s, NEG_INF)
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        if quantized:
-            p = p * vs_ref[0, 0]
-        p = jnp.where(pos < kv_len, p, 0.0)   # kill 0*stale products exactly
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # ALL kv heads of this page in one program (4x fewer grid steps:
+        # the per-program overhead dominated the decode step at 32k
+        # budgets — BENCH_NOTES r4 32k-decode section). The head loop is
+        # a python unroll over the block's kv dim; scratch rows
+        # [kv*G, (kv+1)*G) carry each head's online-softmax state.
+        for kv in range(kv_heads):
+            q = q_ref[0, kv].astype(jnp.float32)          # (G, hd)
+            k = k_ref[0, kv].astype(jnp.float32)          # (page, hd)
+            v = v_ref[0, kv].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (G, page)
+            if quantized:
+                s = s * ks_ref[0, kv]
+            pos = j * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < kv_len, s, NEG_INF)
+            rows = pl.ds(kv * G, G)
+            m_prev = m_scr[rows, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            m_scr[rows, :] = jnp.broadcast_to(m_new, (G, 128))
+            l_scr[rows, :] = l_scr[rows, :] * alpha \
+                + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[0, kv]
+            p = jnp.where(pos < kv_len, p, 0.0)  # kill 0*stale products
+            acc_scr[rows, :] = acc_scr[rows, :] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(last)
     def _finish():
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)) \
-            .astype(o_ref.dtype)
+        for kv in range(kv_heads):
+            rows = pl.ds(kv * G, G)
+            o_ref[0, kv] = (acc_scr[rows, :]
+                            / jnp.maximum(l_scr[rows, :1], 1e-30)) \
+                .astype(o_ref.dtype)
 
 
 # escape hatch for A/B (scripts/bench/paged_batcher.py --full-grid)
@@ -260,44 +272,44 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
         jt = jnp.clip(jnp.where(valid, j_of, lj), 0, maxp - 1)
         wl_pid = table[wl_slot, jt]
 
-        def rq_index(kv, w_, sl, pid, jj, np_, ln):
-            return (sl[w_] * KV + kv, 0, 0)
+        def rq_index(w_, sl, pid, jj, np_, ln):
+            return (sl[w_], 0, 0, 0)
 
-        def rkv_index(kv, w_, sl, pid, jj, np_, ln):
-            return (pid[w_], kv, 0, 0)
+        def rkv_index(w_, sl, pid, jj, np_, ln):
+            return (pid[w_], 0, 0, 0)
 
         scratch = [
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, hd), jnp.float32),
+            pltpu.VMEM((KV * G, 128), jnp.float32),
+            pltpu.VMEM((KV * G, 128), jnp.float32),
+            pltpu.VMEM((KV * G, hd), jnp.float32),
         ]
         quantized = k_scale is not None
         in_specs = [
-            pl.BlockSpec((1, G, hd), rq_index),
-            pl.BlockSpec((1, 1, page, hd), rkv_index),
-            pl.BlockSpec((1, 1, page, hd), rkv_index),
+            pl.BlockSpec((1, KV, G, hd), rq_index),
+            pl.BlockSpec((1, KV, page, hd), rkv_index),
+            pl.BlockSpec((1, KV, page, hd), rkv_index),
         ]
         extra = []
         if quantized:
-            in_specs += [pl.BlockSpec((1, 1, 1, page), rkv_index),
-                         pl.BlockSpec((1, 1, 1, page), rkv_index)]
+            in_specs += [pl.BlockSpec((1, KV, 1, page), rkv_index),
+                         pl.BlockSpec((1, KV, 1, page), rkv_index)]
             extra = [k_scale.astype(jnp.float32),
                      v_scale.astype(jnp.float32)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
-            grid=(KV, W),
+            grid=(W,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, G, hd), rq_index),
+            out_specs=pl.BlockSpec((1, KV, G, hd), rq_index),
             scratch_shapes=scratch,
         )
         out = pl.pallas_call(
             functools.partial(_ragged_kernel, kv_heads=KV, page=page,
                               quantized=quantized),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
             interpret=interpret,
         )(wl_slot, wl_pid, wl_j, npages.astype(jnp.int32), lens,
-          qg, k_pages, v_pages, *extra)
+          qg.reshape(B, KV, G, hd), k_pages, v_pages, *extra)
         return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
     def q_index(i, j, tbl, ln):

@@ -330,7 +330,10 @@ def start_decode_prefix(params, cfg: ModelConfig, batch: lv3d.Batch,
     # (row, q-block) — the scene-grouped batched suffix prefill win
     # (kernels/attention.mha_shared_prefix; VERDICT r3 #1).
     shared = None
-    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1:
+    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1 and B > 1:
+        # B > 1 only: at B=1 the folded row count equals the old layout's,
+        # so the split pays its second kernel + merge for no stream win
+        # (measured 16.6 vs 15.4 ms on chip, BENCH_NOTES r4).
         # slice to prefix_len: the shared path attends every prefix slot
         # UNMASKED (they all precede the suffix positions), so pad slots
         # beyond the true prefix must not reach the kernel
@@ -388,7 +391,7 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
     cache_positions = prefix_len + jnp.broadcast_to(
         jnp.arange(Ls)[None], (B, Ls))
     shared = None
-    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1:      # shared-prefix attention (see above)
+    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1 and B > 1:      # shared-prefix attention (see above; B>1 only)
         shared = qwen2.KVCache(
             prefix.k[:, 0, :prefix_len], prefix.v[:, 0, :prefix_len],
             None if prefix.k_scale is None

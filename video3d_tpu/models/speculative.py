@@ -189,7 +189,7 @@ def spec_prefill_prefix(params, draft_params, cfg: ModelConfig,
         # (prefix KV streamed once for all rows; generate.py contract)
         shared = None
         from video3d_tpu.models.generate import SHARED_PREFIX_ATTN
-        if SHARED_PREFIX_ATTN and pre.k.shape[1] == 1:
+        if SHARED_PREFIX_ATTN and pre.k.shape[1] == 1 and B > 1:
             shared = qwen2.KVCache(
                 pre.k[:, 0, :prefix_len], pre.v[:, 0, :prefix_len],
                 None if pre.k_scale is None

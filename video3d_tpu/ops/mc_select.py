@@ -4,10 +4,10 @@ The reference precomputes the greedy set-cover order offline with Python
 sets over voxel tuples (max_coverage_sampling.py:68-94) — minutes per scene
 on CPU. Here the whole selection runs jitted on the TPU: the cover universe
 is the scene point-cloud voxel list itself, frame coverage is an exact
-membership bitmap over that list (linearized voxel ids + one sort + batched
-``searchsorted`` — a perfect, collision-free mapping, unlike the spatial
-hash this replaced), and the greedy loop is a ``lax.fori_loop`` of masked
-popcount-argmax steps — O(max_frames * V * M) vectorized bit math instead
+membership bitmap over that list (linearized voxel ids + tagged
+merge-by-sort — a perfect, collision-free mapping, unlike the spatial
+hash this replaced, with no TPU scatters or gathers), and the greedy loop
+is a ``lax.while_loop`` of masked popcount-argmax steps — O(max_frames * V * M) vectorized bit math instead
 of Python set algebra, with M = |scene voxels| (typically 10-500k, far
 smaller than a hash table sized for a low collision rate).
 
@@ -34,8 +34,9 @@ def _linear_ids(vox: jax.Array, lo: jax.Array, sizes: jax.Array
     """(..., 3) voxels -> (...,) exact linear id in the scene's bounding
     grid, or -1 for voxels outside it (they cannot be scene members).
 
-    Exact as long as the scene bounding grid has < 2^31 cells — ScanNet at
-    0.1 m voxels is ~300^3 = 2.7e7, four decimal orders under the limit.
+    Exact as long as the scene bounding grid has < 2^30 cells (the
+    membership merge-by-sort packs a tag bit next to the id) — ScanNet at
+    0.1 m voxels is ~300^3 = 2.7e7, orders of magnitude under the limit.
     """
     rel = vox.astype(jnp.int32) - lo
     inside = jnp.all((rel >= 0) & (rel < sizes), axis=-1)
@@ -74,20 +75,39 @@ def membership_bitmap(vox: jax.Array, sorted_ids: jax.Array,
                       lo: jax.Array, sizes: jax.Array) -> jax.Array:
     """(N, 3) voxels -> (M,) bool: which scene-universe slots they cover.
 
-    Direction matters for speed: the frame side is large (N ~ 3e5 pixels)
-    and the scene side small (M ~ 1e4-5e5), so we sort the FRAME ids once
-    and binary-search the M scene ids into them — M queries instead of N,
-    and no N-element scatter (TPU scatters serialize; the old
-    scatter-per-frame formulation cost ~2.5 s for a 64-frame pool on chip,
-    BENCH_NOTES r3). Duplicate scene slots are masked to their first
+    Merge-by-sort membership: sorts are the ONLY bulk primitive this
+    touches — no scatters (TPU scatters serialize: the r2
+    scatter-per-frame formulation cost ~2.5 s for a 64-frame pool) and
+    no gathers (r4: searchsorted's gather steps were ~520 ms of the
+    occupancy build). Duplicate scene slots are masked to their first
     occurrence so each distinct voxel is still counted exactly once.
     """
     pids = _linear_ids(vox.reshape(-1, 3), lo, sizes)
-    n = pids.shape[0]
-    sp = jax.lax.sort(pids, is_stable=False)    # -1 (non-members) sort first
-    idx = jnp.searchsorted(sp, sorted_ids)
-    hit = ((sorted_ids != _SENTINEL) & (idx < n)
-           & (sp[jnp.minimum(idx, n - 1)] == sorted_ids))
+    M = sorted_ids.shape[0]
+    # Membership with ZERO gathers (TPU gathers, not sorts, were the cost:
+    # searchsorted 'scan' = log2(N) sequential gather steps, ~520 of the
+    # 543 ms on-chip occupancy build; method='sort' still gathers
+    # internally — 422 ms. BENCH_NOTES r4 mc-profile). Merge-by-sort:
+    #   key = (id << 1) | tag   (tag 1 = scene query, 0 = frame pixel;
+    #                            exact while the grid has < 2^30 cells —
+    #                            ScanNet at 0.1 m is ~2.7e7)
+    # After ONE key sort, a pixel with the same id sorts immediately
+    # before its queries, so "query whose left neighbor shares its id" is
+    # exactly membership (a query preceded by an equal QUERY is a
+    # duplicate scene slot — masked by the `first` dedup below). A second
+    # stable partition sort by (1 - tag) compacts the query bits back
+    # into sorted_ids order (queries keep their relative order: they were
+    # already sorted). Everything is shifts, compares and two sorts.
+    qk = jnp.where(sorted_ids == _SENTINEL, _SENTINEL,
+                   (sorted_ids << 1) | 1)
+    pk = pids << 1                           # -1 -> -2: sorts first, tag 0
+    sk = jax.lax.sort(jnp.concatenate([qk, pk]), is_stable=False)
+    tag = sk & 1
+    ids = sk >> 1
+    prev = jnp.concatenate([jnp.full((1,), -(2 ** 30), sk.dtype), ids[:-1]])
+    member = ((tag == 1) & (ids == prev)).astype(jnp.int32)
+    _, bits = jax.lax.sort((1 - tag, member), is_stable=True, num_keys=1)
+    hit = (bits[:M] == 1) & (sorted_ids != _SENTINEL)
     # dedup: only the first of equal adjacent scene slots counts
     first = jnp.concatenate([jnp.ones((1,), bool),
                              sorted_ids[1:] != sorted_ids[:-1]])
