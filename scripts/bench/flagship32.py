@@ -427,8 +427,9 @@ def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
 
     _fa.SP_BLOCK_Q = int(os.environ.get("V3D_SP_BLOCK_Q", _fa.SP_BLOCK_Q))
     _fa.SP_BLOCK_K = int(os.environ.get("V3D_SP_BLOCK_K", _fa.SP_BLOCK_K))
+    _fa.SP_FUSED = os.environ.get("V3D_SP_FUSED", "1") != "0"
     print(f"SP_BLOCK_Q={_fa.SP_BLOCK_Q} SP_BLOCK_K={_fa.SP_BLOCK_K} "
-          f"shared={shared}", flush=True)
+          f"fused={_fa.SP_FUSED} shared={shared}", flush=True)
     from video3d_tpu.constants import IMAGE_TOKEN_INDEX
     from video3d_tpu.models import generate as gen
     from video3d_tpu.models import llava_video3d as lv3d

@@ -153,6 +153,25 @@ def main():
     check("flash_attention shared-prefix int8", out * valid_sp,
           ref * valid_sp, atol=4e-2)
 
+    # the split (two-kernel + lse merge) variant stays checked on chip too
+    from video3d_tpu.kernels import flash_attention as _fa
+
+    _fa.SP_FUSED = False
+    try:
+        # distinct static block args -> fresh trace (the module flag is
+        # read at trace time; the default-args trace is already cached)
+        out = flash_attention_shared_prefix(qg, pk, pv, skg, svg, slens,
+                                            block_q_prefix=512,
+                                            block_k=512)
+    finally:
+        _fa.SP_FUSED = True
+    ref = mha_shared_prefix_reference(
+        qg.astype(jnp.float32), pk.astype(jnp.float32),
+        pv.astype(jnp.float32), skg.astype(jnp.float32),
+        svg.astype(jnp.float32), slens)
+    check("flash_attention shared-prefix split", out * valid_sp,
+          ref * valid_sp, atol=2e-2)
+
     # --- decode attention (bf16 cache, then int8 cache + scales) -----------
     S = 256
     qd = jax.random.normal(nk(), (B, 1, H, hd), jnp.bfloat16)

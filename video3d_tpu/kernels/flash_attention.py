@@ -486,6 +486,102 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, H, L, hd).transpose(0, 2, 1, 3)
 
 
+def _sp_fused_kernel(q_ref, k_ref, v_ref, sk_ref, sv_ref, *rest,
+                     sm_scale: float, block_q: int, block_k: int,
+                     group: int, L: int, Ls_pad: int, nkp: int,
+                     prefix_len: int, quantized: bool):
+    """Fused shared-prefix attention: ONE kernel per layer.
+
+    Grid (KV, nq, nkp + 1). Steps ki < nkp stream the SHARED prefix KV
+    (non-causal: every suffix query position follows every prefix
+    position; mask cols < prefix_len). The FINAL step attends the whole
+    batch's suffix K/V — resident as one (B*Ls, hd) block, fetched once
+    per kv head — with the block-diagonal causal mask
+    (col // Ls == row's batch index, col % Ls <= row's query index).
+    Removes the split version's second pallas launch + logsumexp merge
+    per layer (BENCH_NOTES r4 shared-prefix table). Row layout is
+    b-major: row = b*L*group + r*group + g.
+    """
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    Lg = L * group
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    @pl.when((ki < nkp) & (ki * block_k < prefix_len))
+    def _prefix_step():
+        q = q_ref[0].astype(jnp.float32)            # (block_q, hd)
+        k = k_ref[0].astype(jnp.float32)            # (block_k, hd)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if quantized:
+            s = s * ks_ref[0]
+        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < prefix_len, s, NEG_INF)
+
+        m_prev = m_scratch[:]
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[:] = l_prev * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+        if quantized:
+            p = p * vs_ref[0]
+        acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scratch[:] = m_next
+
+    @pl.when(ki == nk - 1)
+    def _suffix_step_and_finish():
+        q = q_ref[0].astype(jnp.float32)            # (block_q, hd)
+        sk = sk_ref[0].astype(jnp.float32)          # (B*Ls_pad, hd)
+        sv = sv_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, sk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        b_row = rows // Lg
+        r_row = (rows % Lg) // group
+        # suffix keys are laid per row in Ls_pad strides
+        allow = ((cols // Ls_pad == b_row)
+                 & (cols % Ls_pad <= r_row) & (cols % Ls_pad < L))
+        s = jnp.where(allow, s, NEG_INF)
+
+        m_prev = m_scratch[:]
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = l_prev * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+        acc = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
+            p, sv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / jnp.maximum(l_next[:, :1], 1e-30)) \
+            .astype(o_ref.dtype)
+
+
+# fused (single-kernel) shared-prefix path toggle; the split two-kernel +
+# merge variant stays for A/B (V3D_SP_FUSED=0)
+SP_FUSED = True
+
+
 @functools.partial(jax.jit, static_argnames=("block_q_prefix", "block_k",
                                              "interpret", "sm_scale"))
 def flash_attention_shared_prefix(q: jax.Array,
@@ -551,6 +647,12 @@ def flash_attention_shared_prefix(q: jax.Array,
     # row = b*(L*group) + r*group + g within each kv head's superrow
     q5 = q.reshape(B, L, KV, group, hd)
     qp = q5.transpose(2, 0, 1, 3, 4).reshape(KV, R, hd)
+
+    if SP_FUSED and Ls == L and hd % 128 == 0:
+        return _shared_prefix_fused(qp, pk, pv, sk, sv, B, L, KV, group, hd,
+                                    P, sm_scale, pk_scale, pv_scale,
+                                    block_q_prefix, block_k, interpret
+                                    ).astype(q.dtype)
 
     # ---- 1. prefix pass (non-causal, shared KV) ----
     kf = pk.transpose(1, 0, 2)                       # (KV, P, hd)
@@ -725,3 +827,84 @@ def flash_attention_gqa_folded(q: jax.Array, k: jax.Array, v: jax.Array,
     return (out.reshape(B, KV, L, group, hd)
                .transpose(0, 2, 1, 3, 4)
                .reshape(B, L, H, hd))
+
+
+def _shared_prefix_fused(qp, pk, pv, sk, sv, B, L, KV, group, hd, P,
+                         sm_scale, pk_scale, pv_scale, block_q, block_k,
+                         interpret):
+    """Single-kernel shared-prefix attention (see _sp_fused_kernel).
+
+    ``qp`` is the b-major folded query layout (KV, B*L*group, hd); the
+    suffix K/V ride as ONE resident (B*Ls_pad, hd) block per kv head.
+    Production contract: the suffix IS the chunk (Ls == L).
+    """
+    R = B * L * group
+    bq = min(block_q, -(-R // 128) * 128)
+    bk = min(block_k, -(-P // 128) * 128)
+    Rp = -(-R // bq) * bq
+    Pp = -(-P // bk) * bk
+    nkp = Pp // bk
+    Ls_pad = -(-L // 128) * 128
+
+    if Rp != R:
+        qp = jnp.pad(qp, ((0, 0), (0, Rp - R), (0, 0)))
+    kf = pk.transpose(1, 0, 2)                       # (KV, P, hd)
+    vf = pv.transpose(1, 0, 2)
+    if Pp != P:
+        kf = jnp.pad(kf, ((0, 0), (0, Pp - P), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Pp - P), (0, 0)))
+    ksf = vsf = None
+    if pk_scale is not None:
+        ksf = pk_scale.transpose(1, 2, 0)            # (KV, 1, P)
+        vsf = pv_scale.transpose(1, 2, 0)
+        if Pp != P:
+            ksf = jnp.pad(ksf, ((0, 0), (0, 0), (0, Pp - P)))
+            vsf = jnp.pad(vsf, ((0, 0), (0, 0), (0, Pp - P)))
+    # suffix: (B, L, KV, hd) -> per-row Ls_pad stride -> (KV, B*Ls_pad, hd)
+    skp = jnp.pad(sk, ((0, 0), (0, Ls_pad - L), (0, 0), (0, 0)))
+    svp = jnp.pad(sv, ((0, 0), (0, Ls_pad - L), (0, 0), (0, 0)))
+    skf = skp.transpose(2, 0, 1, 3).reshape(KV, B * Ls_pad, hd)
+    svf = svp.transpose(2, 0, 1, 3).reshape(KV, B * Ls_pad, hd)
+
+    def clamp_k(kv, qi, ki):
+        return (kv, jnp.minimum(ki, nkp - 1), 0)
+
+    def clamp_ks(kv, qi, ki):
+        return (kv, 0, jnp.minimum(ki, nkp - 1))
+
+    quantized = ksf is not None
+    in_specs = [
+        pl.BlockSpec((1, bq, hd), lambda kv, qi, ki: (kv, qi, 0)),
+        pl.BlockSpec((1, bk, hd), clamp_k),
+        pl.BlockSpec((1, bk, hd), clamp_k),
+        pl.BlockSpec((1, B * Ls_pad, hd), lambda kv, qi, ki: (kv, 0, 0)),
+        pl.BlockSpec((1, B * Ls_pad, hd), lambda kv, qi, ki: (kv, 0, 0)),
+    ]
+    ins = [qp, kf, vf, skf, svf]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, bk), clamp_ks),
+                     pl.BlockSpec((1, 1, bk), clamp_ks)]
+        ins += [ksf, vsf]
+    out = pl.pallas_call(
+        functools.partial(_sp_fused_kernel, sm_scale=float(sm_scale),
+                          block_q=bq, block_k=bk, group=group, L=L,
+                          Ls_pad=Ls_pad, nkp=nkp, prefix_len=P,
+                          quantized=quantized),
+        grid=(KV, Rp // bq, nkp + 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, hd), lambda kv, qi, ki: (kv, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((KV, Rp, hd), qp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*ins)
+    if Rp != R:
+        out = out[:, :R]
+    # (KV, B*L*group, hd) -> (B, L, H, hd)
+    return (out.reshape(KV, B, L, group, hd)
+               .transpose(1, 2, 0, 3, 4).reshape(B, L, KV * group, hd))
