@@ -118,9 +118,10 @@ def frame_occupancy_mm(frame_vox: jax.Array, sorted_ids: jax.Array,
                        lo: jax.Array, sizes: jax.Array) -> jax.Array:
     """(V, N, 3) voxels -> (V, M) bool occupancy — sort-free, MXU-based.
 
-    :func:`membership_bitmap` sorts each frame's N ~ 3e5 pixel ids (the
-    dominant cost of the in-chain mc selection: 64 XLA sorts of 307k,
-    BENCH_NOTES r4). Here the pixels are never sorted:
+    Alternative formulation to :func:`membership_bitmap` (kept as a
+    documented NEGATIVE result: measured 2.6x slower in-chain on chip —
+    its per-pixel searchsorted gathers dominate; BENCH_NOTES r4). The
+    pixels are never sorted:
 
       1. each pixel binary-searches the ONE sorted scene table
          (M ~ 1e4-5e5 ints — KBs, VMEM-resident) for its slot, or the
