@@ -578,7 +578,9 @@ def _sp_fused_kernel(q_ref, k_ref, v_ref, sk_ref, sv_ref, *rest,
 
 
 # fused (single-kernel) shared-prefix path toggle; the split two-kernel +
-# merge variant stays for A/B (V3D_SP_FUSED=0)
+# merge variant stays for A/B (V3D_SP_FUSED=0 in the bench). Read at
+# TRACE time: flip it before the first call of a process (or change a
+# static block arg) — jit caches the traced value.
 SP_FUSED = True
 
 
