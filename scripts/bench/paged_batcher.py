@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--w-int8", action="store_true",
                     help="int8-quantize the decoder weights (required to "
                          "fit 28 layers + cache on one v5e chip)")
+    ap.add_argument("--page", type=int, default=128,
+                    help="page size (tokens); larger pages amortize the "
+                         "per-page program overhead at long contexts")
     ap.add_argument("--full-grid", action="store_true",
                     help="A/B: force the r3 (B*KV, maxp) grid instead of "
                          "the r4 ragged live-page worklist")
@@ -78,7 +81,7 @@ def main():
     else:
         params = {"llm": qwen2.init_qwen2(jax.random.PRNGKey(0), cfg.llm,
                                           dtype=jnp.bfloat16)}
-    S, page = a.slots, 128
+    S, page = a.slots, a.page
     cache_dtype = jnp.int8 if a.int8 else jnp.bfloat16
     # heterogeneous live lengths: one long context, the rest short — the
     # serving mix paging exists for
