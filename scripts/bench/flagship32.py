@@ -255,7 +255,7 @@ def run_stages(w8a8: bool, iters: int = 5):
     print(json.dumps(results))
 
 
-def run_mc_chain(pool: int = 64, iters: int = 2, occ_impl: str = "mm"):
+def run_mc_chain(pool: int = 64, iters: int = 2, occ_impl: str = "sort"):
     """On-device exact greedy max-coverage selection of 32 from a 64-frame
     pool, inside the chain (full-res voxel ids, reference
     max_coverage_sampling.py semantics; ops/mc_select.py)."""
@@ -581,9 +581,10 @@ if __name__ == "__main__":
     ap.add_argument("--no-shared-prefix", action="store_true",
                     help="A/B: force the round-3 per-row prefix streaming")
     ap.add_argument("--pool", type=int, default=64)
-    ap.add_argument("--occ-impl", choices=("mm", "sort"), default="mm",
-                    help="mc-chain A/B: r4 sort-free MXU occupancy vs the "
-                         "r3 per-frame sort formulation")
+    ap.add_argument("--occ-impl", choices=("mm", "sort"), default="sort",
+                    help="mc-chain A/B: 'sort' = production merge-by-sort "
+                         "membership; 'mm' = the MXU-histogram NEGATIVE "
+                         "result (2.6x slower on chip, kept for honesty)")
     ap.add_argument("--len", type=int, default=32768)
     a = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)

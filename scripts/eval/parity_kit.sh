@@ -98,6 +98,7 @@ for t in "${TASKS[@]}"; do
     rm -f "$ans"
     note "eval $t: $(python -c "import json,sys;print(len(json.load(open(sys.argv[1]))))" "$q") questions, world=$WORLD"
     rc=0
+    pids=()
     for ((RANK = 0; RANK < WORLD; RANK++)); do
         # shellcheck disable=SC2086
         python -m video3d_tpu.cli "eval-${t}" \
@@ -110,8 +111,12 @@ for t in "${TASKS[@]}"; do
             --frame-sampling-strategy "$SAMPLING" \
             --max-frame-num "$MAX_FRAMES" \
             --rank "$RANK" --world "$WORLD" $EXTRA_FLAGS &
+        pids+=($!)
     done
-    wait || rc=1
+    # bare `wait` always returns 0 — collect each rank's status
+    for pid in "${pids[@]}"; do
+        wait "$pid" || rc=1
+    done
     [ $rc -ne 0 ] && { err "$t: eval process failed"; continue; }
 
     metrics="$OUT_DIR/${t}_metrics.json"

@@ -67,10 +67,23 @@ run_half() {
             rm -f "$RT_LOG"
             break                         # clean finish (pass or fail)
         fi
-        # killed by a signal (the XLA CPU-compiler segfault): find the
-        # last file that started and resume from it in a fresh process
-        # pytest prints paths RELATIVE to its rootdir (not as passed):
-        # locate the crash file by basename
+        # killed by a signal (the XLA CPU-compiler segfault). FIRST:
+        # failures recorded BEFORE the crash would be lost by the resume
+        # (their files are dropped as 'completed') — scan the progress
+        # lines for F/E markers and latch them into overall. The crash
+        # file itself reruns, so a marker there is conservative (a real
+        # failure reproduces; a false positive turns green runs red,
+        # never the reverse).
+        # only COMPLETED progress lines count (they end in "[ NN%]");
+        # the crash file's partial line ("...py Fatal Python error...")
+        # must not match — that file reruns anyway
+        if grep -qE "(test_[A-Za-z0-9_]+\.py +[.FEsxX]*[FE][.FEsxX]*( +\[ *[0-9]+%\])|^[.FEsxX]*[FE][.FEsxX]* +\[ *[0-9]+%\])" "$RT_LOG"; then
+            echo "=== $name: failures recorded before the crash ===" >&2
+            overall=1
+        fi
+        # find the last file that started and resume from it in a fresh
+        # process. pytest prints paths RELATIVE to its rootdir (not as
+        # passed): locate the crash file by basename
         local crashed
         crashed=$(grep -oE "^[^ ]*test_[A-Za-z0-9_]+\.py" "$RT_LOG" \
                   | tail -1 | xargs -r basename)

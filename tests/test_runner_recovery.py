@@ -83,3 +83,32 @@ def test_deterministic_crasher_is_isolated_and_reported(tmp_path):
     # ...but the suite continued past it: the z file's tests ran
     assert "test_z_ok.py" in proc.stdout
     assert dt < 90, f"drill took {dt:.1f}s"
+
+
+def test_failure_before_crash_is_not_lost(tmp_path):
+    """A real test FAILURE recorded before the segfault must survive the
+    crash-resume (the resume drops completed files, so their F markers
+    are latched from the progress lines)."""
+    d = tmp_path / "drill"
+    d.mkdir()
+    _write(d, "test_a_fails.py", """
+        def test_fails():
+            assert False, "real regression"
+    """)
+    _write(d, "test_b_crash_once.py", f"""
+        import os, signal
+
+        def test_crashes_first_run_only():
+            sentinel = {str(tmp_path / 'crashed_once')!r}
+            if not os.path.exists(sentinel):
+                open(sentinel, 'w').close()
+                os.kill(os.getpid(), signal.SIGSEGV)
+            assert True
+    """)
+    _write(d, "test_z_ok.py", """
+        def test_z():
+            assert True
+    """)
+    proc, dt = _run(d)
+    assert proc.returncode != 0, proc.stdout + proc.stderr
+    assert "failures recorded before the crash" in proc.stderr

@@ -273,7 +273,6 @@ def mha_shared_prefix(q: jax.Array, pk: jax.Array, pv: jax.Array,
         on_tpu = jax.default_backend() not in ("cpu",)
     except RuntimeError:
         on_tpu = False
-    hd = q.shape[-1]
     if on_tpu and (_MANUAL_MODE or _active_mesh() is None):
         from video3d_tpu.kernels import flash_attention as fa
 

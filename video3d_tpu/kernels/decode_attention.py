@@ -149,7 +149,10 @@ def _decode_kernel_blocked(len_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when(j == nj - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        # guard: a kv_len == 0 row skips every block (l stays 0) and must
+        # stay finite like the sibling ragged/fused kernels
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)) \
+            .astype(o_ref.dtype)
 
 
 # single-pass VMEM budget: above this S the blocked kernel takes over

@@ -310,6 +310,11 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
             interpret=interpret,
         )(wl_slot, wl_pid, wl_j, npages.astype(jnp.int32), lens,
           qg.reshape(B, KV, G, hd), k_pages, v_pages, *extra)
+        # a lens == 0 slot appears in no work item, so its out block is
+        # never written — zero it deterministically (the old full grid
+        # produced NaN there; dead slots are masked by callers either way)
+        out = jnp.where((lens > 0)[:, None, None, None], out,
+                        jnp.zeros((), out.dtype))
         return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
     def q_index(i, j, tbl, ln):

@@ -262,6 +262,29 @@ def start_decode(params, cfg: ModelConfig, batch: lv3d.Batch,
                        step=jnp.zeros((), jnp.int32))
 
 
+def shared_prefix_view(prefix: qwen2.KVCache, prefix_len: int,
+                       B: int) -> "qwen2.KVCache | None":
+    """Batch-free view of a stored B=1 prefix for the SHARED-prefix
+    attention path, or None when the path does not apply.
+
+    B > 1 only: at B=1 the folded row count equals the old layout's, so
+    the split pays extra kernel work for no stream win (measured 16.6 vs
+    15.4 ms on chip, BENCH_NOTES r4). Sliced to ``prefix_len``: the
+    shared path attends every prefix slot UNMASKED (they all precede the
+    suffix positions), so pad slots beyond the true prefix must not
+    reach the kernel. Used by start_decode_prefix, ground_suffix, and
+    speculative.spec_prefill_prefix.
+    """
+    if not (SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1 and B > 1):
+        return None
+    return qwen2.KVCache(
+        prefix.k[:, 0, :prefix_len], prefix.v[:, 0, :prefix_len],
+        None if prefix.k_scale is None
+        else prefix.k_scale[:, 0, :prefix_len],
+        None if prefix.v_scale is None
+        else prefix.v_scale[:, 0, :prefix_len])
+
+
 def _write_prefix(cache: qwen2.KVCache, prefix: qwen2.KVCache) -> qwen2.KVCache:
     """Copy a (layers, B, P, KV, hd) prefix slice into the head of a fresh
     cache (prefix-KV reuse). A B=1 prefix broadcasts across a B>1 cache
@@ -329,20 +352,7 @@ def start_decode_prefix(params, cfg: ModelConfig, batch: lv3d.Batch,
     # the prefix KV streams from HBM once for ALL rows instead of once per
     # (row, q-block) — the scene-grouped batched suffix prefill win
     # (kernels/attention.mha_shared_prefix; VERDICT r3 #1).
-    shared = None
-    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1 and B > 1:
-        # B > 1 only: at B=1 the folded row count equals the old layout's,
-        # so the split pays its second kernel + merge for no stream win
-        # (measured 16.6 vs 15.4 ms on chip, BENCH_NOTES r4).
-        # slice to prefix_len: the shared path attends every prefix slot
-        # UNMASKED (they all precede the suffix positions), so pad slots
-        # beyond the true prefix must not reach the kernel
-        shared = qwen2.KVCache(
-            prefix.k[:, 0, :prefix_len], prefix.v[:, 0, :prefix_len],
-            None if prefix.k_scale is None
-            else prefix.k_scale[:, 0, :prefix_len],
-            None if prefix.v_scale is None
-            else prefix.v_scale[:, 0, :prefix_len])
+    shared = shared_prefix_view(prefix, prefix_len, B)
     hidden, cache = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
         cache_positions=cache_positions, kv_len=batch.seq_len,
@@ -390,14 +400,7 @@ def ground_suffix(params, cfg: ModelConfig, batch: lv3d.Batch,
     pos3 = lv3d._position_ids_3d(batch, cfg)
     cache_positions = prefix_len + jnp.broadcast_to(
         jnp.arange(Ls)[None], (B, Ls))
-    shared = None
-    if SHARED_PREFIX_ATTN and prefix.k.shape[1] == 1 and B > 1:      # shared-prefix attention (see above; B>1 only)
-        shared = qwen2.KVCache(
-            prefix.k[:, 0, :prefix_len], prefix.v[:, 0, :prefix_len],
-            None if prefix.k_scale is None
-            else prefix.k_scale[:, 0, :prefix_len],
-            None if prefix.v_scale is None
-            else prefix.v_scale[:, 0, :prefix_len])
+    shared = shared_prefix_view(prefix, prefix_len, B)
     hidden, _ = qwen2.qwen2_forward(
         params["llm"], cfg.llm, embeds, pos3, kv_cache=cache,
         cache_positions=cache_positions, kv_len=batch.seq_len,

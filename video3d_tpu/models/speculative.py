@@ -185,17 +185,10 @@ def spec_prefill_prefix(params, draft_params, cfg: ModelConfig,
     def _suffix_prefill(p, c: LLMConfig, pre: qwen2.KVCache, mcl: int):
         cache = qwen2.KVCache.zeros(c, B, mcl, dtype=cache_dtype)
         cache = _write_prefix(cache, pre)
-        # B == 1 stored prefixes take the SHARED-prefix attention path
+        # B=1 stored prefixes take the SHARED-prefix attention path
         # (prefix KV streamed once for all rows; generate.py contract)
-        shared = None
-        from video3d_tpu.models.generate import SHARED_PREFIX_ATTN
-        if SHARED_PREFIX_ATTN and pre.k.shape[1] == 1 and B > 1:
-            shared = qwen2.KVCache(
-                pre.k[:, 0, :prefix_len], pre.v[:, 0, :prefix_len],
-                None if pre.k_scale is None
-                else pre.k_scale[:, 0, :prefix_len],
-                None if pre.v_scale is None
-                else pre.v_scale[:, 0, :prefix_len])
+        from video3d_tpu.models.generate import shared_prefix_view
+        shared = shared_prefix_view(pre, prefix_len, B)
         hidden, cache = qwen2.qwen2_forward(
             p, c, embeds, pos3, kv_cache=cache,
             cache_positions=cache_positions, kv_len=batch.seq_len,

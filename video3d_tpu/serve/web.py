@@ -68,6 +68,7 @@ document.getElementById('video').onchange = resetChat;
 // payload the worker's {"images": [b64...]} wire field expects);
 // changing the selection starts a fresh chat
 document.getElementById('imgfiles').onchange = async (ev) => {
+  if (busy) { ev.target.value = ''; return; }  // mid-stream: ignore
   resetChat();
   images = [];
   const pv = document.getElementById('previews');
