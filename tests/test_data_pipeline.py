@@ -221,3 +221,86 @@ class TestConfigVariants:
         params = lv3d.init_model(jax.random.PRNGKey(0), cfg)
         logits = lv3d.forward(params, cfg, batch)
         assert np.isfinite(np.asarray(logits[0, :10])).all()
+
+
+class TestOnDeviceMcFallback:
+    """r4: a scene missing from (or a missing) scannet_select_frames.json
+    no longer KeyErrors — the EXACT on-device greedy selection
+    (ops/mc_select.py) computes the ordering from the scene's pcd voxel
+    set, matching the host set-cover tool (first-index tie break)."""
+
+    def _fallback_vp(self, scene, data_cfg, tmp_path):
+        import pickle
+        import shutil
+
+        from video3d_tpu.ops import geometry
+        from video3d_tpu.tools.max_coverage import frame_voxel_sets
+
+        # clone the data tree WITHOUT the select-frames artifact and with
+        # a pcd voxel set derived from the REAL frame geometry (the
+        # fixture's 2-corner set gives every frame zero coverage)
+        root = str(tmp_path / "nosel")
+        shutil.copytree(data_cfg.video_folder, root)
+        os.remove(os.path.join(root, "metadata",
+                               "scannet_select_frames.json"))
+        cfg = replace(data_cfg, video_folder=root,
+                      annotation_dir=os.path.join(root, "embodiedscan"),
+                      metadata_dir=os.path.join(root, "metadata"),
+                      frame_sampling=FrameSampling.MC_RATIO95)
+        vp = VideoProcessor(cfg)
+        files = [os.path.join(root, m["img_path"])
+                 for m in vp.scene[scene["sample_idx"]]["images"]]
+        fv = frame_voxel_sets(vp, scene["sample_idx"], files)
+        union = sorted(set().union(*fv.values()))
+        scene_id = scene["sample_idx"].split("/")[-1]
+        pcd_path = os.path.join(root, "metadata", "pcd_discrete_0.1.pkl")
+        with open(pcd_path, "rb") as f:
+            pcd = pickle.load(f)
+        pcd[scene_id] = union[::3]        # a third of the union voxels
+        with open(pcd_path, "wb") as f:
+            pickle.dump(pcd, f)
+        return VideoProcessor(cfg), fv, pcd[scene_id]
+
+    def test_fallback_matches_host_greedy(self, scene, data_cfg, tmp_path):
+        import random
+
+        from video3d_tpu.tools.max_coverage import greedy_max_coverage
+
+        vp, fv, pc = self._fallback_vp(scene, data_cfg, tmp_path)
+        frames = vp.select_frames(scene["sample_idx"], True, 4)
+        assert frames           # selected without the offline artifact
+        assert frames == sorted(
+            frames, key=lambda f: int(f.split("/")[-1].split(".")[0]))
+
+        class FirstChoice(random.Random):
+            def choice(self, seq):
+                return seq[0]
+
+        order, gains = greedy_max_coverage(fv, set(map(tuple, pc)),
+                                           max_frames=4, rng=FirstChoice())
+        mc = vp.mc_sampling[scene["sample_idx"]]
+        assert mc["frame_files"] == order
+        assert mc["voxel_nums"] == gains
+        # memoized: second call must not recompute
+        again = vp.select_frames(scene["sample_idx"], True, 4)
+        assert again == frames
+
+    def test_fallback_without_pcd_raises(self, scene, data_cfg, tmp_path):
+        import pickle
+        import shutil
+
+        root = str(tmp_path / "nopcd")
+        shutil.copytree(data_cfg.video_folder, root)
+        os.remove(os.path.join(root, "metadata",
+                               "scannet_select_frames.json"))
+        # empty pcd dict: no universe for this scene
+        with open(os.path.join(root, "metadata", "pcd_discrete_0.1.pkl"),
+                  "wb") as f:
+            pickle.dump({}, f)
+        cfg = replace(data_cfg, video_folder=root,
+                      annotation_dir=os.path.join(root, "embodiedscan"),
+                      metadata_dir=os.path.join(root, "metadata"),
+                      frame_sampling=FrameSampling.MC_RATIO95)
+        vp = VideoProcessor(cfg)
+        with pytest.raises(KeyError, match="prepare_data"):
+            vp.select_frames(scene["sample_idx"], True, 4)

@@ -98,15 +98,26 @@ class VideoProcessor:
         self.pc_max: Dict[str, np.ndarray] = {}
         is_mc = cfg.frame_sampling in (FrameSampling.MC, FrameSampling.MC_RATIO90,
                                        FrameSampling.MC_RATIO95)
+        self._pc_voxels = None
         if is_mc:
-            with open(os.path.join(cfg.metadata_dir, "scannet_select_frames.json")) as f:
-                for dd in json.load(f):
-                    self.mc_sampling[dd["video_id"]] = dd
+            sf_path = os.path.join(cfg.metadata_dir,
+                                   "scannet_select_frames.json")
+            if os.path.exists(sf_path):
+                with open(sf_path) as f:
+                    for dd in json.load(f):
+                        self.mc_sampling[dd["video_id"]] = dd
+            # scenes absent from the JSON (or the whole file absent) fall
+            # back to ON-DEVICE exact greedy selection per scene — see
+            # _mc_on_device (+72 ms per scene at the flagship pool,
+            # BENCH_NOTES r4; the reference REQUIRES the offline JSON,
+            # video_utils.py:104-118)
         if is_mc or cfg.normalize_coords:
             pcd_path = os.path.join(cfg.metadata_dir, "pcd_discrete_0.1.pkl")
             if os.path.exists(pcd_path):
                 with open(pcd_path, "rb") as f:
                     pc_data = pickle.load(f)
+                if is_mc:
+                    self._pc_voxels = pc_data     # mc fallback universe
                 for scene_id, pts in pc_data.items():
                     arr = np.asarray(list(pts), dtype=np.float64)
                     self.pc_min[scene_id] = arr.min(axis=0) / 10.0
@@ -124,11 +135,73 @@ class VideoProcessor:
         idx = np.linspace(0, len(frame_files) - 1, n).astype(int)
         return [frame_files[i] for i in idx]
 
+    def _mc_on_device(self, video_id: str, max_frames: int = 32) -> dict:
+        """EXACT greedy max-coverage ordering computed ON DEVICE for a
+        scene with no offline select-frames entry (ops/mc_select.py;
+        +72 ms/scene at the 64-frame flagship pool, BENCH_NOTES r4).
+        Same contract as the offline artifact: candidate pool is every
+        2nd frame (all frames when that yields < 32,
+        max_coverage_sampling.py:30-33), per-frame voxels are full-res
+        round(xyz / voxel) with no clamp, the cover universe is the
+        scene point cloud's voxel set, ties break to the lowest frame
+        index (the offline tool's random tie-break is the one documented
+        deviation, PARITY.md)."""
+        import jax.numpy as jnp
+
+        from video3d_tpu.ops import geometry
+        from video3d_tpu.ops.mc_select import greedy_select_frames
+
+        scene_id = video_id.split("/")[-1]
+        if self._pc_voxels is None or scene_id not in self._pc_voxels:
+            raise KeyError(
+                f"{video_id}: no select-frames entry and no scene voxel "
+                f"set in pcd_discrete_0.1.pkl — run "
+                f"scripts/preprocessing/prepare_data.sh step 4")
+        meta = self.scene[video_id]
+        frame_files = [os.path.join(self.cfg.video_folder, img["img_path"])
+                       for img in meta["images"]][::2]
+        if len(frame_files) < 32:
+            frame_files = [os.path.join(self.cfg.video_folder,
+                                        img["img_path"])
+                           for img in meta["images"]]
+        V = len(frame_files)
+        depths, intr, poses = self.load_frame_geometry(video_id, frame_files)
+        wc = geometry.unproject(jnp.asarray(intr), jnp.asarray(poses),
+                                jnp.asarray(depths))
+        # 0.1 m: the voxel size baked into the artifact pair
+        # (pcd_discrete_0.1.pkl / select_frames; the reference's
+        # --voxel_size default, max_coverage_sampling.py)
+        fv = jnp.round(wc / 0.1).astype(jnp.int32).reshape(V, -1, 3)
+        # pad the pool to a bucket so distinct scenes reuse one compile;
+        # pad frames sit outside every scene grid (no coverage) and tie-
+        # break AFTER real frames, but are filtered out regardless
+        Vp = -(-V // 16) * 16
+        if Vp != V:
+            fv = jnp.concatenate(
+                [fv, jnp.full((Vp - V, fv.shape[1], 3), 2 ** 28,
+                              jnp.int32)])
+        scene_vox = jnp.asarray(
+            np.asarray(list(self._pc_voxels[scene_id]), dtype=np.int32))
+        order, gains, num_all = greedy_select_frames(
+            fv, scene_vox, max_frames=min(max_frames, Vp))
+        order = np.asarray(order)
+        gains = np.asarray(gains)
+        keep = [(int(i), int(g)) for i, g in zip(order, gains)
+                if 0 <= int(i) < V]
+        return {"video_id": video_id,
+                "frame_files": [frame_files[i] for i, _ in keep],
+                "voxel_nums": [g for _, g in keep],
+                "num_all_voxels": int(num_all)}
+
     def sample_frame_files_mc(self, video_id: str,
                               frames_upbound: int = 32) -> List[str]:
         """Max-coverage prefix until the voxel-coverage ratio is reached,
-        then chronological sort (video_utils.py:131-159)."""
-        mc = self.mc_sampling[video_id]
+        then chronological sort (video_utils.py:131-159). Scenes missing
+        from the offline JSON are selected ON DEVICE (memoized)."""
+        mc = self.mc_sampling.get(video_id)
+        if mc is None:
+            mc = self._mc_on_device(video_id)
+            self.mc_sampling[video_id] = mc
         frame_files = list(mc["frame_files"][:frames_upbound])
         voxel_nums = mc["voxel_nums"][:frames_upbound]
 
