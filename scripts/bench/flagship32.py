@@ -504,6 +504,15 @@ def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
 
 
 def run_ctx32k(L: int = 32768, iters: int = 1, chunk: int = 4096):
+    import os as _os
+
+    from video3d_tpu.kernels import flash_attention as _fa
+
+    _fa.GQF_BLOCK_Q = int(_os.environ.get("V3D_GQF_BLOCK_Q",
+                                          _fa.GQF_BLOCK_Q))
+    _fa.GQF_BLOCK_K = int(_os.environ.get("V3D_GQF_BLOCK_K",
+                                          _fa.GQF_BLOCK_K))
+    print(f"GQF blocks {_fa.GQF_BLOCK_Q}/{_fa.GQF_BLOCK_K}", flush=True)
     """32k-token prefill through the 28-layer int8 LLM at model_max_length
     (train_multi.sh:76). A single monolithic 32k forward is IMPOSSIBLE on
     one chip: the 28 unrolled layers keep ~13.4 GiB of (32768, D)-activation

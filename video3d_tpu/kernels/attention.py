@@ -197,12 +197,14 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         # start_decode_prefix, speculative verify): ``q_positions`` rows
         # are contiguous ranges q_positions[b, r] == q_positions[b, 0] + r,
         # and none of them differentiate (the folded kernel has no VJP).
-        from video3d_tpu.kernels.flash_attention import (
-            flash_attention_gqa_folded)
+        from video3d_tpu.kernels import flash_attention as fa
 
-        return flash_attention_gqa_folded(q, k, v, lengths=kv_len,
-                                          q_offsets=q_positions[:, 0],
-                                          k_scale=k_scale, v_scale=v_scale)
+        return fa.flash_attention_gqa_folded(q, k, v, lengths=kv_len,
+                                             q_offsets=q_positions[:, 0],
+                                             k_scale=k_scale,
+                                             v_scale=v_scale,
+                                             block_q=fa.GQF_BLOCK_Q,
+                                             block_k=fa.GQF_BLOCK_K)
     if k_scale is not None:
         # quantized cache on a non-kernel path: dequantize here
         k = k.astype(q.dtype) * k_scale.astype(q.dtype)

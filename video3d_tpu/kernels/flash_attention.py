@@ -41,6 +41,13 @@ NEG_INF = -1e30
 SP_BLOCK_Q = 1792
 # prefix-pass K-block size companion knob (V3D_SP_BLOCK_K env)
 SP_BLOCK_K = 1024
+# gqa-folded cached-chunk kernel blocks (V3D_GQF_BLOCK_Q/K envs sweep
+# them through scripts/bench/flagship32.py ctx32k; read at trace time).
+# 1024/2048 = best of the r4 on-chip sweep: 32k chunked prefill
+# 5204 -> 7720 tok/s (51.8 -> 76.9% MFU) over the old 256/512 —
+# BENCH_NOTES r4 ctx32k table.
+GQF_BLOCK_Q = 1024
+GQF_BLOCK_K = 2048
 
 
 # ---------------------------------------------------------------------------
