@@ -38,6 +38,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
+import os as _os  # noqa: E402
+
+from video3d_tpu.kernels import flash_attention as _fa  # noqa: E402
+
+_fa.FA_BLOCK_Q = int(_os.environ.get("V3D_FA_BLOCK_Q", _fa.FA_BLOCK_Q))
+_fa.FA_BLOCK_K = int(_os.environ.get("V3D_FA_BLOCK_K", _fa.FA_BLOCK_K))
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -212,6 +212,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
     if (on_tpu and mask is None and q_positions is None and causal
             and score_bias is None
             and L == S and L >= 256 and L % 128 == 0 and hd % 128 == 0):
+        from video3d_tpu.kernels import flash_attention as fa
         from video3d_tpu.kernels.flash_attention import flash_attention
 
         mesh = None if _MANUAL_MODE else _active_mesh()
@@ -239,7 +240,10 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
                 len_spec = P(bspec)
 
                 def local(qs, ks, vs, ls):
-                    return flash_attention(qs, ks, vs, lengths=ls, causal=True)
+                    return flash_attention(qs, ks, vs, lengths=ls,
+                                           causal=True,
+                                           block_q=fa.FA_BLOCK_Q,
+                                           block_k=fa.FA_BLOCK_K)
 
                 kv_len_arr = kv_len if kv_len is not None else \
                     jnp.full((B,), S, jnp.int32)
@@ -248,7 +252,8 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
                                            len_spec),
                                  out_specs=qkv_spec,
                                  check_vma=False)(q, k, v, kv_len_arr)
-        return flash_attention(q, k, v, lengths=kv_len, causal=True)
+        return flash_attention(q, k, v, lengths=kv_len, causal=True,
+                               block_q=fa.FA_BLOCK_Q, block_k=fa.FA_BLOCK_K)
     return mha_reference(q, k, v, mask=mask, causal=causal,
                          q_positions=q_positions, kv_len=kv_len,
                          score_bias=score_bias)

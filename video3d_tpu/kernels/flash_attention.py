@@ -48,6 +48,13 @@ SP_BLOCK_K = 1024
 # BENCH_NOTES r4 ctx32k table.
 GQF_BLOCK_Q = 1024
 GQF_BLOCK_K = 2048
+# training/prefill flash attention (fwd + custom VJP) blocks
+# (V3D_FA_BLOCK_Q/K envs sweep them via scripts/bench/qlora_step.py).
+# 512/1024 = r4 on-chip sweep: qlora train step +3.5% at L=2048 and
+# +14% at L=8192 over the old 256/512 (1024/1024 is +17% at 8k but
+# unmeasured at short L) — BENCH_NOTES r4 train-block table.
+FA_BLOCK_Q = 512
+FA_BLOCK_K = 1024
 
 
 # ---------------------------------------------------------------------------
