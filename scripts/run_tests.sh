@@ -130,6 +130,10 @@ run_half() {
             fi
             pending=("${rest[@]:1}")
             last_crash=""
+            # the solo run's status is already latched into overall; drop
+            # the pre-isolation crash rc so an empty-pending loop exit
+            # doesn't report a green suite failed (r4 advisor)
+            rc=0
         else
             echo "=== $name crashed in $crashed — resuming there ===" >&2
             pending=("${rest[@]}")

@@ -334,6 +334,7 @@ class TestOccupancyImpls:
         frame_vox = rng.integers(0, 12, size=(5, 200, 3)).astype(np.int32)
         scene_vox = np.unique(frame_vox.reshape(-1, 3), axis=0)
         out = {}
+        orig = m.OCC_IMPL                # restore the PRODUCTION default
         for impl in ("mm", "sort"):
             m.OCC_IMPL = impl
             try:
@@ -342,7 +343,7 @@ class TestOccupancyImpls:
                     jnp.asarray(frame_vox), jnp.asarray(scene_vox),
                     max_frames=5)]
             finally:
-                m.OCC_IMPL = "mm"
+                m.OCC_IMPL = orig
         for a, b in zip(out["mm"], out["sort"]):
             np.testing.assert_array_equal(a, b)
 

@@ -120,3 +120,30 @@ class TestTwoProcessTrainStep:
         toks_ref = np.asarray(toks_ref).tolist()
         for r in mp_results:
             assert r["tokens"] == toks_ref, (r["tokens"], toks_ref)
+
+
+class TestDryrun16:
+    """16-virtual-device stage (VERDICT r4 #8): pp x dp x fsdp x tp all > 1
+    on a 2x2x2x2 mesh via the partial-auto pipeline, plus an asymmetric
+    2-slice x 8-device multislice with injected slice ids. Spawned as a
+    subprocess (the suite's backend is pinned to 8 devices); all parity
+    asserts live in tests/dryrun16_worker.py — here we check it exits 0
+    and the reported losses agree across mesh shapes."""
+
+    def test_dryrun16_worker(self, tmp_path):
+        out = str(tmp_path / "res.json")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("XLA_FLAGS", None)      # worker sets its own 16-device flag
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "dryrun16_worker.py"), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, timeout=900)
+        assert r.returncode == 0, r.stdout[-4000:]
+        res = json.load(open(out))
+        np.testing.assert_allclose(res["pp_loss"], res["flat_loss"],
+                                   rtol=2e-3)
+        np.testing.assert_allclose(res["ms_loss"], res["flat_ms_loss"],
+                                   rtol=1e-4)
+        assert res["pp_gnorm"] > 0

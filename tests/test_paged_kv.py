@@ -310,3 +310,36 @@ class TestRaggedGrid:
         np.testing.assert_allclose(outs[True], ref, atol=2e-2, rtol=2e-2)
         np.testing.assert_allclose(outs[True], outs[False],
                                    atol=2e-2, rtol=2e-2)
+
+    @pytest.mark.parametrize("int8", [False, True])
+    def test_aliased_tables_exceeding_pool(self, int8):
+        """Prefix-page sharing regression (r4 advisor high): when slots
+        alias the SAME pool pages (serve/batcher.py share_prefix_pages),
+        the live (slot, page) pair count exceeds the pool size, so a
+        worklist sized W = P silently drops the tail slots' work. The
+        kernel must dispatch to the full pair-count worklist and stay
+        exact vs the oracle."""
+        from video3d_tpu.kernels import paged_attention as pa
+
+        rng = np.random.default_rng(29)
+        B, H, KV, hd, page, maxp = 4, 4, 2, 128, 128, 4
+        shared, private = 2, 2                 # per-slot table layout
+        # pool holds page 0 (spare) + 2 shared prefix pages + B*2 private
+        P = 1 + shared + B * private           # = 11 < B * maxp = 16
+        q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.bfloat16)
+        k_p, v_p, ks_p, vs_p = random_pool(rng, P, KV, page, hd, int8=int8)
+        table = np.zeros((B, maxp), np.int32)
+        for b in range(B):
+            table[b, :shared] = [1, 2]         # aliased prefix pages
+            table[b, shared:] = [3 + b * private + i
+                                 for i in range(private)]
+        # full tables: pair count = B * maxp = 16 > P = 11
+        lens = jnp.asarray([maxp * page, maxp * page,
+                            maxp * page, 3 * page + 5], jnp.int32)
+        out = np.asarray(pa.paged_decode_attention(
+            q, k_p, v_p, jnp.asarray(table), lens,
+            k_scale=ks_p, v_scale=vs_p, interpret=True), np.float32)
+        ref = np.asarray(pa.paged_attention_reference(
+            q, k_p, v_p, jnp.asarray(table), lens, k_scale=ks_p,
+            v_scale=vs_p), np.float32)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)

@@ -644,8 +644,14 @@ def flash_attention_shared_prefix(q: jax.Array,
         ``pk_scale``/``pv_scale`` (P, KV, 1) f32, streamed raw).
       sk, sv: (B, Ls, KV, hd) per-row suffix K/V (the chunk's own keys,
         full precision — no cache round-trip).
-      suffix_lens: (B,) int32 valid suffix key counts (suffix cols
-        c >= suffix_lens[b] are masked; causal within the suffix).
+      suffix_lens: (B,) int32 valid suffix key counts. The SPLIT path
+        masks suffix cols c >= suffix_lens[b] explicitly; the FUSED path
+        (SP_FUSED, taken when Ls == L) applies only the block-diagonal
+        CAUSAL mask — valid query rows r < suffix_lens[b] see identical
+        results (causality already confines them to cols <= r), but PAD
+        query rows r >= suffix_lens[b] are garbage and may differ between
+        the two paths. Callers must treat rows >= suffix_lens[b] as
+        undefined (eval/drivers.py and serve/ do).
     Returns:
       (B, L, H, hd) in q.dtype.
     """

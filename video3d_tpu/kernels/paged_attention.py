@@ -250,66 +250,88 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     table = page_table.astype(jnp.int32)
 
     if RAGGED_GRID:
-        # ---- compacted live-page worklist (bounded by the pool size) ----
-        W = P
+        # ---- compacted live-page worklist ----
+        # The worklist enumerates (slot, page-within-slot) PAIRS, so its
+        # true bound is sum_b ceil(kv_len[b]/page) <= B * maxp. The pool
+        # size P only bounds that sum when no pool page is referenced by
+        # more than one slot — which vLLM-style prefix sharing
+        # (serve/batcher.py share_prefix_pages) deliberately violates:
+        # slots on one scene alias the SAME prefix pages, each still doing
+        # real attention work over them. Work items past W would be
+        # silently dropped (garbage output blocks for the truncated
+        # slots), so: when P already covers the worst case, run one
+        # kernel at W = B*maxp (same thing); otherwise lax.cond between
+        # the tight pool-sized worklist (common un-aliased mixes — padding
+        # steps elide fetches, so fewer grid steps is pure win) and the
+        # full pair-count worklist (aliased mixes).
         npages = (lens + page - 1) // page                  # (B,)
         csum = jnp.cumsum(npages)
         total = csum[-1]
-        w = jnp.arange(W, dtype=jnp.int32)
-        b_of = jnp.searchsorted(csum, w, side="right").astype(jnp.int32)
-        bc = jnp.minimum(b_of, B - 1)
-        starts = csum - npages                              # exclusive
-        j_of = w - starts[bc]
-        valid = w < total
-        # padding steps repeat the LAST valid work item's indices so their
-        # block fetches elide and no state is touched (jj = -1 skips)
-        lb = jnp.searchsorted(csum, total - 1, side="right") \
-            .astype(jnp.int32)
-        lb = jnp.minimum(lb, B - 1)
-        lj = (total - 1) - starts[lb]
-        wl_slot = jnp.where(valid, bc, lb)
-        wl_j = jnp.where(valid, j_of, -1)
-        jt = jnp.clip(jnp.where(valid, j_of, lj), 0, maxp - 1)
-        wl_pid = table[wl_slot, jt]
 
-        def rq_index(w_, sl, pid, jj, np_, ln):
-            return (sl[w_], 0, 0, 0)
+        def _ragged_call(W: int):
+            w = jnp.arange(W, dtype=jnp.int32)
+            b_of = jnp.searchsorted(csum, w, side="right").astype(jnp.int32)
+            bc = jnp.minimum(b_of, B - 1)
+            starts = csum - npages                          # exclusive
+            j_of = w - starts[bc]
+            valid = w < total
+            # padding steps repeat the LAST valid work item's indices so
+            # their block fetches elide and no state is touched (jj = -1)
+            lb = jnp.searchsorted(csum, total - 1, side="right") \
+                .astype(jnp.int32)
+            lb = jnp.minimum(lb, B - 1)
+            lj = (total - 1) - starts[lb]
+            wl_slot = jnp.where(valid, bc, lb)
+            wl_j = jnp.where(valid, j_of, -1)
+            jt = jnp.clip(jnp.where(valid, j_of, lj), 0, maxp - 1)
+            wl_pid = table[wl_slot, jt]
 
-        def rkv_index(w_, sl, pid, jj, np_, ln):
-            return (pid[w_], 0, 0, 0)
+            def rq_index(w_, sl, pid, jj, np_, ln):
+                return (sl[w_], 0, 0, 0)
 
-        scratch = [
-            pltpu.VMEM((KV * G, 128), jnp.float32),
-            pltpu.VMEM((KV * G, 128), jnp.float32),
-            pltpu.VMEM((KV * G, hd), jnp.float32),
-        ]
-        quantized = k_scale is not None
-        in_specs = [
-            pl.BlockSpec((1, KV, G, hd), rq_index),
-            pl.BlockSpec((1, KV, page, hd), rkv_index),
-            pl.BlockSpec((1, KV, page, hd), rkv_index),
-        ]
-        extra = []
-        if quantized:
-            in_specs += [pl.BlockSpec((1, KV, 1, page), rkv_index),
-                         pl.BlockSpec((1, KV, 1, page), rkv_index)]
-            extra = [k_scale.astype(jnp.float32),
-                     v_scale.astype(jnp.float32)]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(W,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, KV, G, hd), rq_index),
-            scratch_shapes=scratch,
-        )
-        out = pl.pallas_call(
-            functools.partial(_ragged_kernel, kv_heads=KV, page=page,
-                              quantized=quantized),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
-            interpret=interpret,
-        )(wl_slot, wl_pid, wl_j, npages.astype(jnp.int32), lens,
-          qg.reshape(B, KV, G, hd), k_pages, v_pages, *extra)
+            def rkv_index(w_, sl, pid, jj, np_, ln):
+                return (pid[w_], 0, 0, 0)
+
+            scratch = [
+                pltpu.VMEM((KV * G, 128), jnp.float32),
+                pltpu.VMEM((KV * G, 128), jnp.float32),
+                pltpu.VMEM((KV * G, hd), jnp.float32),
+            ]
+            quantized = k_scale is not None
+            in_specs = [
+                pl.BlockSpec((1, KV, G, hd), rq_index),
+                pl.BlockSpec((1, KV, page, hd), rkv_index),
+                pl.BlockSpec((1, KV, page, hd), rkv_index),
+            ]
+            extra = []
+            if quantized:
+                in_specs += [pl.BlockSpec((1, KV, 1, page), rkv_index),
+                             pl.BlockSpec((1, KV, 1, page), rkv_index)]
+                extra = [k_scale.astype(jnp.float32),
+                         v_scale.astype(jnp.float32)]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(W,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, KV, G, hd), rq_index),
+                scratch_shapes=scratch,
+            )
+            return pl.pallas_call(
+                functools.partial(_ragged_kernel, kv_heads=KV, page=page,
+                                  quantized=quantized),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+                interpret=interpret,
+            )(wl_slot, wl_pid, wl_j, npages.astype(jnp.int32), lens,
+              qg.reshape(B, KV, G, hd), k_pages, v_pages, *extra)
+
+        W_full = B * maxp
+        if P >= W_full:
+            out = _ragged_call(W_full)
+        else:
+            out = jax.lax.cond(total <= P,
+                               lambda: _ragged_call(P),
+                               lambda: _ragged_call(W_full))
         # a lens == 0 slot appears in no work item, so its out block is
         # never written — zero it deterministically (the old full grid
         # produced NaN there; dead slots are masked by callers either way)

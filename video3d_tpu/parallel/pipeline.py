@@ -56,12 +56,37 @@ def unstack_layer_params(stacked) -> list:
     return [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
 
 
-def shard_stacked_layers(stacked, mesh: Mesh):
-    """Device-put a stacked layer tree with the layer axis over ``pp``."""
-    return jax.tree.map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, P("pp", *([None] * (x.ndim - 1))))),
-        stacked)
+def shard_stacked_layers(stacked, mesh: Mesh, rules: bool = False,
+                         prefix: str = "llm/layers/0"):
+    """Device-put a stacked layer tree with the layer axis over ``pp``.
+
+    ``rules=True`` additionally shards the per-layer dims by the
+    _PARAM_RULES specs (fsdp on input dims, tp on head/hidden dims) — for
+    the partial-auto pipeline (``pipeline_decoder(auto_axes=True)``) where
+    GSPMD manages fsdp/tp inside the pp-manual shard_map. Axes that don't
+    divide a dim (or have mesh size 1) fall back to replication."""
+    if not rules:
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("pp", *([None] * (x.ndim - 1))))),
+            stacked)
+    from video3d_tpu.parallel.mesh import param_spec
+
+    def build(tree, pfx):
+        if isinstance(tree, dict):
+            return {k: build(v, f"{pfx}/{k}") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [build(v, f"{pfx}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        spec = param_spec(pfx, tree.ndim - 1)
+        fixed = ["pp"]
+        for i, ax in enumerate(spec):
+            ok = (ax is not None and mesh.shape.get(ax, 1) > 1
+                  and tree.shape[i + 1] % mesh.shape[ax] == 0)
+            fixed.append(ax if ok else None)
+        return jax.device_put(tree, NamedSharding(mesh, P(*fixed)))
+
+    return build(stacked, prefix)
 
 
 def pipeline_decoder(stacked_layers, cfg, embeds: jax.Array,
@@ -69,7 +94,8 @@ def pipeline_decoder(stacked_layers, cfg, embeds: jax.Array,
                      kv_len: Optional[jax.Array] = None,
                      n_microbatches: int = 2,
                      remat: bool = False,
-                     mesh: Optional[Mesh] = None) -> jax.Array:
+                     mesh: Optional[Mesh] = None,
+                     auto_axes: Optional[bool] = None) -> jax.Array:
     """Run the decoder layer stack as a ``pp``-stage GPipe pipeline.
 
     Args:
@@ -78,6 +104,14 @@ def pipeline_decoder(stacked_layers, cfg, embeds: jax.Array,
       embeds: (B, L, D); cos/sin: (B, L, hd) precomputed rotary tables;
         kv_len: optional (B,) true lengths (right padding).
       n_microbatches: GPipe M. The per-stage local batch must divide by it.
+      auto_axes: partial-manual mode — shard_map is MANUAL over ``pp``
+        only (the ppermute hop + stage indexing), while dp/fsdp/tp stay
+        AUTO: GSPMD shards the batch over (dp, fsdp) and inserts the
+        Megatron-style tensor-parallel collectives for tp-sharded layer
+        weights (shard via ``shard_stacked_layers(rules=True)``) inside
+        the stage body. This is how pp composes with tp>1 — the fully
+        manual path would need hand-written psums in decoder_layer.
+        Default: True iff the mesh has tp > 1.
     Returns:
       (B, L, D) hidden states (pre final-norm), batch sharded as the input.
     """
@@ -92,9 +126,17 @@ def pipeline_decoder(stacked_layers, cfg, embeds: jax.Array,
     assert n_layers % S == 0, \
         f"{n_layers} layers do not split evenly over {S} pipeline stages"
     M = n_microbatches
+    if auto_axes is None:
+        auto_axes = mesh.shape.get("tp", 1) > 1
 
-    batch_axes = tuple(a for a in ("dp", "fsdp")
-                       if mesh.shape.get(a, 1) > 1) or None
+    if auto_axes:
+        # manual over pp only; batch stays LOGICALLY global in the body
+        # (physically sharded over dp/fsdp by GSPMD), layer weights keep
+        # their fsdp/tp shardings and XLA inserts the tp collectives.
+        batch_axes = None
+    else:
+        batch_axes = tuple(a for a in ("dp", "fsdp")
+                           if mesh.shape.get(a, 1) > 1) or None
     bspec3 = P(batch_axes, None, None)
     layer_spec = jax.tree.map(
         lambda x: P("pp", *([None] * (x.ndim - 1))), stacked_layers)
@@ -156,11 +198,14 @@ def pipeline_decoder(stacked_layers, cfg, embeds: jax.Array,
     B = embeds.shape[0]
     lens = kv_len if kv_len is not None else \
         jnp.full((B,), embeds.shape[1], jnp.int32)
+    kwargs = dict(mesh=mesh, check_vma=False)
+    if auto_axes:
+        kwargs["axis_names"] = frozenset({"pp"})
     return jax.shard_map(
-        body, mesh=mesh,
+        body,
         in_specs=(layer_spec, bspec3, bspec3, bspec3, P(batch_axes)),
         out_specs=bspec3,
-        check_vma=False)(stacked_layers, embeds, cos, sin, lens)
+        **kwargs)(stacked_layers, embeds, cos, sin, lens)
 
 
 def qwen2_forward_pp(params: Dict, cfg, inputs_embeds: jax.Array,
@@ -168,7 +213,8 @@ def qwen2_forward_pp(params: Dict, cfg, inputs_embeds: jax.Array,
                      kv_len: Optional[jax.Array] = None,
                      n_microbatches: int = 2,
                      remat: bool = False,
-                     mesh: Optional[Mesh] = None) -> jax.Array:
+                     mesh: Optional[Mesh] = None,
+                     auto_axes: Optional[bool] = None) -> jax.Array:
     """Pipeline-parallel equivalent of ``qwen2.qwen2_forward`` (training /
     prefill path: no KV cache). Returns final-normed hidden states."""
     from video3d_tpu.models.qwen2 import compute_mrope_cos_sin, rms_norm
@@ -181,6 +227,6 @@ def qwen2_forward_pp(params: Dict, cfg, inputs_embeds: jax.Array,
         else stack_layer_params(params["layers"])
     x = pipeline_decoder(stacked, cfg, inputs_embeds, cos, sin,
                          kv_len=kv_len, n_microbatches=n_microbatches,
-                         remat=remat, mesh=mesh)
+                         remat=remat, mesh=mesh, auto_axes=auto_axes)
     return rms_norm(x, params["norm"], cfg.rms_norm_eps,
                     cfg.rms_norm_add_unit_offset)
