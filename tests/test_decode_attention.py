@@ -61,8 +61,12 @@ class TestDecodeAttention:
 class TestQuantizedDecodeKernel:
     @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
     def test_matches_dequantized_reference(self, dtype):
-        """int8/int4-native kernel == dequantize-then-reference (exact: both
-        sides consume the identical quantized values + scales)."""
+        """int8/int4-native kernel == dequantize-then-reference to bf16
+        tolerance: the quantized path computes its dots with bf16 MXU
+        inputs + f32 accumulation (the flash-kernel contract; the int
+        values themselves are exact in bf16) — HIGHEST-precision f32 dots
+        cost 3x the MXU passes and dominated the folded kernel's decode
+        step (r5 BENCH_NOTES 32k-decode section)."""
         from video3d_tpu.models.qwen2 import _quantize_kv
 
         B, S, H, KV, hd = 2, 256, 4, 2, 128
@@ -78,7 +82,7 @@ class TestQuantizedDecodeKernel:
         got = decode_attention(q, kq, vq, kv_len, k_scale=ks, v_scale=vs,
                                interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-5, atol=2e-5)
+                                   rtol=4e-3, atol=4e-3)
 
     @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
     def test_quantized_decode_through_model(self, dtype):

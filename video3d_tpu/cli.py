@@ -83,7 +83,9 @@ def _data_cfg(args):
                       annotation_dir=args.embodiedscan_folder,
                       metadata_dir=args.metadata_folder,
                       frames_upbound=args.max_frame_num,
-                      frame_sampling=FrameSampling(args.frame_sampling_strategy))
+                      frame_sampling=FrameSampling(args.frame_sampling_strategy),
+                      add_spatial_instruction=getattr(
+                          args, "add_spatial_instruction", True))
 
 
 def _load_model(args):
@@ -316,6 +318,15 @@ def main(argv=None):
     pt = sub.add_parser("train")
     _add_model_args(pt)
     _add_data_args(pt)
+    # the reference's data_args.add_spatial_instruction (train_3d.py:1262):
+    # training prepends the 3D-spatial instruction to turn 0. NOTE the
+    # reference's EVAL scripts only prepend their --extra-prompt to the
+    # LOGGED prompt (model_scanqa.py:140 cur_prompt), never to the model
+    # input, so eval prompts deliberately lack the instruction.
+    pt.add_argument("--add-spatial-instruction", dest="add_spatial_instruction",
+                    action="store_true", default=True)
+    pt.add_argument("--no-spatial-instruction", dest="add_spatial_instruction",
+                    action="store_false")
     pt.add_argument("--data-path", required=True)
     pt.add_argument("--output-dir", required=True)
     pt.add_argument("--num-epochs", type=int, default=1)

@@ -50,8 +50,13 @@ class EngineConfig:
     max_frames: int = 32
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS
     stop_str: str = "<|im_end|>"
+    # Prepended to the question text for REAL (the reference's eval
+    # scripts take --extra-prompt, defaulting to the 3D-spatial
+    # instruction, but only concatenate it into the LOGGED prompt —
+    # model_scanqa.py:140 `cur_prompt`, never fed to the model — so
+    # reference-parity eval keeps this ""; training does inject the
+    # instruction, data/dataset.py:182 == train_3d.py:1262).
     extra_prompt: str = ""
-    add_spatial_instruction: bool = True
     ground_token_id: Optional[int] = None
     max_objects: int = 150
     # "bfloat16" (default), "int8", or "int4" — int8/int4 store a quantized

@@ -34,6 +34,12 @@ _MANUAL_MODE = False
 # benchmarking escape hatch: force the XLA decode path
 _DISABLE_DECODE_KERNEL = False
 
+# perf-bisection hatch (scripts/bench only): return zeros instead of
+# running decode attention, isolating the non-attention step cost
+import os as _os  # noqa: E402
+
+_BISECT_SKIP_DECODE_ATTN = bool(_os.environ.get("V3D_BISECT_SKIP_DECODE_ATTN"))
+
 
 @contextlib.contextmanager
 def manual_sharding():
@@ -176,6 +182,8 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         # single-token decode over the cache: one fused kernel instead of
         # ~10 small HBM-bound XLA ops; int8 caches stream quantized
         # (kernels/decode_attention.py)
+        if _BISECT_SKIP_DECODE_ATTN:
+            return jnp.zeros_like(q)
         from video3d_tpu.kernels.decode_attention import decode_attention
 
         eff_len = jnp.minimum(q_positions[:, 0] + 1, kv_len)

@@ -3,20 +3,46 @@
 Decode at small batch is op-count bound on TPU (BENCH_NOTES.md): each
 lax-level attention step lowers to ~10 small HBM-bound ops per layer
 (broadcast kv heads, score, mask, softmax, weight). This kernel fuses the
-whole read side into ONE pallas call per layer: for each (sample, kv head)
-it loads that head's (S, hd) cache slab once from HBM, computes the grouped
-q·K scores, masks by the per-sample cache length, softmaxes in f32, and
-accumulates the context — single pass (a 32k x 128 bf16 slab is ~8 MB and
-fits VMEM, so no online softmax is needed at decode sizes).
+whole read side into ONE pallas call per layer.
+
+r5 redesign (VERDICT r4 #1) — the block-diagonal head fold:
+
+  * The cache streams in its NATIVE (B, S, KV, hd) layout, viewed as
+    (B, S, KV*hd) — a FREE row-major reshape. The previous design
+    transposed the cache to (B*KV, S, hd) first, which XLA must
+    MATERIALIZE for a pallas operand: at a 32k cache that re-wrote the
+    entire 0.94 GiB int8 cache to HBM every decode step (read + write +
+    kernel read = 3x KV traffic), the single largest term in the measured
+    21.45 ms dense 32k step.
+  * All KV heads are processed by ONE dot pair per cache block — no
+    per-head loop. The grouped queries are packed into a block-diagonal
+    (KV*G, KV*hd) matrix (head kv occupies rows [kv*G, (kv+1)*G) and
+    columns [kv*hd, (kv+1)*hd)), so Q_blk @ K_flat^T yields every head's
+    scores at once, and P @ V_flat yields every head's context in the
+    matching diagonal slices. An intermediate unrolled-head variant
+    measured 0.27-0.61 ms/layer — per-head fixed costs (slice + convert
+    + two tiny dots + scratch RMW, x4 heads x S/block_s steps) dwarfed
+    the 0.06 ms stream floor; this folds them into one MXU pass.
+  * Dots run with bf16 MXU inputs + f32 accumulation (the flash-kernel
+    contract): int8/int4 cache values are exact in bf16; the previous
+    HIGHEST-precision f32 dots cost 3x the MXU passes. f32 caches
+    (tests / CPU exactness) keep f32 HIGHEST.
+  * Per-position dequant scales stream lane-aligned as (B, KV, 1, S) —
+    a per-call transpose of the TINY scale arrays (512 KB vs the cache's
+    33 MB per layer); a (1, bs, KV, 1) orientation would tile-pad its
+    (KV, 1) minor dims to (8, 128) in VMEM (measured +16 MB, compile
+    OOM). Scales expand to score rows via static-slice concatenation
+    (``pltpu.repeat`` tiles rather than element-repeats).
 
 Replaces the reference's HF eager/flash decode step
 (qwen2/modeling_qwen2.py:330-632 with a 1-token query). Inference-only: no
 backward pass.
 
-Mosaic notes (see .claude/skills/verify/SKILL.md): lengths live in SMEM as a
-full (B, 1) table indexed by a program-id derived row at kernel top level;
-all refs are rank-3 blocks with a unit leading dim, squeezed by indexing
-(never reshaped); dots request f32 accumulation explicitly.
+Mosaic notes (see .claude/skills/verify/SKILL.md): lengths live in SMEM as
+a full (B, 1) table indexed by a program-id derived row at kernel top
+level; the flat (bs, KV*hd) view is reshaped OUTSIDE the kernel (in-kernel
+2D reshapes are rejected); block-diagonal packing uses static slices into
+a VMEM scratch; dots request f32 accumulation.
 """
 
 from __future__ import annotations
@@ -30,133 +56,99 @@ from jax.experimental import pallas as pl
 NEG_INF = -1e30
 
 
-def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, kv_heads: int):
-    i = pl.program_id(0)              # flattened (sample, kv head) index
-    b = i // kv_heads
-    kv_len = len_ref[b, 0]
-
-    q = q_ref[0].astype(jnp.float32)                      # (G, hd)
-    k = k_ref[0].astype(jnp.float32)                      # (S, hd)
-    v = v_ref[0].astype(jnp.float32)
-
-    # precision=HIGHEST: the MXU truncates f32 inputs to bf16 passes
-    # otherwise (same pitfall as kernels/fused_geometry.py)
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # (G, S)
-    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(slot < kv_len, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
+def _head_rows(x, KV: int, G: int):
+    """(KV, bs) -> (KV*G, bs) with each head's row repeated G times in
+    head-MAJOR order (row r belongs to head r // G), matching the
+    block-diagonal query packing. ``pltpu.repeat`` TILES ([a,b,a,b]), so
+    the expansion is built from static slices instead."""
+    return jnp.concatenate(
+        [x[kv:kv + 1] for kv in range(KV) for _ in range(G)], axis=0)
 
 
-def _decode_kernel_int8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                        *, kv_heads: int):
-    """int8 cache variant: HBM streams int8 slabs + (S,) f32 scales; the
-    per-position dequant folds into the score row-scale / the p·V weights
-    (scale_s factors out of the hd contraction), so nothing bf16-sized ever
-    touches HBM."""
-    i = pl.program_id(0)
-    b = i // kv_heads
-    kv_len = len_ref[b, 0]
-
-    q = q_ref[0].astype(jnp.float32)                      # (G, hd)
-    k = k_ref[0].astype(jnp.float32)                      # (S, hd) from int8
-    v = v_ref[0].astype(jnp.float32)
-    k_scale = ks_ref[0]                                   # (1, S) f32
-    v_scale = vs_ref[0]
-
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) * k_scale    # (G, S)
-    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(slot < kv_len, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        p * v_scale, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(o_ref.dtype)
-
-
-def _decode_kernel_blocked(len_ref, q_ref, k_ref, v_ref, *rest,
-                           kv_heads: int, block_s: int,
-                           quantized: bool):
-    """S-blocked online-softmax variant for LONG caches: the single-pass
-    kernel's whole-(S, hd) slab overflows the ~16 MB VMEM scope at
-    S = 32k (int8 k+v alone are 8 MB; the f32 score temps push past the
-    limit — measured compile OOM, BENCH_NOTES r4 32k-decode section), so
-    blocks of ``block_s`` positions stream through the same online
-    softmax as kernels/flash_attention.py; blocks past the sample's
-    kv_len are skipped entirely."""
+def _decode_kernel_blockdiag(len_ref, q_ref, kf_ref, vf_ref, *rest,
+                             kv_heads: int, group: int, head_dim: int,
+                             block_s: int, quantized: bool, oob_tail: bool):
     if quantized:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref, vs_ref, o_ref, qb_scr, m_scr, l_scr, acc_scr = rest
     else:
-        o_ref, m_scr, l_scr, acc_scr = rest
-    i = pl.program_id(0)
+        o_ref, qb_scr, m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    b = i // kv_heads
     kv_len = len_ref[b, 0]
+    KV, G, hd = kv_heads, group, head_dim
+
+    fast = kf_ref.dtype != jnp.float32
+    cdt = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
 
     @pl.when(j == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        qb_scr[:] = jnp.zeros_like(qb_scr)
+        for kv in range(KV):
+            qb_scr[kv * G:(kv + 1) * G, kv * hd:(kv + 1) * hd] = \
+                q_ref[0, kv].astype(qb_scr.dtype)
 
     base = j * block_s
 
     @pl.when(base < kv_len)
     def _step():
-        q = q_ref[0].astype(jnp.float32)                  # (G, hd)
-        k = k_ref[0].astype(jnp.float32)                  # (block_s, hd)
-        v = v_ref[0].astype(jnp.float32)
+        kf = kf_ref[0].astype(cdt)                          # (bs, KV*hd)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qb_scr[...].astype(cdt), kf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (G, block_s)
+            precision=prec)                                 # (KV*G, bs)
         if quantized:
-            s = s * ks_ref[0]
+            ks2d = ks_ref[0, :, 0, :]                       # (KV, bs) f32
+            s = s * _head_rows(ks2d, KV, G)                 # rows head-major
         pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < kv_len, s, NEG_INF)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - m_new)                    # exp(NEG_INF - m) == 0
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            p = p * vs_ref[0]
-        # the tail block can read past the array edge (S % block_s != 0):
-        # those p entries are exactly 0, but 0 * NaN(v garbage) would still
-        # poison the dot — zero both sides explicitly
-        p = jnp.where(pos < kv_len, p, 0.0)
-        vpos = base + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        v = jnp.where(vpos < kv_len, v, 0.0)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            vs2d = vs_ref[0, :, 0, :]
+            p = p * _head_rows(vs2d, KV, G)
+        vf = vf_ref[0].astype(cdt)                          # (bs, KV*hd)
+        if oob_tail:
+            # S % block_s != 0: the tail block reads past the array edge,
+            # where bf16 caches / f32 scales can hold NaN bit patterns —
+            # and p(=0) * NaN would poison the dot. Aligned int8 caches
+            # skip this (garbage is finite, masked p entries are exactly
+            # 0).
+            p = jnp.where(pos < kv_len, p, 0.0)
+            vpos = base + jax.lax.broadcasted_iota(jnp.int32, vf.shape, 0)
+            vf = jnp.where(vpos < kv_len, vf, jnp.zeros((), cdt))
+        o_all = jax.lax.dot_general(
+            p.astype(cdt), vf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec)                                 # (KV*G, KV*hd)
+        acc_scr[:] = acc_scr[:] * alpha
+        for kv in range(KV):
+            rows = pl.ds(kv * G, G)
+            acc_scr[rows, :] = acc_scr[rows, :] + \
+                o_all[kv * G:(kv + 1) * G, kv * hd:(kv + 1) * hd]
 
     @pl.when(j == nj - 1)
     def _finish():
-        # guard: a kv_len == 0 row skips every block (l stays 0) and must
-        # stay finite like the sibling ragged/fused kernels
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)) \
-            .astype(o_ref.dtype)
+        for kv in range(KV):
+            rows = pl.ds(kv * G, G)
+            # guard: a kv_len == 0 row skips every block (l stays 0) and
+            # must stay finite like the sibling ragged/fused kernels
+            o_ref[0, kv] = (acc_scr[rows, :]
+                            / jnp.maximum(l_scr[rows, :1], 1e-30)) \
+                .astype(o_ref.dtype)
 
 
-# single-pass VMEM budget: above this S the blocked kernel takes over
-_BLOCKED_THRESHOLD = 8192
+# cache-block tokens per grid step (VMEM: int8 k+v double buffers +
+# their bf16 in-kernel casts + the (KV*G, bs) score/weight temps)
 _BLOCK_S = 4096
 
 
@@ -169,16 +161,20 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
     Args:
       q: (B, 1, H, hd) single-position queries;
-      k_cache, v_cache: (B, S, KV, hd) full cache (slot index == position);
-        int8 when k_scale/v_scale are given (models/qwen2.py KVCache).
+      k_cache, v_cache: (B, S, KV, hd) full cache (slot index == position),
+        streamed in its native layout — never transposed or copied;
+        int8/int4 when k_scale/v_scale are given (models/qwen2.py KVCache).
       kv_len: (B,) valid slot count (query position + 1); slots >= kv_len
         are masked, which also implements causality (the new token occupies
         slot kv_len - 1).
       k_scale, v_scale: optional (B, S, KV, 1) f32 per-position dequant
-        scales — the int8-cache path; HBM then streams int8 + scales only.
+        scales — the quantized-cache path; HBM then streams the quantized
+        bytes + scales only.
     Returns:
       (B, 1, H, hd) in q.dtype.
     """
+    from jax.experimental.pallas import tpu as pltpu
+
     B, L, H, hd = q.shape
     assert L == 1, "decode kernel is single-token"
     S, KV = k_cache.shape[1], k_cache.shape[2]
@@ -186,76 +182,47 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     scale = sm_scale if sm_scale is not None else hd ** -0.5
 
     qg = (q[:, 0] * jnp.asarray(scale, q.dtype)).reshape(B, KV, G, hd)
-    qg = qg.reshape(B * KV, G, hd)
-    kt = k_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
-    vt = v_cache.transpose(0, 2, 1, 3).reshape(B * KV, S, hd)
     lens = kv_len.astype(jnp.int32).reshape(B, 1)
+    kf = k_cache.reshape(B, S, KV * hd)       # FREE view, never copied
+    vf = v_cache.reshape(B, S, KV * hd)
 
-    if S > _BLOCKED_THRESHOLD:
-        from jax.experimental.pallas import tpu as pltpu
-
-        bs = _BLOCK_S
-        nj = -(-S // bs)
-        scratch = [
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, hd), jnp.float32),
-        ]
-        qkv = [
-            pl.BlockSpec((1, G, hd), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, bs, hd), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bs, hd), lambda i, j: (i, j, 0)),
-        ]
-        quantized = k_scale is not None
-        extra_in, extra_specs = [], []
-        if quantized:
-            ks = k_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
-            vs = v_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
-            extra_in = [ks.astype(jnp.float32), vs.astype(jnp.float32)]
-            extra_specs = [pl.BlockSpec((1, 1, bs), lambda i, j: (i, 0, j)),
-                           pl.BlockSpec((1, 1, bs), lambda i, j: (i, 0, j))]
-        out = pl.pallas_call(
-            functools.partial(_decode_kernel_blocked, kv_heads=KV,
-                              block_s=bs, quantized=quantized),
-            grid=(B * KV, nj),
-            in_specs=[_smem_spec(interpret),
-                      qkv[0], qkv[1], qkv[2]] + extra_specs,
-            out_specs=pl.BlockSpec((1, G, hd), lambda i, j: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
-            scratch_shapes=scratch,
-            compiler_params=_arbitrary_k(),
-            interpret=interpret,
-        )(lens, qg, kt, vt, *extra_in)
-        return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
-
-    qkv_specs = [
-        pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, S, hd), lambda i: (i, 0, 0)),
+    bs = min(_BLOCK_S, S)
+    nj = -(-S // bs)
+    qb_dtype = jnp.float32 if k_cache.dtype == jnp.float32 else jnp.bfloat16
+    scratch = [
+        pltpu.VMEM((KV * G, KV * hd), qb_dtype),
+        pltpu.VMEM((KV * G, 128), jnp.float32),
+        pltpu.VMEM((KV * G, 128), jnp.float32),
+        pltpu.VMEM((KV * G, hd), jnp.float32),
     ]
-    if k_scale is not None:
-        ks = k_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
-        vs = v_scale.transpose(0, 2, 3, 1).reshape(B * KV, 1, S)
-        out = pl.pallas_call(
-            functools.partial(_decode_kernel_int8, kv_heads=KV),
-            grid=(B * KV,),
-            in_specs=[_smem_spec(interpret)] + qkv_specs + [
-                pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
-            interpret=interpret,
-        )(lens, qg, kt, vt, ks.astype(jnp.float32), vs.astype(jnp.float32))
-    else:
-        out = pl.pallas_call(
-            functools.partial(_decode_kernel, kv_heads=KV),
-            grid=(B * KV,),
-            in_specs=[_smem_spec(interpret)] + qkv_specs,
-            out_specs=pl.BlockSpec((1, G, hd), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * KV, G, hd), q.dtype),
-            interpret=interpret,
-        )(lens, qg, kt, vt)
+    in_specs = [
+        _smem_spec(interpret),
+        pl.BlockSpec((1, KV, G, hd), lambda b, j: (b, 0, 0, 0)),
+        pl.BlockSpec((1, bs, KV * hd), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, bs, KV * hd), lambda b, j: (b, j, 0)),
+    ]
+    quantized = k_scale is not None
+    extra_in = []
+    if quantized:
+        # transposing the scales is ~0.5 MB/layer, unlike the old K/V
+        # transpose which re-wrote the whole cache
+        ks = k_scale.transpose(0, 2, 3, 1)              # (B, KV, 1, S)
+        vs = v_scale.transpose(0, 2, 3, 1)
+        in_specs += [pl.BlockSpec((1, KV, 1, bs), lambda b, j: (b, 0, 0, j)),
+                     pl.BlockSpec((1, KV, 1, bs), lambda b, j: (b, 0, 0, j))]
+        extra_in = [ks.astype(jnp.float32), vs.astype(jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_blockdiag, kv_heads=KV, group=G,
+                          head_dim=hd, block_s=bs, quantized=quantized,
+                          oob_tail=(S % bs != 0)),
+        grid=(B, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, KV, G, hd), lambda b, j: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=_arbitrary_k(),
+        interpret=interpret,
+    )(lens, qg, kf, vf, *extra_in)
     return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
 

@@ -273,7 +273,7 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                 # dynamic_update_slice, no scatter. CONTRACT: the range
                 # must fit the cache — dynamic_update_slice CLAMPS an
                 # out-of-range start to max_len - L (overwriting the most
-                # recent valid slots), unlike the scatter path below,
+                # recent valid slots), unlike the per-row path below,
                 # which silently DROPS out-of-range rows. Every current
                 # caller sizes max_cache_len >= start + L statically
                 # (chunked prefill bounds the chunk, ground_suffix /
@@ -283,10 +283,36 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                 idx = (zero, start) + (zero,) * (cache.ndim - 2)
                 return jax.lax.dynamic_update_slice(cache, new, idx)
 
-            # (max_len, kv, hd) cache; (L, kv, hd) new; (L,) slots
-            def one(cache_b, new_b, pos_b):
-                return cache_b.at[pos_b].set(new_b)
-            return jax.vmap(one)(cache, new, cache_positions)
+            # r5: per-row dynamic_update_slice instead of the batched
+            # ``at[pos].set`` scatter. XLA lowered the vmapped scatter to
+            # whole-array select FUSIONS that re-write the ENTIRE cache
+            # buffer for each of the four (k, v, k_scale, v_scale)
+            # appends of every layer, every step — measured +9.6 ms/step
+            # at a 32k cache with attention bypassed (BENCH_NOTES r5
+            # 32k-decode section; the optimized HLO shows
+            # s8[1,32768,4,128]-shaped fusion outputs). Every caller of
+            # this path builds per-row CONTIGUOUS positions
+            # (start_b + arange(L): decode L == 1, speculative verify
+            # blocks, beam steps), so a per-row slice insert is exact;
+            # the scatter's silent DROP of out-of-range positions is
+            # reproduced by selecting the old values for masked rows.
+            B, L = new.shape[0], new.shape[1]
+            max_len = cache.shape[1]
+
+            def row(b, c):
+                pos = cache_positions[b, 0]
+                start = (b, jnp.clip(pos, 0, max_len - L)) \
+                    + (0,) * (cache.ndim - 2)
+                old = jax.lax.dynamic_slice(
+                    c, start, (1, L) + cache.shape[2:])
+                ok = ((pos + jnp.arange(L) < max_len) & (pos >= 0)
+                      )[None, :, None, None]
+                new_b = jax.lax.dynamic_slice_in_dim(new, b, 1, 0)
+                upd = jnp.where(ok, new_b.astype(cache.dtype), old)
+                return jax.lax.dynamic_update_slice(c, upd, start)
+
+            return jax.lax.fori_loop(0, B, row, cache,
+                                     unroll=True)
 
         if k_cache.dtype in QUANT_KV_DTYPES:
             kq, ks = _quantize_kv(k, k_cache.dtype)
