@@ -143,7 +143,11 @@ class TestPagedDecodeStack:
             cache = paged_kv.set_slot_pages(cache, b, pages[b])
 
         def transplant(pool, dense_rows, scale=False):
-            # dense_rows (layers, B, max_len, KV, hd|1) -> pages
+            # dense_rows (layers, B, max_len, KV, hd|1) -> pages;
+            # the r5 dense cache stores heads FLAT — split them first
+            if not scale and dense_rows.ndim == 4:
+                dense_rows = dense_rows.reshape(*dense_rows.shape[:3],
+                                                pool.shape[2], -1)
             out = pool
             for b in range(B):
                 rows = dense_rows[:, b]        # (layers, max_len, KV, ..)

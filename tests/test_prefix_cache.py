@@ -395,7 +395,7 @@ class TestGroundSuffixBatched:
         D = lcfg.hidden_size
 
         pref_shape = (lcfg.num_hidden_layers, 1, P,
-                      lcfg.num_key_value_heads, lcfg.head_dim)
+                      lcfg.num_key_value_heads * lcfg.head_dim)
         prefix = qwen2.KVCache(
             jnp.asarray(rng.normal(size=pref_shape), jnp.float32),
             jnp.asarray(rng.normal(size=pref_shape), jnp.float32))

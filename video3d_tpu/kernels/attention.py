@@ -321,6 +321,51 @@ def mha_shared_prefix_reference(q, pk, pv, sk, sv, suffix_lens,
     return mha_reference(q, k, v, q_positions=q_positions, kv_len=kv_len)
 
 
+def mha_cached_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
+                       layer: int, kv_heads: int, q_positions: jax.Array,
+                       kv_len: jax.Array,
+                       k_scale: Optional[jax.Array] = None,
+                       v_scale: Optional[jax.Array] = None,
+                       score_bias: Optional[jax.Array] = None) -> jax.Array:
+    """Cache attention against the STACKED flat (layers, B, S, KV*hd)
+    cache (models/qwen2.py KVCache).
+
+    The TPU single-token decode path hands the whole stacked cache to the
+    fused kernel, whose BlockSpec index map selects the layer — zero
+    per-layer slice copies (models/qwen2.py threads one cache buffer
+    through the layer loop; slicing + restacking re-wrote the entire
+    cache every step, BENCH_NOTES r5 32k-decode section). Every other
+    path (CPU reference, meshes, multi-token chunks) slices the layer
+    out and head-splits it — a copy, but those paths either run on CPU
+    or amortize it over a whole chunk. ``k_scale``/``v_scale`` are THIS
+    layer's (B, S, KV, 1) scales (tiny; the caller slices them).
+    """
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        on_tpu = False
+    B, L, H, hd = q.shape
+    S = k_all.shape[2]
+    if (on_tpu and not _DISABLE_DECODE_KERNEL and score_bias is None
+            and L == 1 and kv_len is not None and hd % 128 == 0
+            and S % 128 == 0 and (_MANUAL_MODE or _active_mesh() is None)):
+        if _BISECT_SKIP_DECODE_ATTN:
+            return jnp.zeros_like(q)
+        from video3d_tpu.kernels.decode_attention import decode_attention
+
+        eff_len = jnp.minimum(q_positions[:, 0] + 1, kv_len)
+        return decode_attention(q, k_all, v_all, eff_len, k_scale=k_scale,
+                                v_scale=v_scale, layer=layer,
+                                kv_heads=kv_heads)
+    kl = k_all[layer].reshape(B, S, kv_heads, hd)
+    vl = v_all[layer].reshape(B, S, kv_heads, hd)
+    if k_scale is None and kl.dtype != q.dtype:
+        kl, vl = kl.astype(q.dtype), vl.astype(q.dtype)
+    return mha(q, kl, vl, causal=True, q_positions=q_positions,
+               kv_len=kv_len, k_scale=k_scale, v_scale=v_scale,
+               score_bias=score_bias)
+
+
 def paged_mha(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
               page_table: jax.Array, kv_len: jax.Array,
               k_scale: Optional[jax.Array] = None,

@@ -65,7 +65,7 @@ def _head_rows(x, KV: int, G: int):
         [x[kv:kv + 1] for kv in range(KV) for _ in range(G)], axis=0)
 
 
-def _decode_kernel_blockdiag(len_ref, q_ref, kf_ref, vf_ref, *rest,
+def _decode_kernel_blockdiag(meta_ref, q_ref, kf_ref, vf_ref, *rest,
                              kv_heads: int, group: int, head_dim: int,
                              block_s: int, quantized: bool, oob_tail: bool):
     if quantized:
@@ -75,7 +75,7 @@ def _decode_kernel_blockdiag(len_ref, q_ref, kf_ref, vf_ref, *rest,
     b = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    kv_len = len_ref[b, 0]
+    kv_len = meta_ref[1 + b]          # meta = [layer, len_0..len_{B-1}]
     KV, G, hd = kv_heads, group, head_dim
 
     fast = kf_ref.dtype != jnp.float32
@@ -97,7 +97,7 @@ def _decode_kernel_blockdiag(len_ref, q_ref, kf_ref, vf_ref, *rest,
 
     @pl.when(base < kv_len)
     def _step():
-        kf = kf_ref[0].astype(cdt)                          # (bs, KV*hd)
+        kf = kf_ref[0, 0].astype(cdt)                       # (bs, KV*hd)
         s = jax.lax.dot_general(
             qb_scr[...].astype(cdt), kf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -116,7 +116,7 @@ def _decode_kernel_blockdiag(len_ref, q_ref, kf_ref, vf_ref, *rest,
         if quantized:
             vs2d = vs_ref[0, :, 0, :]
             p = p * _head_rows(vs2d, KV, G)
-        vf = vf_ref[0].astype(cdt)                          # (bs, KV*hd)
+        vf = vf_ref[0, 0].astype(cdt)                       # (bs, KV*hd)
         if oob_tail:
             # S % block_s != 0: the tail block reads past the array edge,
             # where bf16 caches / f32 scales can hold NaN bit patterns —
@@ -156,20 +156,32 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      kv_len: jax.Array, sm_scale: float | None = None,
                      k_scale: jax.Array | None = None,
                      v_scale: jax.Array | None = None,
+                     layer: jax.Array | int = 0,
+                     kv_heads: int | None = None,
                      interpret: bool = False) -> jax.Array:
     """Fused attention for one decode step.
 
     Args:
       q: (B, 1, H, hd) single-position queries;
-      k_cache, v_cache: (B, S, KV, hd) full cache (slot index == position),
-        streamed in its native layout — never transposed or copied;
-        int8/int4 when k_scale/v_scale are given (models/qwen2.py KVCache).
+      k_cache, v_cache: (B, S, KV, hd) per-layer cache (slot index ==
+        position) OR — with ``kv_heads`` given — the whole STACKED flat
+        (layers, B, S, KV*hd) cache with ``layer`` selecting the layer:
+        the kernel's BlockSpec index map addresses the stacked array
+        directly (the layer id rides the scalar-prefetch channel, so all
+        layers share ONE compiled kernel), which is what lets
+        models/qwen2.py thread a single stacked cache buffer through the
+        layer loop with zero per-layer slice copies. Streamed in the
+        native layout — never transposed or copied; int8/int4 when
+        k_scale/v_scale are given (models/qwen2.py KVCache).
       kv_len: (B,) valid slot count (query position + 1); slots >= kv_len
         are masked, which also implements causality (the new token occupies
         slot kv_len - 1).
       k_scale, v_scale: optional (B, S, KV, 1) f32 per-position dequant
-        scales — the quantized-cache path; HBM then streams the quantized
-        bytes + scales only.
+        scales of THIS layer — the quantized-cache path; HBM then streams
+        the quantized bytes + scales only. (Scales are tiny — 512 KB at
+        32k — so the caller slices the stacked scale array per layer.)
+      kv_heads: marks the stacked-flat input form and names KV (the flat
+        last dim carries no head split to infer it from).
     Returns:
       (B, 1, H, hd) in q.dtype.
     """
@@ -177,14 +189,24 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
     B, L, H, hd = q.shape
     assert L == 1, "decode kernel is single-token"
-    S, KV = k_cache.shape[1], k_cache.shape[2]
+    if kv_heads is None:
+        KV = k_cache.shape[2]
+        S = k_cache.shape[1]
+        kf = k_cache.reshape(B, S, KV * hd)[None]   # free views
+        vf = v_cache.reshape(B, S, KV * hd)[None]
+        layer = 0
+    else:
+        KV = kv_heads
+        S = k_cache.shape[2]
+        kf, vf = k_cache, v_cache                   # (NL, B, S, KV*hd)
     G = H // KV
     scale = sm_scale if sm_scale is not None else hd ** -0.5
 
     qg = (q[:, 0] * jnp.asarray(scale, q.dtype)).reshape(B, KV, G, hd)
-    lens = kv_len.astype(jnp.int32).reshape(B, 1)
-    kf = k_cache.reshape(B, S, KV * hd)       # FREE view, never copied
-    vf = v_cache.reshape(B, S, KV * hd)
+    # scalar-prefetch meta: [layer, kv_len_0..kv_len_{B-1}]
+    meta = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        kv_len.astype(jnp.int32).reshape(B)])
 
     bs = min(_BLOCK_S, S)
     nj = -(-S // bs)
@@ -196,10 +218,9 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         pltpu.VMEM((KV * G, hd), jnp.float32),
     ]
     in_specs = [
-        _smem_spec(interpret),
-        pl.BlockSpec((1, KV, G, hd), lambda b, j: (b, 0, 0, 0)),
-        pl.BlockSpec((1, bs, KV * hd), lambda b, j: (b, j, 0)),
-        pl.BlockSpec((1, bs, KV * hd), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, KV, G, hd), lambda b, j, m: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 1, bs, KV * hd), lambda b, j, m: (m[0], b, j, 0)),
+        pl.BlockSpec((1, 1, bs, KV * hd), lambda b, j, m: (m[0], b, j, 0)),
     ]
     quantized = k_scale is not None
     extra_in = []
@@ -208,21 +229,26 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         # transpose which re-wrote the whole cache
         ks = k_scale.transpose(0, 2, 3, 1)              # (B, KV, 1, S)
         vs = v_scale.transpose(0, 2, 3, 1)
-        in_specs += [pl.BlockSpec((1, KV, 1, bs), lambda b, j: (b, 0, 0, j)),
-                     pl.BlockSpec((1, KV, 1, bs), lambda b, j: (b, 0, 0, j))]
+        in_specs += [
+            pl.BlockSpec((1, KV, 1, bs), lambda b, j, m: (b, 0, 0, j)),
+            pl.BlockSpec((1, KV, 1, bs), lambda b, j, m: (b, 0, 0, j))]
         extra_in = [ks.astype(jnp.float32), vs.astype(jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, KV, G, hd), lambda b, j, m: (b, 0, 0, 0)),
+        scratch_shapes=scratch,
+    )
     out = pl.pallas_call(
         functools.partial(_decode_kernel_blockdiag, kv_heads=KV, group=G,
                           head_dim=hd, block_s=bs, quantized=quantized,
                           oob_tail=(S % bs != 0)),
-        grid=(B, nj),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, KV, G, hd), lambda b, j: (b, 0, 0, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
-        scratch_shapes=scratch,
         compiler_params=_arbitrary_k(),
         interpret=interpret,
-    )(lens, qg, kf, vf, *extra_in)
+    )(meta, qg, kf, vf, *extra_in)
     return out.reshape(B, KV * G, 1, hd).transpose(0, 2, 1, 3)
 
 

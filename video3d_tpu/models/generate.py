@@ -295,7 +295,7 @@ def _write_prefix(cache: qwen2.KVCache, prefix: qwen2.KVCache) -> qwen2.KVCache:
         if pre.shape[1] == 1 and big.shape[1] > 1:
             pre = jnp.broadcast_to(
                 pre, (pre.shape[0], big.shape[1], *pre.shape[2:]))
-        return jax.lax.dynamic_update_slice(big, pre, (0, 0, 0, 0, 0))
+        return jax.lax.dynamic_update_slice(big, pre, (0,) * big.ndim)
 
     k, v = put(cache.k, prefix.k), put(cache.v, prefix.v)
     if cache.k_scale is not None:

@@ -147,9 +147,14 @@ def _scatter_dense_pages(cache: PagedKVCache, dense, pages: jax.Array,
             blk = blk.transpose(0, 1, 3, 4, 2)        # -> (lay,n,KV,1,page)
         return pool.at[:, pages].set(blk.astype(pool.dtype))
 
-    KV, hd = dense.k.shape[3], dense.k.shape[4]
-    out = cache._replace(k=scat(cache.k, dense.k, (KV, hd)),
-                         v=scat(cache.v, dense.v, (KV, hd)))
+    # the dense cache stores heads FLAT (layers, 1, L, KV*hd) — head-split
+    # it against the pool's (layers, P, KV, page, hd) shape (a one-time
+    # relayout per admission, ~33 MB)
+    KV, hd = cache.k.shape[2], cache.k.shape[4]
+    dk = dense.k.reshape(*dense.k.shape[:3], KV, hd)
+    dv = dense.v.reshape(*dense.v.shape[:3], KV, hd)
+    out = cache._replace(k=scat(cache.k, dk, (KV, hd)),
+                         v=scat(cache.v, dv, (KV, hd)))
     if cache.k_scale is not None:
         out = out._replace(
             k_scale=scat(cache.k_scale, dense.k_scale, (KV, 1)),

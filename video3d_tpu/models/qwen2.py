@@ -40,7 +40,18 @@ QUANT_KV_DTYPES = (jnp.int8, jnp.int4)
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked KV cache: (num_layers, B, max_len, kv_heads, head_dim).
+    """Stacked KV cache: k/v (num_layers, B, max_len, kv_heads * head_dim).
+
+    The head dims are stored FLAT (r5): the decode kernel's block-diagonal
+    head fold consumes (.., S, KV*hd) blocks, and with the heads flattened
+    the array's DEFAULT XLA layout is exactly the layout the pallas
+    custom-call mandates — so the whole stacked cache threads through the
+    per-layer dus-append + kernel-read chain as ONE buffer with zero
+    copies. (Head-split (.., S, KV, hd) storage got a custom
+    {4,3,2,0,1}:T(4,128) layout from XLA while pallas required the
+    default — every layer's kernel call then RELAYOUT-copied the entire
+    0.875 GiB cache: 22 -> 137 ms/step measured at 32k. Per-layer views
+    are ``k[i].reshape(B, S, KV, hd)`` where heads are needed.)
 
     ``dtype=jnp.int8`` / ``jnp.int4`` stores a quantized cache: symmetric
     per-token-per-head values plus float32 scales (num_layers, B, max_len,
@@ -56,13 +67,24 @@ class KVCache(NamedTuple):
 
     @classmethod
     def zeros(cls, cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads * cfg.head_dim)
         if dtype in QUANT_KV_DTYPES:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-1] + (cfg.num_key_value_heads, 1)
             return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                        jnp.zeros(sshape, jnp.float32),
                        jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def layer(self, i: int, kv_heads: int):
+        """Head-split per-layer view: (k, v[, k_scale, v_scale]) with k/v
+        (B, S, KV, hd) — a relayout copy on TPU; CPU/reference use."""
+        NL, B, S, C = self.k.shape
+        k = self.k[i].reshape(B, S, kv_heads, C // kv_heads)
+        v = self.v[i].reshape(B, S, kv_heads, C // kv_heads)
+        if self.k_scale is None:
+            return k, v
+        return k, v, self.k_scale[i], self.v_scale[i]
 
 
 def _quantize_kv(x: jax.Array, dtype=jnp.int8):
@@ -179,7 +201,9 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                   prefill: bool = False,
                   paged: Optional[tuple] = None,
                   contiguous_update: bool = False,
-                  shared_prefix: Optional[tuple] = None):
+                  shared_prefix: Optional[tuple] = None,
+                  layer_idx: int = 0,
+                  kv_stacked: bool = False):
     """One decoder block.
 
     Args:
@@ -266,8 +290,21 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
         k_cache, v_cache = kv[0], kv[1]
         k_scale = kv[2] if len(kv) > 2 else None
         v_scale = kv[3] if len(kv) > 3 else None
+        # r5 stacked-cache mode (kv_stacked=True): k/v are the WHOLE
+        # flat (layers, B, S, KV*hd) cache with ``layer_idx`` naming this
+        # layer (scales stay head-split (layers, B, S, KV, 1)). Writes dus
+        # straight into the stacked buffer and attention addresses it via
+        # the kernel's BlockSpec index map — the per-step slice+restack of
+        # the old per-layer plumbing re-wrote the entire cache every
+        # decode step (measured ~9.6 ms at a 32k cache, BENCH_NOTES r5
+        # 32k-decode section), and the flat head layout keeps the buffer
+        # in the default XLA layout the pallas custom-call mandates (see
+        # KVCache docstring for the 137 ms relayout tale).
+        stacked5 = kv_stacked
 
         def scatter(cache, new):
+            five = cache.ndim == new.ndim + 1
+            li = (jnp.asarray(layer_idx, jnp.int32),) if five else ()
             if contiguous_update:
                 # every row inserts the same [start, start+L) range: one
                 # dynamic_update_slice, no scatter. CONTRACT: the range
@@ -280,16 +317,15 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                 # start_decode_prefix allocate prefix+suffix exactly).
                 start = cache_positions[0, 0]
                 zero = jnp.zeros((), start.dtype)
-                idx = (zero, start) + (zero,) * (cache.ndim - 2)
-                return jax.lax.dynamic_update_slice(cache, new, idx)
+                idx = li + (zero, start) + (zero,) * (new.ndim - 2)
+                upd = new[None] if five else new
+                return jax.lax.dynamic_update_slice(cache, upd, idx)
 
             # r5: per-row dynamic_update_slice instead of the batched
             # ``at[pos].set`` scatter. XLA lowered the vmapped scatter to
             # whole-array select FUSIONS that re-write the ENTIRE cache
             # buffer for each of the four (k, v, k_scale, v_scale)
-            # appends of every layer, every step — measured +9.6 ms/step
-            # at a 32k cache with attention bypassed (BENCH_NOTES r5
-            # 32k-decode section; the optimized HLO shows
+            # appends of every layer, every step (the optimized HLO shows
             # s8[1,32768,4,128]-shaped fusion outputs). Every caller of
             # this path builds per-row CONTIGUOUS positions
             # (start_b + arange(L): decode L == 1, speculative verify
@@ -297,34 +333,41 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
             # the scatter's silent DROP of out-of-range positions is
             # reproduced by selecting the old values for masked rows.
             B, L = new.shape[0], new.shape[1]
-            max_len = cache.shape[1]
+            max_len = cache.shape[2] if five else cache.shape[1]
 
             def row(b, c):
                 pos = cache_positions[b, 0]
-                start = (b, jnp.clip(pos, 0, max_len - L)) \
-                    + (0,) * (cache.ndim - 2)
-                old = jax.lax.dynamic_slice(
-                    c, start, (1, L) + cache.shape[2:])
-                ok = ((pos + jnp.arange(L) < max_len) & (pos >= 0)
-                      )[None, :, None, None]
+                start = li + (b, jnp.clip(pos, 0, max_len - L)) \
+                    + (0,) * (new.ndim - 2)
+                sizes = ((1,) if five else ()) + (1, L) + new.shape[2:]
+                old = jax.lax.dynamic_slice(c, start, sizes)
+                ok = ((pos + jnp.arange(L) < max_len) & (pos >= 0))
+                ok = ok.reshape((1,) * (len(sizes) - new.ndim + 1)
+                                + (L,) + (1,) * (new.ndim - 2))
                 new_b = jax.lax.dynamic_slice_in_dim(new, b, 1, 0)
+                if five:
+                    new_b = new_b[None]
                 upd = jnp.where(ok, new_b.astype(cache.dtype), old)
                 return jax.lax.dynamic_update_slice(c, upd, start)
 
             return jax.lax.fori_loop(0, B, row, cache,
                                      unroll=True)
 
+        def flatten_heads(t):
+            # stacked caches store heads FLAT; (B, L, KV, hd) -> (B, L, C)
+            return t.reshape(t.shape[0], t.shape[1], -1) if stacked5 else t
+
         if k_cache.dtype in QUANT_KV_DTYPES:
             kq, ks = _quantize_kv(k, k_cache.dtype)
             vq, vs = _quantize_kv(v, k_cache.dtype)
-            k_cache = scatter(k_cache, kq)
-            v_cache = scatter(v_cache, vq)
+            k_cache = scatter(k_cache, flatten_heads(kq))
+            v_cache = scatter(v_cache, flatten_heads(vq))
             k_scale = scatter(k_scale, ks)
             v_scale = scatter(v_scale, vs)
             new_kv = (k_cache, v_cache, k_scale, v_scale)
         else:
-            k_cache = scatter(k_cache, k.astype(k_cache.dtype))
-            v_cache = scatter(v_cache, v.astype(v_cache.dtype))
+            k_cache = scatter(k_cache, flatten_heads(k.astype(k_cache.dtype)))
+            v_cache = scatter(v_cache, flatten_heads(v.astype(v_cache.dtype)))
             new_kv = (k_cache, v_cache)
         if shared_prefix is not None and not prefill:
             # scene-grouped suffix chunk over a SHARED prefix: stream the
@@ -347,6 +390,20 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
             attn = mha(q, k, v, causal=True, kv_len=kv_len,
                        score_bias=(score_bias[:, :k.shape[1]]
                                    if score_bias is not None else None))
+        elif stacked5:
+            # stacked-cache read: the kernel addresses the flat
+            # (layers, B, S, KV*hd) buffer directly (scales — tiny — are
+            # sliced per layer); non-kernel paths slice + head-split inside
+            from video3d_tpu.kernels.attention import mha_cached_stacked
+
+            attn = mha_cached_stacked(
+                q, k_cache, v_cache, layer_idx, KV,
+                q_positions=cache_positions, kv_len=kv_len,
+                k_scale=(k_scale[layer_idx] if k_scale is not None
+                         else None),
+                v_scale=(v_scale[layer_idx] if v_scale is not None
+                         else None),
+                score_bias=score_bias)
         elif k_cache.dtype in QUANT_KV_DTYPES:
             # the quantized cache flows to attention as-is: on the TPU
             # decode kernel HBM streams int8/int4 + scales; other paths
@@ -500,27 +557,53 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
                    else Lp * paged_active.astype(jnp.int32))
         lens_after = paged_cache.lens + inc
 
+    # r5: the dense cache is threaded through the layer loop as the WHOLE
+    # stacked (layers, B, S, KV, hd) buffer — each layer dus's its row in
+    # place and attention addresses the stack by layer index
+    # (kernels/attention.py mha_cached_stacked). The previous per-layer
+    # slice + final jnp.stack re-wrote the ENTIRE cache every step
+    # (~9.6 ms at a 32k cache, BENCH_NOTES r5 32k-decode section).
+    dense_running = None
+    if kv_cache is not None:
+        dense_running = (kv_cache.k, kv_cache.v,
+                         kv_cache.k_scale, kv_cache.v_scale)
     new_cols = ([], [], [], [])
     for i, lp in enumerate(params["layers"]):
         kv = paged = None
         if paged_cache is not None:
             paged = (_pkv.layer_view(paged_cache, i),
                      paged_cache.page_table, *paged_coords, lens_after)
-        elif kv_cache is not None:
-            kv = (kv_cache.k[i], kv_cache.v[i])
-            if kv_cache.k_scale is not None:
-                kv += (kv_cache.k_scale[i], kv_cache.v_scale[i])
+        elif dense_running is not None:
+            kv = (dense_running[0], dense_running[1])
+            if dense_running[2] is not None:
+                kv += (dense_running[2], dense_running[3])
         sp = None
         if shared_prefix is not None:
-            sp = (shared_prefix.k[i], shared_prefix.v[i])
+            # prefix k/v store heads flat like the main cache; the
+            # shared-prefix kernel wants (P, KV, hd) per layer
+            KVh = cfg.num_key_value_heads
+            sp_k = shared_prefix.k[i]
+            sp_v = shared_prefix.v[i]
+            if sp_k.ndim == 2:
+                P_ = sp_k.shape[0]
+                sp_k = sp_k.reshape(P_, KVh, -1)
+                sp_v = sp_v.reshape(P_, KVh, -1)
+            sp = (sp_k, sp_v)
             if shared_prefix.k_scale is not None:
                 sp += (shared_prefix.k_scale[i], shared_prefix.v_scale[i])
+        # stacked-mode kwargs only when a dense cache is threaded — the
+        # remat-wrapped layer would otherwise trace these python scalars
+        extra = (dict(layer_idx=i, kv_stacked=True)
+                 if dense_running is not None else {})
         x, nkv = layer(lp, x, cos, sin, cfg, kv, cache_positions, kv_len,
-                       attn_mask, paged=paged, shared_prefix=sp)
+                       attn_mask, paged=paged, shared_prefix=sp, **extra)
         if nkv is not None:
-            for col, part in zip(new_cols, nkv):
-                if part is not None:
-                    col.append(part)
+            if dense_running is not None:
+                dense_running = tuple(nkv) + (None,) * (4 - len(nkv))
+            else:
+                for col, part in zip(new_cols, nkv):
+                    if part is not None:
+                        col.append(part)
 
     x = _norm(x, params["norm"], cfg)
     new_cache = None
@@ -529,9 +612,8 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
         new_cache = paged_cache._replace(
             k=stacked[0], v=stacked[1], lens=lens_after,
             k_scale=stacked[2], v_scale=stacked[3])
-    elif new_cols[0]:
-        stacked = [jnp.stack(c) if c else None for c in new_cols]
-        new_cache = KVCache(*stacked)
+    elif dense_running is not None:
+        new_cache = KVCache(*dense_running)
     return x, new_cache
 
 
