@@ -251,8 +251,9 @@ def main():
 
     # --- paged decode attention (via the dispatcher, hits the kernel) ------
     P, page, maxp = 8, 128, 3
-    kp = jax.random.normal(nk(), (P, KV, page, hd), jnp.bfloat16)
-    vp = jax.random.normal(nk(), (P, KV, page, hd), jnp.bfloat16)
+    # r5 flat page layout (P, page, KV*hd)
+    kp = jax.random.normal(nk(), (P, page, KV * hd), jnp.bfloat16)
+    vp = jax.random.normal(nk(), (P, page, KV * hd), jnp.bfloat16)
     table = jnp.asarray([[0, 3, 5], [2, 6, 1]], jnp.int32)
     plen = jnp.asarray([page * 2 + 7, page + 1], jnp.int32)
     out = jax.jit(paged_mha)(qd, kp, vp, table, plen)

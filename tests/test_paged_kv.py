@@ -24,19 +24,22 @@ def tiny_cfg(**kw):
 
 
 def random_pool(rng, P, KV, page, hd, int8=False):
-    k = rng.standard_normal((P, KV, page, hd)).astype(np.float32)
-    v = rng.standard_normal((P, KV, page, hd)).astype(np.float32)
+    # r5 flat page layout: (P, page, KV*hd); scales stay (P, KV, 1, page)
+    k = rng.standard_normal((P, page, KV, hd)).astype(np.float32)
+    v = rng.standard_normal((P, page, KV, hd)).astype(np.float32)
     if not int8:
-        return (jnp.asarray(k, jnp.bfloat16), jnp.asarray(v, jnp.bfloat16),
+        return (jnp.asarray(k.reshape(P, page, KV * hd), jnp.bfloat16),
+                jnp.asarray(v.reshape(P, page, KV * hd), jnp.bfloat16),
                 None, None)
     ks = np.abs(k).max(axis=-1, keepdims=True) / 127.0 + 1e-8
     vs = np.abs(v).max(axis=-1, keepdims=True) / 127.0 + 1e-8
     kq = np.clip(np.round(k / ks), -127, 127).astype(np.int8)
     vq = np.clip(np.round(v / vs), -127, 127).astype(np.int8)
-    # scale layout (P, KV, 1, page)
-    return (jnp.asarray(kq), jnp.asarray(vq),
-            jnp.asarray(ks.transpose(0, 1, 3, 2)),
-            jnp.asarray(vs.transpose(0, 1, 3, 2)))
+    # values flat; scales (P, page, KV, 1) -> (P, KV, 1, page)
+    return (jnp.asarray(kq.reshape(P, page, KV * hd)),
+            jnp.asarray(vq.reshape(P, page, KV * hd)),
+            jnp.asarray(ks.transpose(0, 2, 3, 1)),
+            jnp.asarray(vs.transpose(0, 2, 3, 1)))
 
 
 class TestPagedKernel:
@@ -83,10 +86,8 @@ class TestPagedKernel:
 
         # contiguous page layout: slot b owns pages [b*maxp .. b*maxp+maxp)
         P = B * maxp
-        k_pool = k.reshape(B, maxp, page, KV, hd).transpose(
-            0, 1, 3, 2, 4).reshape(P, KV, page, hd)
-        v_pool = v.reshape(B, maxp, page, KV, hd).transpose(
-            0, 1, 3, 2, 4).reshape(P, KV, page, hd)
+        k_pool = k.reshape(P, page, KV * hd)
+        v_pool = v.reshape(P, page, KV * hd)
         table = jnp.asarray(
             np.arange(P, dtype=np.int32).reshape(B, maxp))
 
@@ -143,20 +144,18 @@ class TestPagedDecodeStack:
             cache = paged_kv.set_slot_pages(cache, b, pages[b])
 
         def transplant(pool, dense_rows, scale=False):
-            # dense_rows (layers, B, max_len, KV, hd|1) -> pages;
-            # the r5 dense cache stores heads FLAT — split them first
-            if not scale and dense_rows.ndim == 4:
-                dense_rows = dense_rows.reshape(*dense_rows.shape[:3],
-                                                pool.shape[2], -1)
+            # r5 flat layouts: dense rows (layers, B, max_len, C) -> flat
+            # (layers, page, C) page blocks; scales transpose to
+            # (layers, KV, 1, page)
             out = pool
             for b in range(B):
-                rows = dense_rows[:, b]        # (layers, max_len, KV, ..)
+                rows = dense_rows[:, b]
                 for j in range(maxp):
                     chunk = rows[:, j * page:(j + 1) * page]
                     if scale:                  # (layers, page, KV, 1)
                         blk = chunk.transpose(0, 2, 3, 1)
-                    else:                      # -> (layers, KV, page, hd)
-                        blk = chunk.transpose(0, 2, 1, 3)
+                    else:                      # (layers, page, C) already
+                        blk = chunk
                     out = out.at[:, pages[b][j]].set(blk)
             return out
 

@@ -369,12 +369,17 @@ def mha_cached_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
 def paged_mha(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
               page_table: jax.Array, kv_len: jax.Array,
               k_scale: Optional[jax.Array] = None,
-              v_scale: Optional[jax.Array] = None) -> jax.Array:
-    """Backend-dispatching paged decode attention (one layer, L == 1).
+              v_scale: Optional[jax.Array] = None,
+              layer=None) -> jax.Array:
+    """Backend-dispatching paged decode attention (L == 1).
 
     TPU: the scalar-prefetch pallas kernel streams each slot's pages from
-    the shared pool without materializing a gathered copy. CPU / meshes:
-    the gather-based jnp oracle (kernels/paged_attention.py). Serving is
+    the shared pool without materializing a gathered copy; with ``layer``
+    given the pools are the WHOLE STACKED (layers, P, KV, page, hd)
+    buffers and the kernel addresses them by layer id (the r5
+    stacked-threading path — per-layer slicing + restacking re-wrote the
+    pools every step). CPU / meshes: the gather-based jnp oracle
+    (kernels/paged_attention.py) on the layer's slice. Serving is
     single-chip (serve/batcher.py), so no shard_map wrapper here.
     """
     from video3d_tpu.kernels.paged_attention import (
@@ -385,15 +390,26 @@ def paged_mha(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     except RuntimeError:
         on_tpu = False
     hd = q.shape[-1]
-    page = k_pages.shape[2]
+    # flat pools (r5): stacked (layers, P, page, KV*hd) vs per-layer
+    # (P, page, KV*hd)
+    stacked = k_pages.ndim == 4
+    page = k_pages.shape[2] if stacked else k_pages.shape[1]
+    kv_heads = k_pages.shape[-1] // hd
     if (on_tpu and not _DISABLE_DECODE_KERNEL and hd % 128 == 0
             and page % 128 == 0 and _active_mesh() is None):
+        if _BISECT_SKIP_DECODE_ATTN:
+            return jnp.zeros_like(q)
         return paged_decode_attention(q, k_pages, v_pages, page_table,
                                       kv_len, k_scale=k_scale,
-                                      v_scale=v_scale)
+                                      v_scale=v_scale, layer=layer,
+                                      kv_heads=kv_heads)
+    if stacked:
+        k_pages, v_pages = k_pages[layer], v_pages[layer]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[layer], v_scale[layer]
     return paged_attention_reference(q, k_pages, v_pages, page_table,
                                      kv_len, k_scale=k_scale,
-                                     v_scale=v_scale)
+                                     v_scale=v_scale, kv_heads=kv_heads)
 
 
 def _active_mesh():

@@ -15,8 +15,12 @@ scheduler thread BETWEEN jitted chunks, so the device never sees dynamic
 shapes — the table is a fixed (num_slots, max_pages) int32 array and
 capacity for a decode chunk is reserved up front (``pages_needed``).
 
-Pool layout is (layers, P, KV, page, hd) — (page, hd) minor — so each
-kernel block is one contiguous page slab; scale pools (int8) store
+Pool layout is FLAT (layers, P, page, KV*hd) — each token row stores its
+heads contiguously, mirroring the dense KVCache (r5): the flat shape's
+default XLA layout equals the pallas operand layout, so the stacked pools
+thread through every layer's append + kernel read with zero relayout
+copies (the head-split (.., KV, page, hd) layout measured 164 ms/step at
+the 32k mix when threaded). Scale pools (int8) store
 (layers, P, KV, 1, page) keeping the page dim on lanes.
 """
 
@@ -32,10 +36,11 @@ from video3d_tpu.models.qwen2 import QUANT_KV_DTYPES
 
 
 class PagedKVCache(NamedTuple):
-    """k/v: (layers, P, KV, page, hd); int8 pools add (layers, P, KV, 1,
-    page) f32 scale pools. page_table: (S, maxp) int32 (entries past a
-    slot's allocation must stay in [0, P) — unused ones are length-masked,
-    never dereferenced out of bounds). lens: (S,) valid tokens per slot."""
+    """k/v: (layers, P, page, KV*hd) FLAT pools; int8 pools add
+    (layers, P, KV, 1, page) f32 scale pools. page_table: (S, maxp) int32
+    (entries past a slot's allocation must stay in [0, P) — unused ones
+    are length-masked, never dereferenced out of bounds). lens: (S,)
+    valid tokens per slot."""
 
     k: jax.Array
     v: jax.Array
@@ -46,7 +51,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2]
 
     @property
     def num_pages(self) -> int:
@@ -63,12 +68,12 @@ class PagedKVCache(NamedTuple):
     @classmethod
     def zeros(cls, cfg: LLMConfig, num_pages: int, page_size: int,
               num_slots: int, max_pages: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_hidden_layers, num_pages, cfg.num_key_value_heads,
-                 page_size, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, num_pages, page_size,
+                 cfg.num_key_value_heads * cfg.head_dim)
         table = jnp.zeros((num_slots, max_pages), jnp.int32)
         lens = jnp.zeros((num_slots,), jnp.int32)
         if dtype in QUANT_KV_DTYPES:
-            sshape = shape[:3] + (1, page_size)
+            sshape = shape[:2] + (cfg.num_key_value_heads, 1, page_size)
             return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                        table, lens,
                        jnp.zeros(sshape, jnp.float32),
@@ -130,35 +135,28 @@ def _scatter_dense_pages(cache: PagedKVCache, dense, pages: jax.Array,
     assert L >= n_pages * page, (L, n_pages, page)
     n = n_pages - skip_pages
 
-    def scat(pool, dn, tail_dims):
-        # dense (layers, 1, L, KV, d) -> pages. NB the predecessor keyed
-        # this branch on len(tail_dims) == 2, which is true for BOTH
-        # (KV, hd) values and (KV, 1) scales — the int8 scale transplant
-        # produced (.., page, 1) against a (.., 1, page) pool and the
-        # whole int8 paged insert path raised at trace time (latent until
-        # tests/test_paged_spec.py covered it; bf16 never calls this on
-        # scales). Distinguish by the actual trailing dim instead.
+    def scat_flat(pool, dn):
+        # dense FLAT (layers, 1, L, C) -> (layers, n, page, C) pages:
+        # a straight reshape, no transpose (both sides are flat, r5)
         lay = dn.shape[0]
         blk = dn[:, 0, skip_pages * page:n_pages * page].reshape(
-            lay, n, page, *tail_dims)
-        if tail_dims[-1] != 1:                        # (KV, hd) values
-            blk = blk.transpose(0, 1, 3, 2, 4)        # -> (lay,n,KV,page,hd)
-        else:                                         # (KV, 1) scales
-            blk = blk.transpose(0, 1, 3, 4, 2)        # -> (lay,n,KV,1,page)
+            lay, n, page, -1)
         return pool.at[:, pages].set(blk.astype(pool.dtype))
 
-    # the dense cache stores heads FLAT (layers, 1, L, KV*hd) — head-split
-    # it against the pool's (layers, P, KV, page, hd) shape (a one-time
-    # relayout per admission, ~33 MB)
-    KV, hd = cache.k.shape[2], cache.k.shape[4]
-    dk = dense.k.reshape(*dense.k.shape[:3], KV, hd)
-    dv = dense.v.reshape(*dense.v.shape[:3], KV, hd)
-    out = cache._replace(k=scat(cache.k, dk, (KV, hd)),
-                         v=scat(cache.v, dv, (KV, hd)))
+    def scat_scale(pool, dn):
+        # dense scales (layers, 1, L, KV, 1) -> (layers, n, KV, 1, page)
+        lay, KV = dn.shape[0], dn.shape[3]
+        blk = dn[:, 0, skip_pages * page:n_pages * page].reshape(
+            lay, n, page, KV, 1)
+        blk = blk.transpose(0, 1, 3, 4, 2)            # -> (lay,n,KV,1,page)
+        return pool.at[:, pages].set(blk.astype(pool.dtype))
+
+    out = cache._replace(k=scat_flat(cache.k, dense.k),
+                         v=scat_flat(cache.v, dense.v))
     if cache.k_scale is not None:
         out = out._replace(
-            k_scale=scat(cache.k_scale, dense.k_scale, (KV, 1)),
-            v_scale=scat(cache.v_scale, dense.v_scale, (KV, 1)))
+            k_scale=scat_scale(cache.k_scale, dense.k_scale),
+            v_scale=scat_scale(cache.v_scale, dense.v_scale))
     return out
 
 
@@ -223,8 +221,8 @@ def write_prefill(cache: PagedKVCache, layer: int, k_seq: jax.Array,
     n = L // page
 
     def to_pages(x):
-        # (L, KV, hd) -> (n, KV, page, hd)
-        return x.reshape(n, page, KV, hd).transpose(0, 2, 1, 3)
+        # (L, KV, hd) -> flat (n, page, KV*hd): a straight reshape (r5)
+        return x.reshape(n, page, KV * hd)
 
     pages = jax.lax.dynamic_slice_in_dim(
         cache.page_table[slot], start_page_idx, n)
@@ -284,26 +282,83 @@ def append_positions_multi(cache: PagedKVCache, L: int,
 
 
 def append_layer_kv(pools, k_new: jax.Array, v_new: jax.Array,
-                    pids: jax.Array, off: jax.Array):
-    """Scatter new tokens into ONE layer's pools.
+                    pids: jax.Array, off: jax.Array, layer=None):
+    """Append new tokens into the pools.
 
-    pools: (k_pages, v_pages, k_scale|None, v_scale|None) with k_pages
-    (P, KV, page, hd); k_new/v_new (S, KV, hd) with pids/off (S,) from
+    ``layer=None`` (legacy / tests): pools are ONE layer's FLAT views
+    with k_pages (P, page, KV*hd); the write is an advanced-index scatter.
+
+    ``layer=i`` (the r5 stacked-threading decode path): pools are the
+    WHOLE stacked flat (layers, P, page, KV*hd) buffers and the write is
+    a chain of per-(slot, token) ``dynamic_update_slice``s at
+    (layer, pid, off) — XLA lowers the batched scatter to select
+    fusions that re-write the ENTIRE pool per layer per step (the same
+    disease the dense cache had, BENCH_NOTES r5 32k-decode section), and
+    per-layer slicing + restacking of the pools re-writes them again.
+
+    k_new/v_new: (S, KV, hd) with pids/off (S,) from
     :func:`append_positions` — or (S, L, KV, hd) with (S, L) coordinates
-    from :func:`append_positions_multi` (the same advanced-index scatter
-    covers both ranks). Returns the updated 4-tuple.
+    from :func:`append_positions_multi`. Returns the updated 4-tuple.
     """
     k_pages, v_pages, ks_pages, vs_pages = pools
-    if ks_pages is not None:
+    quant = ks_pages is not None
+    if quant:
         kq, ks = _quantize_kv(k_new, k_pages.dtype)
         vq, vs = _quantize_kv(v_new, k_pages.dtype)
-        return (k_pages.at[pids, :, off].set(kq),
-                v_pages.at[pids, :, off].set(vq),
-                ks_pages.at[pids, :, 0, off].set(ks[..., 0]),
-                vs_pages.at[pids, :, 0, off].set(vs[..., 0]))
-    return (k_pages.at[pids, :, off].set(k_new.astype(k_pages.dtype)),
-            v_pages.at[pids, :, off].set(v_new.astype(v_pages.dtype)),
-            None, None)
+    KV = k_new.shape[-2]
+    if layer is None:
+        # flat per-layer pools (P, page, C): flatten the token rows
+        kf = (kq if quant else k_new.astype(k_pages.dtype)) \
+            .reshape(*k_new.shape[:-2], KV * k_new.shape[-1])
+        vf = (vq if quant else v_new.astype(v_pages.dtype)) \
+            .reshape(*v_new.shape[:-2], KV * v_new.shape[-1])
+        if quant:
+            return (k_pages.at[pids, off].set(kf),
+                    v_pages.at[pids, off].set(vf),
+                    ks_pages.at[pids, :, 0, off].set(ks[..., 0]),
+                    vs_pages.at[pids, :, 0, off].set(vs[..., 0]))
+        return (k_pages.at[pids, off].set(kf),
+                v_pages.at[pids, off].set(vf), None, None)
+
+    li = jnp.asarray(layer, jnp.int32)
+    multi = pids.ndim == 2
+    S = pids.shape[0]
+    Lb = pids.shape[1] if multi else 1
+    pid2 = pids.reshape(S, Lb)
+    off2 = off.reshape(S, Lb)
+    if not quant:
+        kq, vq = k_new, v_new
+        ks = vs = None
+    C = KV * k_new.shape[-1]
+    kq3 = kq.reshape(S, Lb, C)
+    vq3 = vq.reshape(S, Lb, C)
+
+    def write(pool, val, scale_pool=False):
+        def body(i, p):
+            s, l = i // Lb, i % Lb
+            pid = pid2[s, l].astype(jnp.int32)
+            o = off2[s, l].astype(jnp.int32)
+            if scale_pool:
+                # pool (layers, P, KV, 1, page); val (S, Lb, KV)
+                row = jax.lax.dynamic_slice(val, (s, l, 0), (1, 1, KV))
+                upd = row.reshape(1, 1, KV, 1, 1)
+                idx = (li, pid, jnp.int32(0), jnp.int32(0), o)
+            else:
+                # pool (layers, P, page, C); val (S, Lb, C)
+                row = jax.lax.dynamic_slice(val, (s, l, 0), (1, 1, C))
+                upd = row.reshape(1, 1, 1, C)
+                idx = (li, pid, o, jnp.int32(0))
+            return jax.lax.dynamic_update_slice(p, upd.astype(p.dtype), idx)
+
+        return jax.lax.fori_loop(0, S * Lb, body, pool)
+
+    out = (write(k_pages, kq3), write(v_pages, vq3))
+    if quant:
+        out += (write(ks_pages, ks.reshape(S, Lb, KV), True),
+                write(vs_pages, vs.reshape(S, Lb, KV), True))
+    else:
+        out += (None, None)
+    return out
 
 
 def append_decode_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,

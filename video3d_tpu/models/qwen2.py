@@ -267,10 +267,18 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
 
         assert score_bias is None, "paged decode does not support ALiBi"
         pools, page_table, pids, off, lens_after = paged
+        # r5 stacked-threading: rank-4 FLAT pools (layers, P, page, C)
+        # are the WHOLE buffers; appends dus per (slot, token) row and
+        # the kernel addresses the stack by layer id — the per-layer
+        # layer_view + restack re-wrote the pools every step
+        # (BENCH_NOTES r5). Rank-3 (P, page, C) = legacy per-layer view.
+        stackedp = pools[0].ndim == 4
+        lay = layer_idx if stackedp else None
         if q.shape[1] == 1:
-            pools = append_layer_kv(pools, k[:, 0], v[:, 0], pids, off)
+            pools = append_layer_kv(pools, k[:, 0], v[:, 0], pids, off,
+                                    layer=lay)
             attn = paged_mha(q, pools[0], pools[1], page_table, lens_after,
-                             k_scale=pools[2], v_scale=pools[3])
+                             k_scale=pools[2], v_scale=pools[3], layer=lay)
         else:
             # multi-token block (speculative verify): append all L tokens
             # ((S, L) coordinates), then per-query causal attention at
@@ -279,12 +287,14 @@ def decoder_layer(p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array,
                 paged_attention_multi
 
             L = q.shape[1]
-            pools = append_layer_kv(pools, k, v, pids, off)
+            pools = append_layer_kv(pools, k, v, pids, off, layer=lay)
+            mp = ([x if x is None or not stackedp else x[layer_idx]
+                   for x in pools])          # gather path stays per-layer
             q_positions = (lens_after[:, None] - L
                            + jnp.arange(L)[None])
             attn = paged_attention_multi(
-                q, pools[0], pools[1], page_table, q_positions,
-                k_scale=pools[2], v_scale=pools[3])
+                q, mp[0], mp[1], page_table, q_positions,
+                k_scale=mp[2], v_scale=mp[3])
         new_kv = pools
     elif kv is not None:
         k_cache, v_cache = kv[0], kv[1]
@@ -567,6 +577,12 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
     if kv_cache is not None:
         dense_running = (kv_cache.k, kv_cache.v,
                          kv_cache.k_scale, kv_cache.v_scale)
+    # paged pools keep the r4 per-layer view + restack plumbing: the
+    # stacked-threading variant (rank-4 flat pools + per-row dus + layer
+    # prefetch in the kernel, all implemented and CPU-tested) sent XLA
+    # compile time pathological (>20 min for the 32k-mix decode chunk,
+    # never completed inside the bench budget) — parked as the known
+    # next lever for the paged gap; see BENCH_NOTES r5.
     new_cols = ([], [], [], [])
     for i, lp in enumerate(params["layers"]):
         kv = paged = None
@@ -591,16 +607,17 @@ def qwen2_forward(params: Params, cfg: LLMConfig,
             sp = (sp_k, sp_v)
             if shared_prefix.k_scale is not None:
                 sp += (shared_prefix.k_scale[i], shared_prefix.v_scale[i])
-        # stacked-mode kwargs only when a dense cache is threaded — the
+        # stacked-mode kwargs only when a cache is threaded — the
         # remat-wrapped layer would otherwise trace these python scalars
-        extra = (dict(layer_idx=i, kv_stacked=True)
-                 if dense_running is not None else {})
+        extra = {}
+        if dense_running is not None:
+            extra = dict(layer_idx=i, kv_stacked=True)
         x, nkv = layer(lp, x, cos, sin, cfg, kv, cache_positions, kv_len,
                        attn_mask, paged=paged, shared_prefix=sp, **extra)
         if nkv is not None:
             if dense_running is not None:
                 dense_running = tuple(nkv) + (None,) * (4 - len(nkv))
-            else:
+            elif paged_cache is not None:
                 for col, part in zip(new_cols, nkv):
                     if part is not None:
                         col.append(part)
