@@ -465,8 +465,8 @@ def run_prefix(B: int = 1, iters: int = 20, shared: bool = True):
     KV, hd = cfg.llm.num_key_value_heads, cfg.llm.head_dim
     nl = cfg.llm.num_hidden_layers
     prefix = qwen2.KVCache(
-        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
-        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV * hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV * hd), jnp.int8),
         0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32),
         0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32))
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]

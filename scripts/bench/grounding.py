@@ -184,9 +184,10 @@ def run_prefix(V: int, B: int, iters: int = 20):
         seq_len=tile(suf.seq_len))
     KV, hd = cfg.llm.num_key_value_heads, cfg.llm.head_dim
     nl = cfg.llm.num_hidden_layers
+    # r5 flat head storage (layers, B, P, KV*hd)
     prefix = qwen2.KVCache(
-        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
-        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV * hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV * hd), jnp.int8),
         0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32),
         0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32))
     rng = np.random.default_rng(0)

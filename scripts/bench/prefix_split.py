@@ -85,8 +85,8 @@ def main():
     KV, hd = cfg.llm.num_key_value_heads, cfg.llm.head_dim
     nl = cfg.llm.num_hidden_layers
     prefix = qwen2.KVCache(
-        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
-        jnp.zeros((nl, 1, P, KV, hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV * hd), jnp.int8),
+        jnp.zeros((nl, 1, P, KV * hd), jnp.int8),
         0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32),
         0.01 * jnp.ones((nl, 1, P, KV, 1), jnp.float32))
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
