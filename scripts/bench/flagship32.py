@@ -134,8 +134,16 @@ def _build_chain(cfg, params, prefill_len, v_frames):
     return pipeline
 
 
-def run_chain(w8a8: bool, iters: int = 3):
+def run_chain(w8a8: bool, iters: int = 3, tower_pad: int = 0):
+    import dataclasses as _dc
+
     cfg = _full_cfg()
+    if tower_pad:
+        # VERDICT r4 #7 A/B: MXU-align the 729-token tower attention
+        # (27x27 grid) to a 768-row sequence. Negative at V=8 (r3,
+        # tower_profile.py: 52.7 vs 47.0 ms); re-measured at V=32 here.
+        cfg = _dc.replace(cfg, vision=_dc.replace(
+            cfg.vision, tower_pad_seq=tower_pad))
     act = "int8" if w8a8 else "none"
     params = init_vision_and_glue(cfg, jax.random.PRNGKey(0), w8a8=w8a8)
     params["llm"] = init_full_depth_llm_int8(cfg, jax.random.PRNGKey(1),
@@ -595,10 +603,13 @@ if __name__ == "__main__":
                          "membership; 'mm' = the MXU-histogram NEGATIVE "
                          "result (2.6x slower on chip, kept for honesty)")
     ap.add_argument("--len", type=int, default=32768)
+    ap.add_argument("--tower-pad", type=int, default=0,
+                    help="chain mode: pad the tower attention seq (768 = "
+                         "MXU-aligned A/B, VERDICT r4 #7)")
     a = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
     if a.mode == "chain":
-        run_chain(a.w8a8)
+        run_chain(a.w8a8, tower_pad=a.tower_pad)
     elif a.mode == "stages":
         run_stages(a.w8a8)
     elif a.mode == "mc-chain":

@@ -153,7 +153,10 @@ class TestInt8KVCache:
         cfg = ModelConfig.tiny().llm
         cache = qwen2.KVCache.zeros(cfg, 2, 32, dtype=jnp.int8)
         assert cache.k.dtype == jnp.int8 and cache.v.dtype == jnp.int8
-        assert cache.k_scale.shape == cache.k.shape[:-1] + (1,)
+        # r5 flat head storage: k (L, B, S, KV*hd), scales (L, B, S, KV, 1)
+        assert cache.k.shape[-1] == cfg.num_key_value_heads * cfg.head_dim
+        assert cache.k_scale.shape == cache.k.shape[:-1] + (
+            cfg.num_key_value_heads, 1)
         assert cache.k_scale.dtype == jnp.float32
         full = qwen2.KVCache.zeros(cfg, 2, 32)
         assert full.k_scale is None and full.v_scale is None
