@@ -39,6 +39,7 @@ _DISABLE_DECODE_KERNEL = False
 import os as _os  # noqa: E402
 
 _BISECT_SKIP_DECODE_ATTN = bool(_os.environ.get("V3D_BISECT_SKIP_DECODE_ATTN"))
+_BISECT_SKIP_SP_ATTN = bool(_os.environ.get("V3D_BISECT_SKIP_SP_ATTN"))
 
 
 @contextlib.contextmanager
@@ -289,6 +290,8 @@ def mha_shared_prefix(q: jax.Array, pk: jax.Array, pv: jax.Array,
     except RuntimeError:
         on_tpu = False
     if on_tpu and (_MANUAL_MODE or _active_mesh() is None):
+        if _BISECT_SKIP_SP_ATTN:
+            return jnp.zeros_like(q)
         from video3d_tpu.kernels import flash_attention as fa
 
         return fa.flash_attention_shared_prefix(
